@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session construction for all entry points (Verify, Bench, tests).
+  *
+  * Scale stance (SURVEY.md §7.4 item 8): these settings are the ones
+  * that transfer to a real cluster — AQE on (runtime coalescing + skew
+  * join splitting), shuffle partitions sized to the parallelism at hand
+  * rather than the 200 default, UTC session time zone for deterministic
+  * date semantics, and nanos-as-long so the parquet TIMESTAMP(NANOS)
+  * events table is readable (Spark has no nanosecond TimestampType).
+  */
+object Sessions {
+
+  def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+    .getOrElse(math.min(32, Runtime.getRuntime.availableProcessors()))
+
+  def build(appName: String): SparkSession = {
+    val n = cpus
+    val spark = SparkSession.builder()
+      .master(s"local[$n]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", n.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Make a driver-supplied session usable for our reads even when it was
+    * not built by [[build]] (runtime-settable SQL confs only).
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    try spark.conf.set("spark.sql.session.timeZone", "UTC")
+    catch { case _: Throwable => () }
+    spark
+  }
+}
