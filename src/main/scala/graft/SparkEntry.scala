@@ -17,7 +17,9 @@ object SparkEntry {
   private lazy val queries_registry: Seq[QueryDef] =
     graft.queries.CoreAnalytics.all ++
     graft.queries.EventFlows.all ++
-    graft.queries.ScalarShapes.all
+    graft.queries.ScalarShapes.all ++
+    graft.queries.LlmPipelines.all ++
+    graft.queries.SystemShapes.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,114 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Reader for VDV 452 `.x10` multi-table text files (the reference's
+  * transit-schedule input format; three hand-rolled parser variants in
+  * the reference — `scripts/ads_passenger_transfer_count_di.py:22-94`
+  * (tag variant), `scripts/ads_ridership_passenger_trips_di...py:20-52`
+  * (generic `atr;`/`frm;` variant), `ads_passenger_travel_time_di.R:51-72`
+  * (fixed-offset variant) — unified here).
+  *
+  * File grammar (observed): `tbl; NAME` opens a table section; `atr;`
+  * lists column names; `frm;` lists formats (`num[p.s]` / `char[n]`);
+  * `rec; v1; v2; ...` are rows; `end;` closes the section.
+  *
+  * Scale design: one distributed pass assigns stable line indexes
+  * (`zipWithIndex`); only the rare control lines (`tbl;`/`atr;`/`frm;`/
+  * `end;`) are collected to the driver to build the section map; `rec;`
+  * rows are then filtered + split entirely on executors. Dimension
+  * files are small in practice, but the reader stays out-of-core-safe.
+  */
+object VdvX10 {
+
+  private final case class Section(name: String, atrIdx: Long, endIdx: Long,
+                                   cols: Seq[String], formats: Seq[String])
+
+  private def splitFields(line: String): Seq[String] =
+    line.split(";").toSeq.drop(1).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+
+  /** Parse the section layout by collecting only control lines. */
+  private def sections(spark: SparkSession, path: String): Seq[Section] = {
+    val raw = spark.sparkContext.textFile(path).zipWithIndex()
+    val ctl = raw.filter { case (l, _) =>
+      val t = l.trim
+      t.startsWith("tbl;") || t.startsWith("atr;") ||
+      t.startsWith("frm;") || t.startsWith("end;")
+    }.collect().sortBy(_._2)
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[Section]
+    var name: Option[String] = None
+    var cols: Seq[String] = Nil
+    var formats: Seq[String] = Nil
+    var start = -1L
+    ctl.foreach { case (line, idx) =>
+      val t = line.trim
+      if (t.startsWith("tbl;")) {
+        name = Some(splitFields(t).headOption.getOrElse("").toUpperCase)
+        cols = Nil; formats = Nil; start = idx
+      } else if (t.startsWith("atr;")) cols = splitFields(t)
+      else if (t.startsWith("frm;")) formats = splitFields(t)
+      else if (t.startsWith("end;")) {
+        name.foreach(n => out += Section(n, start, idx, cols, formats))
+        name = None
+      }
+    }
+    out.toSeq
+  }
+
+  /** Table names present in the file. */
+  def tableNames(spark: SparkSession, path: String): Seq[String] =
+    sections(spark, path).map(_.name)
+
+  /** Spark type from a `frm;` format token: `num[p.0]` → LONG,
+    * `num[p.s]` (s>0) → DOUBLE, anything else → STRING. */
+  private def frmType(fmt: String): DataType = {
+    val Num = """num\[(\d+)\.(\d+)\]""".r
+    fmt.trim match {
+      case Num(_, s) if s.toInt == 0 => LongType
+      case Num(_, _)                 => DoubleType
+      case _                         => StringType
+    }
+  }
+
+  /** Read one named table from a `.x10` file. Columns are typed from
+    * the `frm;` line when present (reference generic variant), else all
+    * strings (tag variant behavior — the caller casts). */
+  def readTable(spark: SparkSession, path: String, tableName: String): DataFrame = {
+    val sec = sections(spark, path)
+      .find(_.name == tableName.toUpperCase)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $tableName not in $path (has: ${tableNames(spark, path).mkString(",")})"))
+    require(sec.cols.nonEmpty, s"table $tableName has no atr; header")
+
+    val types: Seq[DataType] =
+      if (sec.formats.size == sec.cols.size) sec.formats.map(frmType)
+      else Seq.fill(sec.cols.size)(StringType)
+    val schema = StructType(sec.cols.zip(types).map { case (c, t) =>
+      StructField(c, t, nullable = true) })
+
+    val nCols = sec.cols.size
+    val lo = sec.atrIdx; val hi = sec.endIdx
+    val rows = spark.sparkContext.textFile(path).zipWithIndex()
+      .filter { case (l, i) => i > lo && i < hi && l.trim.startsWith("rec;") }
+      .map { case (l, _) =>
+        val fs = splitFields(l.trim).padTo(nCols, "").take(nCols)
+        Row.fromSeq(fs.zip(types).map { case (v, t) =>
+          if (v.isEmpty) null
+          else t match {
+            case LongType   => try java.lang.Long.valueOf(v.trim) catch { case _: Exception => null }
+            case DoubleType => try java.lang.Double.valueOf(v.trim) catch { case _: Exception => null }
+            case _          => v
+          }
+        })
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** All tables of the file as a map (dimension-load convenience,
+    * mirroring the reference loading 11 VDV tables at once —
+    * `ads_passenger_travel_time_di.R:77-91`). */
+  def readAll(spark: SparkSession, path: String): Map[String, DataFrame] =
+    tableNames(spark, path).map(n => n -> readTable(spark, path, n)).toMap
+}

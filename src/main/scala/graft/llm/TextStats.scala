@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over a
+  * `documents(doc_id, text, lang, source, n_chars)` table: tokenization
+  * counts, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * Everything here is built-in expression chains (codegen'd, no UDFs) so
+  * the operators run at full scan speed — at 100 TB these are the
+  * map-side of every corpus-curation job and must not leave
+  * WholeStageCodegen.
+  */
+object TextStats {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-piece boundaries at letter/
+    * digit/punct transitions (a cheap deterministic proxy for a real
+    * tokenizer — the regex splits where a byte-pair tokenizer typically
+    * would; full BPE needs a vocab file, out of scope per container). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(trim(text), "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])"),
+      c => length(c) > 0))
+
+  /** Ratio of characters that are not alphanumeric/space — high values
+    * flag markup/binary junk. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Fraction of tokens that are English stopwords. */
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*))).cast("double")
+        / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length sweet spot, low punct
+    * noise, presence of stopwords (prose-ness). Weights mirror common
+    * corpus-filtering recipes (e.g. Gopher/C4-style rules). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenScore = when(nTok >= 20 && nTok <= 1000, 1.0)
+      .when(nTok >= 5, 0.5).otherwise(0.0)
+    val punctScore = when(punctRatio(text) < 0.1, 1.0)
+      .when(punctRatio(text) < 0.3, 0.5).otherwise(0.0)
+    val stopScore = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.3)
+    round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 4)
+  }
+
+  /** Language-ID heuristic: marker-stopword voting (n-gram-free variant;
+    * a real system would use char-trigram profiles — this is the
+    * deterministic expression-only form, precision limited by design). */
+  def langIdHeuristic(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    when(t.contains(" le ") || t.contains(" la ") || t.contains(" et "), "fr")
+      .when(t.contains(" el ") || t.contains(" los ") || t.contains(" y "), "es")
+      .when(t.contains(" der ") || t.contains(" und ") || t.contains(" die "), "de")
+      .when(t.contains(" the ") || t.contains(" and ") || t.contains(" of "), "en")
+      .otherwise("und")
+  }
+
+  /** Canonical-form document fingerprint: md5 of lowercased,
+    * whitespace-collapsed text. Exact-dup detection key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Polynomial rolling hash over tokens (Rabin-Karp style) — an
+    * order-sensitive fingerprint that, unlike md5-of-whole-text, can be
+    * computed incrementally per shingle window. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + crc32(t.cast("binary")))
+
+  /** Full stats projection used by pipelines and the q25 query. */
+  def withStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("punct_ratio", punctRatio(col(textCol)))
+      .withColumn("stopword_ratio", stopwordRatio(col(textCol)))
+      .withColumn("quality_score", qualityScore(col(textCol)))
+}

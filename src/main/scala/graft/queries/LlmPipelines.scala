@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.llm.{Dedup, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (BASELINE.json north star)
+  * over `documents(doc_id, text, lang, source, n_chars)` and
+  * `embeddings(vec_id, embedding ARRAY<FLOAT>, label)`: text analysis,
+  * exact + approximate dedup, and similarity search.
+  *
+  * SQL-expressible ops carry DuckDB oracles; the sketch-based ops
+  * (MinHash-LSH, SimHash, sign-LSH ANN) are rows-only here and
+  * recall/accuracy-asserted against exact baselines in LlmSpec.
+  */
+object LlmPipelines {
+
+  /** Text statistics: token counts, punctuation noise, stopword prose
+    * signal, composite quality score — the map-side of corpus
+    * filtering; pure codegen'd expressions. */
+  val q25 = QueryDef(
+    "q25_text_stats",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+          col("doc_id"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          TextStats.punctRatio(col("text")).as("punct_ratio"),
+          TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextStats.qualityScore(col("text")).as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text,
+           |         string_split_regex(lower(trim(text)), '\s+') AS toks
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(toks) AS INTEGER) AS n_tokens,
+           |  CASE WHEN length(text) > 0
+           |       THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+           |            / length(text)
+           |       ELSE 0.0 END AS punct_ratio,
+           |  CASE WHEN len(toks) > 0
+           |       THEN CAST(len(list_filter(toks, x -> x IN
+           |              ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+           |            / len(toks)
+           |       ELSE 0.0 END AS stopword_ratio,
+           |  ROUND(
+           |    (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0
+           |          WHEN len(toks) >= 5 THEN 0.5 ELSE 0.0 END) * 0.4 +
+           |    (CASE WHEN (CASE WHEN length(text) > 0
+           |                THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)
+           |                ELSE 0.0 END) < 0.1 THEN 1.0
+           |          WHEN (CASE WHEN length(text) > 0
+           |                THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)
+           |                ELSE 0.0 END) < 0.3 THEN 0.5 ELSE 0.0 END) * 0.3 +
+           |    (CASE WHEN (CASE WHEN len(toks) > 0
+           |                THEN CAST(len(list_filter(toks, x -> x IN
+           |                       ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / len(toks)
+           |                ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.3 END) * 0.3,
+           |    4) AS quality_score
+           |FROM t
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Language-ID heuristic vs labeled lang: confusion-matrix counts.
+    * (Marker-stopword voting; see TextStats.langIdHeuristic.) */
+  val q26 = QueryDef(
+    "q26_lang_confusion",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.withColumn("lang_guess", TextStats.langIdHeuristic(col("text")))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_guess"))
+    },
+    Some("""WITH g AS (
+           |  SELECT lang,
+           |    CASE WHEN contains(' ' || lower(text) || ' ', ' le ')
+           |           OR contains(' ' || lower(text) || ' ', ' la ')
+           |           OR contains(' ' || lower(text) || ' ', ' et ') THEN 'fr'
+           |         WHEN contains(' ' || lower(text) || ' ', ' el ')
+           |           OR contains(' ' || lower(text) || ' ', ' los ')
+           |           OR contains(' ' || lower(text) || ' ', ' y ') THEN 'es'
+           |         WHEN contains(' ' || lower(text) || ' ', ' der ')
+           |           OR contains(' ' || lower(text) || ' ', ' und ')
+           |           OR contains(' ' || lower(text) || ' ', ' die ') THEN 'de'
+           |         WHEN contains(' ' || lower(text) || ' ', ' the ')
+           |           OR contains(' ' || lower(text) || ' ', ' and ')
+           |           OR contains(' ' || lower(text) || ' ', ' of ') THEN 'en'
+           |         ELSE 'und' END AS lang_guess
+           |  FROM documents)
+           |SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+           |FROM g GROUP BY lang, lang_guess
+           |ORDER BY lang, lang_guess""".stripMargin))
+
+  /** Exact dedup: canonical md5 fingerprint groups per source with
+    * duplicate-rate rollup (one hash aggregation — the 100 TB exact
+    * -dedup shape). */
+  val q27 = QueryDef(
+    "q27_dedup_exact",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("source"), TextStats.fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH f AS (
+           |  SELECT source,
+           |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           |  FROM documents)
+           |SELECT source,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           |  CAST(count(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dups
+           |FROM f GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Exact bigram-shingle Jaccard near-dup pairs (doc_id < 100 window
+    * keeps the all-pairs verifier bounded; at scale this runs only on
+    * LSH candidates — q28 is the ground-truth twin LlmSpec checks the
+    * LSH path against). */
+  val q28 = QueryDef(
+    "q28_jaccard_pairs",
+    (s, dir) => {
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 2, maxId = Some(100L))
+        .where(col("jaccard") >= 0.1)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(w) >= 2
+           |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+           |      ELSE [array_to_string(w, ' ')] END) AS sh
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           |        FROM documents WHERE doc_id < 100)),
+           |ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+           |inter AS (
+           |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
+           |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON id_a = sa.doc_id
+           |JOIN sizes sb ON id_b = sb.doc_id
+           |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.1
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Exact top-5 similarity search in the quantized-integer domain
+    * (query set vec_id < 5 broadcast against the whole corpus;
+    * deterministic dot-product ranking — the oracle-checkable twin of
+    * the float brute-force/LSH/IVF scorers). */
+  val q29 = QueryDef(
+    "q29_topk_similarity",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.quantizedDotTopK(
+          emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id AS query_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings WHERE vec_id < 5),
+           |c AS (
+           |  SELECT vec_id AS corpus_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+           |  FROM embeddings),
+           |s AS (
+           |  SELECT query_id, corpus_id,
+           |    CAST(list_inner_product(qv, cv) AS BIGINT) AS dot
+           |  FROM q, c WHERE query_id != corpus_id),
+           |r AS (
+           |  SELECT query_id, corpus_id, dot,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, corpus_id) AS rn
+           |  FROM s)
+           |SELECT query_id, corpus_id, dot, CAST(rn AS INTEGER) AS rank
+           |FROM r WHERE rn <= 5
+           |ORDER BY query_id, rank""".stripMargin))
+
+  /** MinHash-LSH near-dup candidates + exact-Jaccard verification —
+    * the at-scale dedup path (banded bucket joins, no all-pairs).
+    * Rows-only: the sketch is not ANSI-SQL-expressible; LlmSpec asserts
+    * recall vs q28's exact pairs. */
+  val q30 = QueryDef(
+    "q30_minhash_lsh",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cands = Dedup.minhashLshCandidates(d, "doc_id", "text",
+        shingleN = 2, bands = 8, rows = 2)
+      cands.orderBy(col("id_a"), col("id_b"))
+    },
+    None)
+
+  /** SimHash (custom codegen'd 64-bit Expression) Hamming-band
+    * near-dup candidates. Rows-only; LlmSpec checks fingerprint
+    * stability + that planted near-dups land within small Hamming
+    * distance. */
+  val q31 = QueryDef(
+    "q31_simhash_candidates",
+    (s, dir) => {
+      Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text",
+          bands = 8, maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None)
+
+  /** Sign-LSH bucketed ANN top-k (random-hyperplane signatures,
+    * bucket-equality probe) — the sublinear similarity-search path.
+    * Rows-only; LlmSpec asserts recall vs exact brute force. */
+  val q32 = QueryDef(
+    "q32_ann_lsh",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb.where(col("vec_id") < 50), emb,
+          "vec_id", "embedding", k = 5, numPlanes = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  /** Embedding cosine near-dup pairs in the exact integer domain
+    * (threshold 0.35 — the synthetic corpus has no planted vector
+    * dups, so this surfaces the top natural similarities). */
+  val q33 = QueryDef(
+    "q33_cosine_neardup",
+    (s, dir) => {
+      Dedup.cosineNearDupQuantized(
+          Tables.embeddings(s, dir).where(col("vec_id") < 300),
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id AS id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings WHERE vec_id < 300),
+           |n AS (
+           |  SELECT id, qv,
+           |    CAST(list_inner_product(qv, qv) AS BIGINT) AS norm2
+           |  FROM q),
+           |p AS (
+           |  SELECT a.id AS id_a, b.id AS id_b,
+           |    CAST(list_inner_product(a.qv, b.qv) AS BIGINT) AS dot,
+           |    a.norm2 AS na, b.norm2 AS nb
+           |  FROM n a JOIN n b ON a.id < b.id)
+           |SELECT id_a, id_b, dot
+           |FROM p
+           |WHERE dot > 0 AND dot * dot * 10000 > 1225 * na * nb
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33)
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming restatement of the reference's incremental
+  * patterns (SURVEY.md §2.9): the reference is pure batch with manual
+  * chunk loops + mergeable accumulators (ST1) and resume markers (ST3);
+  * here the same aggregations run incrementally with event-time
+  * watermarks — the shape that absorbs a continuous AFC/event feed at
+  * scale without re-reading history.
+  */
+object EventStream {
+
+  /** Parquet schema of the events table as written (ts = nanos int64,
+    * read under nanosAsLong — see graft.core.Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files,
+    * normalized to a proper event-time column. */
+  def readEvents(spark: SparkSession, dir: String,
+                 glob: String = "events.parquet"): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling event-time window aggregation with a late-data watermark:
+    * the streaming twin of the per-day batch aggregates (EP2). State is
+    * bounded by the watermark horizon — required at 100 TB/day feeds. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** ST4-style custom state: running per-user totals via
+    * `mapGroupsWithState` — the streaming form of the reference's
+    * first-seen/accumulator upserts
+    * (`scripts/ads_passenger_travel_distance_di.py:26-52`). */
+  def runningUserTotals(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double)], st: GroupState[UserRunning]) =>
+          val prev = st.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events; var tot = prev.total_value
+          rows.foreach { r => n += 1; tot += r._2 }
+          val next = UserRunning(uid, n, tot)
+          st.update(next)
+          next
+      }
+  }
+
+  /** Drive a streaming query to completion over the (static) test
+    * directory via a memory sink — how StreamingSpec observes results
+    * synchronously. Returns the collected sink table. */
+  def runToMemorySink(spark: SparkSession, agg: DataFrame,
+                      queryName: String, outputMode: OutputMode): DataFrame = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

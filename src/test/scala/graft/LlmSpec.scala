@@ -1,0 +1,132 @@
+package graft
+
+import graft.core.Tables
+import graft.functions.{SimHash64, VectorKernels}
+import graft.llm.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  private def docs = Tables.documents(spark, SparkTestBase.sf)
+  private def emb  = Tables.embeddings(spark, SparkTestBase.sf)
+
+  test("SimHash64 is deterministic and order-sensitive only via counts") {
+    val df = Seq(
+      Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("c", "b", "a"),
+      Seq("x", "y", "z")).toDF("toks")
+      .select(SimHash64.simhash64($"toks").as("h")).as[Long].collect()
+    assert(df(0) == df(1))          // identical input → identical hash
+    assert(df(0) == df(2))          // bag semantics: order-free
+    assert(df(0) != df(3))          // different tokens → different hash
+  }
+
+  test("near-identical docs get small SimHash Hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val nearDup = base.updated(5, "CHANGED").updated(40, "ALSO")
+    val far = (1 to 60).map(i => s"other$i")
+    val hs = Seq(base, nearDup, far).toDF("toks")
+      .select(SimHash64.simhash64($"toks")).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) <= 12, s"near-dup hamming ${ham(hs(0), hs(1))}")
+    assert(ham(hs(0), hs(2)) >= 16, s"far hamming ${ham(hs(0), hs(2))}")
+  }
+
+  test("MinHash-LSH candidates achieve full recall on high-jaccard pairs") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 2)
+      .where($"jaccard" >= 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val cands = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        shingleN = 2, bands = 8, rows = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val missed = exact -- cands
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
+  test("SimHash banding surfaces the planted near-dup pairs as candidates") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 1)
+      .where($"jaccard" >= 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text",
+        bands = 8, maxHamming = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val recall =
+      if (exact.isEmpty) 1.0
+      else (exact intersect cands).size.toDouble / exact.size
+    assert(recall >= 0.9, s"simhash recall $recall on ${exact.size} pairs")
+  }
+
+  test("VectorKernels.cosine matches a reference implementation") {
+    val rows = emb.where($"vec_id" < 3)
+      .select($"embedding").as[Seq[Float]].collect()
+    def refCos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val got = emb.where($"vec_id" < 3).as("a")
+      .crossJoin(emb.where($"vec_id" < 3).as("b"))
+      .select($"a.vec_id", $"b.vec_id",
+        VectorKernels.float_cosine($"a.embedding", $"b.embedding").as("c"))
+      .where($"a.vec_id" === 0 && $"b.vec_id" === 1)
+      .select($"c").as[Double].head()
+    assert(math.abs(got - refCos(rows(0), rows(1))) < 1e-9)
+  }
+
+  test("quantized dot top-k agrees with float dot top-1 per query") {
+    val queries = emb.where($"vec_id" < 5)
+    val quant = Similarity.quantizedDotTopK(queries, emb, "vec_id", "embedding", 1)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toMap
+    val q = broadcast(queries.select($"vec_id".as("query_id"), $"embedding".as("qv")))
+    val floatTop = q.join(emb.select($"vec_id".as("corpus_id"), $"embedding".as("cv")),
+        $"query_id" =!= $"corpus_id")
+      .withColumn("dot", VectorKernels.float_dot($"qv", $"cv"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"dot".desc, $"corpus_id")))
+      .where($"rn" === 1)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toMap
+    val agree = quant.count { case (k, v) => floatTop.get(k).contains(v) }
+    assert(agree >= 4, s"only $agree/5 queries agree between quantized and float top-1")
+  }
+
+  test("LSH ANN returns true high-cosine neighbors (subset of bucket)") {
+    val queries = emb.where($"vec_id" < 50)
+    val ann = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+      k = 5, numPlanes = 8)
+    val rows = ann.select($"query_id", $"corpus_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "ANN should return candidates for some queries")
+    // every returned neighbor must genuinely have that cosine (spot check determinism)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 20)
+      .select($"query_id", $"corpus_id", $"cos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val wrong = rows.filter { case (q, c, cos) =>
+      brute.get((q, c)).exists(b => math.abs(b - cos) > 1e-9) }
+    assert(wrong.isEmpty, s"cos mismatch vs brute force: ${wrong.take(3).toSeq}")
+  }
+
+  test("IVF top-k recall vs brute force is reasonable on clustered data") {
+    val queries = emb.where($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 3,
+        nCentroids = 8, nProbe = 4)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
+  test("HLL approx distinct within 5% of exact at rsd=1%") {
+    val ev = Tables.events(spark, SparkTestBase.sf)
+    val (approx, exact) = ev.agg(
+        approx_count_distinct($"user_id", 0.01).as("a"),
+        countDistinct($"user_id").as("e"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx $approx vs exact $exact")
+  }
+}

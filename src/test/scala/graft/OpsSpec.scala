@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.DmsToDecimalDegrees
+import graft.ops.{Cleaning, Journeys, Rollups, TimeOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("deepClean strips non-alphanumerics and uppercases") {
+    val got = Seq("  a-1 b ", "X_y.z", "\"Q7\"").toDF("s")
+      .select(Cleaning.deepClean($"s")).as[String].collect()
+    assert(got.toSeq == Seq("A1B", "XYZ", "Q7"))
+  }
+
+  test("regionFromPrefix dispatch matches reference semantics") {
+    val got = Seq("AD1", "ER9", "WR2", "XX").toDF("s")
+      .select(Cleaning.regionFromPrefix($"s")).as[String].collect()
+    assert(got.toSeq == Seq("Abu Dhabi", "Al Ain", "Al Dhafra", "Unknown"))
+  }
+
+  test("regionFromOpDepNo uses first digit of abs value") {
+    val got = Seq(11, -23, 305, 907).toDF("n")
+      .select(Cleaning.regionFromOpDepNo($"n")).as[String].collect()
+    assert(got.toSeq == Seq("Abu Dhabi", "Al Ain", "Al Dhafra", "Unknown"))
+  }
+
+  test("distance bins are include-lowest right-closed") {
+    val got = Seq(0.0, 5.0, 5.1, 20.0, 20.5).toDF("km")
+      .select(TimeOps.distanceBin($"km")).as[String].collect()
+    assert(got.toSeq == Seq("0-5km", "0-5km", "5-10km", "15-20km", ">20km"))
+  }
+
+  test("time bins include NA fallback and >120 overflow") {
+    val got = Seq[Option[Double]](None, Some(10.0), Some(10.5), Some(121.0))
+      .toDF("m").select(TimeOps.timeRangeBin($"m")).as[String].collect()
+    assert(got.toSeq == Seq("NA", "0-10min", "10-20min", ">120min"))
+  }
+
+  test("clampOrElse zeroes out-of-range, keeps in-range") {
+    val got = Seq(-1.0, 0.0, 120.0, 240.0, 241.0).toDF("v")
+      .select(TimeOps.clampOrElse($"v", 0, 240, 0.0)).as[Double].collect()
+    assert(got.toSeq == Seq(0.0, 0.0, 120.0, 240.0, 0.0))
+  }
+
+  test("DmsToDecimalDegrees converts per the reference formula") {
+    // 54°12'34.567" = 54 + 12/60 + 34.567/3600 = 54.209602 (6dp)
+    val got = Seq(541234567L, -541234567L, 0L).toDF("dms")
+      .select(DmsToDecimalDegrees.dmsToDecimalDegrees($"dms")).as[Double].collect()
+    assert(got(0) == 54.209602)
+    assert(got(1) == -54.209602)
+    assert(got(2) == 0.0)
+  }
+
+  test("DmsToDecimalDegrees interpreted eval equals codegen result") {
+    assert(DmsToDecimalDegrees.convert(541234567L) == 54.209602)
+  }
+
+  test("survivalDiff: exactly-k = count(k) - count(k+1), clamped") {
+    val hist = Seq(("d1", 1, 10L), ("d1", 2, 4L), ("d1", 3, 1L), ("d2", 1, 2L))
+      .toDF("day", "leg", "cnt")
+    val got = Rollups.survivalDiff(hist, Seq($"day"), $"leg", $"cnt", "exact")
+      .orderBy($"day", $"leg")
+      .select($"day", $"leg", $"exact").as[(String, Int, Long)].collect()
+    assert(got.toSeq == Seq(("d1", 1, 6L), ("d1", 2, 3L), ("d1", 3, 1L), ("d2", 1, 2L)))
+  }
+
+  test("withOverall grouping-sets equals explicit union of two grains") {
+    val df = Seq(("F", "a", 1.0), ("F", "b", 2.0), ("O", "a", 3.0))
+      .toDF("st", "pri", "x")
+    val got = Rollups.withOverall(df, Seq($"st"), $"pri", "overall",
+        Seq(sum($"x").as("sx")))
+      .select($"st", $"pri", $"sx")
+      .orderBy($"st", $"pri").as[(String, String, Double)].collect()
+    val expected = Seq(("F", "a", 1.0), ("F", "b", 2.0), ("F", "overall", 3.0),
+      ("O", "a", 3.0), ("O", "overall", 3.0))
+    assert(got.toSeq == expected)
+  }
+
+  test("sessionize opens a new session after the gap threshold") {
+    val ts = Seq(0L, 10L, 100L, 105L).map(m => m * 60L * 1000000L) // minutes→us
+    val df = ts.zipWithIndex.map { case (us, i) => (1L, i.toLong, us) }
+      .toDF("uid", "eid", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val got = Journeys.sessionize(df, Seq($"uid"), $"ts", 30.0, "sess")
+      .orderBy($"eid").select($"sess").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 1L, 2L, 2L))
+  }
+
+  test("transferMicros clamps negatives, >240min, and last-leg nulls to 0") {
+    val df = Seq(
+      (0L, Some(60L * 1000000L)),          // 1 min → 60e6 us
+      (0L, Some(-5L * 1000000L)),          // negative → 0
+      (0L, Some(300L * 60L * 1000000L)),   // 300 min → 0
+      (0L, None)                           // last leg → 0
+    ).toDF("a_us", "b_us")
+      .select(timestamp_micros($"a_us").as("a"),
+              timestamp_micros($"b_us").as("b"))
+    val got = df.select(Journeys.transferMicros($"a", $"b")).as[Long].collect()
+    assert(got.toSeq == Seq(60000000L, 0L, 0L, 0L))
+  }
+}
