@@ -1,10 +1,22 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import graft.core.Sessions
 
 /** Headline benchmark: times each bench-flagged query end-to-end
   * (plan + execution, result forced via count) on SPARK_GRAFT_SF_DIR.
-  * Prints one JSON line the driver records as BENCH_r{N}.json.
+  *
+  * Output contract (driver records it as BENCH_r{N}.json):
+  *  - ONE JSON line on stdout, prefixed by nothing (run / outputStrategy
+  *    = StdoutOutput in build.sbt keeps sbt's logger from wrapping it);
+  *  - the same line written to BENCH_OUT.json in the working directory,
+  *    so a log-scraping failure can never lose the numbers again
+  *    (round-1 BENCH "parsed" was null from sbt [info] noise);
+  *  - a query that throws is reported in "errors" with its exception —
+  *    never as a silently-fast elapsed time (round-1 Bench swallowed
+  *    Throwable and recorded the time anyway).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -14,13 +26,29 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.benchQueries.map { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { q.fn(spark, sfDir).count(); None }
+        catch {
+          case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (q.name, sec, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":${jstr(sfDir)}}"""
+    Files.write(Paths.get("BENCH_OUT.json"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

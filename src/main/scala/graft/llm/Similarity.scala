@@ -117,18 +117,19 @@ object Similarity {
 
   /** Oracle-safe exact top-k in the quantized integer domain (see
     * [[Dedup.cosineNearDupQuantized]] for why): rank by integer dot
-    * product of 1e-3-quantized vectors, ties on corpus id. */
+    * product of 1e-3-quantized vectors, ties on corpus id. Scoring runs
+    * through the codegen'd [[graft.functions.VectorKernels.long_dot]]
+    * flat loop — not the boxed `aggregate(zip_with(...))` shape. */
   def quantizedDotTopK(queries: DataFrame, corpus: DataFrame,
                        idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorKernels.long_dot
     def quant(df: DataFrame, as: String, vas: String) =
       df.select(col(idCol).as(as),
         transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long")).as(vas))
     val q = broadcast(quant(queries, "query_id", "qv"))
     val c = quant(corpus, "corpus_id", "cv")
     val scored = q.join(c, col("query_id") =!= col("corpus_id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v))
+      .withColumn("dot", long_dot(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -57,8 +57,9 @@ object TimeOps {
       .when(mins <= 10, "0-10min")
       .when(mins <= 20, "10-20min")
       .when(mins <= 30, "20-30min")
-      .when(mins <= 45, "30-45min")
-      .when(mins <= 60, "45-60min")
+      .when(mins <= 40, "30-40min")
+      .when(mins <= 50, "40-50min")
+      .when(mins <= 60, "50-60min")
       .when(mins <= 90, "60-90min")
       .when(mins <= 120, "90-120min")
       .otherwise(">120min")

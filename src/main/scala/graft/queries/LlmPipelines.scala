@@ -186,29 +186,52 @@ object LlmPipelines {
            |FROM r WHERE rn <= 5
            |ORDER BY query_id, rank""".stripMargin))
 
-  /** MinHash-LSH near-dup candidates + exact-Jaccard verification —
-    * the at-scale dedup path (banded bucket joins, no all-pairs).
-    * Rows-only: the sketch is not ANSI-SQL-expressible; LlmSpec asserts
-    * recall vs q28's exact pairs. */
+  /** MinHash-LSH near-dup pairs, exact-Jaccard-verified — the at-scale
+    * dedup path (banded bucket joins + persisted signatures, no
+    * all-pairs stage; see [[Dedup.minhashNearDupPairs]]). Because the
+    * verifier makes the output exact (jaccard >= 0.8), the query
+    * carries a full DuckDB oracle — the all-pairs shingle-join twin —
+    * while the Spark side only ever scores LSH candidates. LlmSpec
+    * additionally asserts generator recall against the exact pairs. */
   val q30 = QueryDef(
     "q30_minhash_lsh",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val cands = Dedup.minhashLshCandidates(d, "doc_id", "text",
-        shingleN = 2, bands = 8, rows = 2)
-      cands.orderBy(col("id_a"), col("id_b"))
+      Dedup.minhashNearDupPairs(d, "doc_id", "text", threshold = 0.8,
+          shingleN = 2, bands = 16, rows = 4)
+        .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(w) >= 2
+           |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+           |      ELSE [array_to_string(w, ' ')] END) AS sh
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           |        FROM documents)),
+           |ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+           |inter AS (
+           |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
+           |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON id_a = sa.doc_id
+           |JOIN sizes sb ON id_b = sb.doc_id
+           |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin))
 
   /** SimHash (custom codegen'd 64-bit Expression) Hamming-band
-    * near-dup candidates. Rows-only; LlmSpec checks fingerprint
-    * stability + that planted near-dups land within small Hamming
-    * distance. */
+    * near-dup pairs. bands=8 > maxHamming=7 makes banding exhaustive
+    * (pigeonhole): output is EXACTLY the hamming<=7 pair set. Rows-only
+    * (the fingerprint isn't ANSI-expressible); LlmSpec asserts set
+    * equality vs brute-force XOR popcount. */
   val q31 = QueryDef(
     "q31_simhash_candidates",
     (s, dir) => {
       Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text",
-          bands = 8, maxHamming = 16)
+          bands = 8, maxHamming = 7)
         .orderBy(col("id_a"), col("id_b"))
     },
     None)
@@ -253,7 +276,8 @@ object LlmPipelines {
            |  FROM n a JOIN n b ON a.id < b.id)
            |SELECT id_a, id_b, dot
            |FROM p
-           |WHERE dot > 0 AND dot * dot * 10000 > 1225 * na * nb
+           |WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000
+           |                  > 1225 * CAST(na AS HUGEINT) * nb
            |ORDER BY id_a, id_b""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33)

@@ -1,18 +1,26 @@
 package graft.tools
 
-import graft.core.{Sessions, Tables}
-import org.apache.spark.sql.functions._
+import graft.core.Sessions
 
-/** Dev probe: inspect how Spark reads the nanosecond events table. */
+/** Dev probe: run one registered query against one SF dir, print timing
+  * and row count, optionally dump parquet for oracle diffing.
+  * Usage: runMain graft.tools.Probe <queryName> <sfDir> [outPath]
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = Sessions.build("probe")
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    raw.printSchema()
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
-    ev.printSchema()
-    ev.select(col("event_id"), unix_micros(col("ts")).as("us"))
-      .orderBy(col("event_id")).limit(5).show(false)
+    val fn = graft.SparkEntry.queries(name)
+    val t0 = System.nanoTime()
+    val df = fn(spark, sfDir)
+    if (args.length > 2) {
+      df.coalesce(1).write.mode("overwrite").parquet(args(2))
+      println(f"PROBE $name rows=${spark.read.parquet(args(2)).count()} sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    } else {
+      val n = df.count()
+      println(f"PROBE $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
     spark.stop()
   }
 }

@@ -39,23 +39,51 @@ class LlmSpec extends AnyFunSuite {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
     val cands = Dedup.minhashLshCandidates(docs, "doc_id", "text",
-        shingleN = 2, bands = 8, rows = 2)
+        shingleN = 2, bands = 16, rows = 4)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     val missed = exact -- cands
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
   }
 
-  test("SimHash banding surfaces the planted near-dup pairs as candidates") {
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 1)
-      .where($"jaccard" >= 0.9)
+  test("verified MinHash near-dup pairs equal the exact jaccard>=0.8 pair set") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 2)
+      .where($"jaccard" >= 0.8)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val verified = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(verified == exact,
+      s"missed=${(exact -- verified).take(3)} extra=${(verified -- exact).take(3)}")
+  }
+
+  test("SimHash banding returns exactly the hamming<=maxHamming pair set") {
+    // Brute-force ground truth: XOR popcount over all fingerprint pairs.
+    val fps = docs
+      .select($"doc_id", graft.functions.SimHash64.simhash64(
+        graft.llm.TextStats.tokens($"text")).as("sh"))
+      .as[(Long, Long)].collect()
+    val maxHamming = 7
+    val exact = (for {
+      i <- fps.indices.iterator
+      j <- (i + 1) until fps.length
+      if java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2) <= maxHamming
+    } yield {
+      val (a, b) = (fps(i)._1, fps(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
     val cands = Dedup.simhashCandidates(docs, "doc_id", "text",
-        bands = 8, maxHamming = 16)
+        bands = 8, maxHamming = maxHamming)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    val recall =
-      if (exact.isEmpty) 1.0
-      else (exact intersect cands).size.toDouble / exact.size
-    assert(recall >= 0.9, s"simhash recall $recall on ${exact.size} pairs")
+    assert(cands == exact,
+      s"missed=${(exact -- cands).take(3)} extra=${(cands -- exact).take(3)} " +
+        s"(pigeonhole guarantees equality for maxHamming < bands)")
+    assert(exact.nonEmpty, "fixture should contain close simhash pairs")
+  }
+
+  test("simhashCandidates rejects unsound parameters (bands <= maxHamming)") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(docs, "doc_id", "text", bands = 8, maxHamming = 16)
+    }
   }
 
   test("VectorKernels.cosine matches a reference implementation") {

@@ -33,10 +33,14 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("0-5km", "0-5km", "5-10km", "15-20km", ">20km"))
   }
 
-  test("time bins include NA fallback and >120 overflow") {
-    val got = Seq[Option[Double]](None, Some(10.0), Some(10.5), Some(121.0))
+  test("time bins match the reference's nine ranges + NA fallback") {
+    // ads_passenger_travel_time_di.R:140-151: 0-10/10-20/20-30/30-40/
+    // 40-50/50-60/60-90/90-120/>120, right-closed, NA fallback.
+    val got = Seq[Option[Double]](None, Some(10.0), Some(10.5), Some(35.0),
+        Some(45.0), Some(55.0), Some(75.0), Some(100.0), Some(121.0))
       .toDF("m").select(TimeOps.timeRangeBin($"m")).as[String].collect()
-    assert(got.toSeq == Seq("NA", "0-10min", "10-20min", ">120min"))
+    assert(got.toSeq == Seq("NA", "0-10min", "10-20min", "30-40min",
+      "40-50min", "50-60min", "60-90min", "90-120min", ">120min"))
   }
 
   test("clampOrElse zeroes out-of-range, keeps in-range") {
