@@ -33,6 +33,11 @@ object Bench {
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // Each query is timed standalone, including building its own
+      // caches; dropping them afterwards keeps the long session from
+      // degrading (executor memory pressure compounds across 30+
+      // queries otherwise — the round-1 q26 113s-vs-6s anomaly).
+      spark.catalog.clearCache()
       (q.name, sec, err)
     }
     def jstr(s: String): String =

@@ -56,7 +56,7 @@ object Similarity {
   /** ANN top-k via sign-LSH bucketing: score only corpus vectors whose
     * signature matches the query's (exact-bucket probe; multi-probe =
     * union over neighbor signatures, omitted for clarity). Recall vs
-    * the exact baseline is asserted in SimilaritySpec. */
+    * the exact baseline is asserted in LlmSpec. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 12, dim: Int = 64): DataFrame = {

@@ -292,7 +292,7 @@ object EventFlows {
   /** A4 — HyperLogLog distinct at rsd=1% (Spark HLL++ ≈ the reference's
     * `hyperloglog.HyperLogLog(0.01)`,
     * `scripts/ads_passenger_travel_info_mi.py:266`). Rows-only driver
-    * check; accuracy asserted in HllSpec against exact counts. At 100 TB
+    * check; accuracy asserted in LlmSpec against exact counts. At 100 TB
     * this is THE distinct-count operator — fixed-size sketch per group,
     * no distinct shuffle explosion. */
   val q14 = QueryDef(

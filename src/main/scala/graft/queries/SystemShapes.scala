@@ -18,7 +18,7 @@ object SystemShapes {
 
   /** Deterministic embedded VDV fixture (LINE + OPERATING_DEPARTMENT,
     * generic atr;/frm; variant), materialized to tmp on first use. */
-  private[queries] lazy val vdvFixturePath: String = {
+  private[graft] lazy val vdvFixturePath: String = {
     val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_vdv_fixture.x10")
     val content =
       """mod; DD.MM.YYYY; HH:MM:SS; free

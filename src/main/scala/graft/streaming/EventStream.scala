@@ -48,22 +48,44 @@ object EventStream {
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** ST4-style custom state: running per-user totals via
-    * `mapGroupsWithState` — the streaming form of the reference's
+    * `flatMapGroupsWithState` — the streaming form of the reference's
     * first-seen/accumulator upserts
-    * (`scripts/ads_passenger_travel_distance_di.py:26-52`). */
-  def runningUserTotals(events: DataFrame): Dataset[UserRunning] = {
+    * (`scripts/ads_passenger_travel_distance_di.py:26-52`).
+    *
+    * State is BOUNDED by an event-time timeout keyed to the watermark:
+    * a user idle past `idleTimeout` (measured in event time) has its
+    * state evicted on the next trigger after the watermark passes. A
+    * `NoTimeout` variant would grow one state entry per user forever —
+    * an OOM guarantee on a continuous 100 TB feed. StreamingSpec
+    * asserts the eviction (a returning user restarts from zero). */
+  def runningUserTotals(events: DataFrame, watermark: String = "2 hours",
+                        idleTimeout: String = "24 hours"): Dataset[UserRunning] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("value")).as[(Long, Double)]
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("value"), col("ts"))
+      .as[(Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[(Long, Double)], st: GroupState[UserRunning]) =>
-          val prev = st.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
-          var n = prev.n_events; var tot = prev.total_value
-          rows.foreach { r => n += 1; tot += r._2 }
-          val next = UserRunning(uid, n, tot)
-          st.update(next)
-          next
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+         st: GroupState[UserRunning]) =>
+          if (st.hasTimedOut) {
+            st.remove()
+            Iterator.empty
+          } else {
+            val prev = st.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+            var n = prev.n_events; var tot = prev.total_value
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              n += 1; tot += r._2; maxTs = math.max(maxTs, r._3.getTime)
+            }
+            val next = UserRunning(uid, n, tot)
+            st.update(next)
+            st.setTimeoutTimestamp(maxTs, idleTimeout)
+            Iterator.single(next)
+          }
       }
   }
 

@@ -1,0 +1,86 @@
+package graft
+
+import graft.core.Tables
+import graft.ops.Geo
+import graft.queries.SystemShapes
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Geometry operators (F23/F24/J12/A12): WKT linestring fold,
+  * point-in-ring edge cases, and the q35 region-assignment query
+  * against an exact driver-side containment oracle (q35 is rows-only
+  * in CORRECTNESS — this spec is its hard signal).
+  */
+class GeoSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("wktLineString folds points in serial order") {
+    val got = Seq((1, 2, 54.5, 24.2), (1, 1, 54.0, 24.0), (1, 3, 55.0, 24.5))
+      .toDF("link", "serial", "lon", "lat")
+      .groupBy($"link")
+      .agg(Geo.wktLineString($"serial", $"lon", $"lat").as("wkt"))
+      .select($"wkt").as[String].head()
+    assert(got == "LINESTRING (54.0 24.0, 54.5 24.2, 55.0 24.5)")
+  }
+
+  test("pointInRing: interior, exterior, and non-convex ring") {
+    val (xs, ys) = Geo.parseWktPolygonRing(
+      "POLYGON ((0 0, 4 0, 4 4, 2 2, 0 4, 0 0))") // notch at the top
+    assert(Geo.pointInRing(1.0, 1.0, xs, ys))      // interior
+    assert(!Geo.pointInRing(5.0, 1.0, xs, ys))     // exterior
+    assert(!Geo.pointInRing(2.0, 3.5, xs, ys))     // inside the notch
+    assert(Geo.pointInRing(3.5, 1.0, xs, ys))      // interior near edge
+  }
+
+  test("assignRegion matches a brute-force containment oracle on q35 points") {
+    val polys = Seq(
+      "AbuDhabi" -> "POLYGON ((54.0 24.0, 54.5 24.0, 54.5 24.6, 54.0 24.6, 54.0 24.0))",
+      "AlAin"    -> "POLYGON ((55.5 24.0, 56.0 24.0, 56.0 24.5, 55.5 24.5, 55.5 24.0))",
+      "AlDhafra" -> "POLYGON ((52.5 23.0, 54.0 23.0, 54.0 24.0, 52.5 24.0, 52.5 23.0))")
+    val parsed = polys.map { case (r, w) =>
+      val (xs, ys) = Geo.parseWktPolygonRing(w); (r, xs, ys) }
+    val pts = Tables.customer(spark, SparkTestBase.sf).select(
+      $"c_custkey",
+      (lit(52.6) + ($"c_custkey" % 35) * 0.1).as("lon"),
+      (lit(23.1) + ($"c_custkey" % 15) * 0.1).as("lat"))
+    val got = Geo.assignRegion(pts, "lon", "lat", polys)
+      .select($"c_custkey", $"region_id").as[(Long, String)].collect().toMap
+    val coords = pts.as[(Long, Double, Double)].collect()
+    coords.foreach { case (k, lon, lat) =>
+      val want = parsed.collectFirst {
+        case (r, xs, ys) if Geo.pointInRing(lon, lat, xs, ys) => r
+      }.orNull
+      assert(got(k) == want, s"custkey=$k ($lon,$lat): got ${got(k)}, want $want")
+    }
+    assert(coords.nonEmpty)
+  }
+
+  test("q35 aggregate equals an independent driver-side computation") {
+    val got = graft.SparkEntry.queries("q35_geo_region_assign")(spark, SparkTestBase.sf)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val polys = Seq(
+      "AbuDhabi" -> "POLYGON ((54.0 24.0, 54.5 24.0, 54.5 24.6, 54.0 24.6, 54.0 24.0))",
+      "AlAin"    -> "POLYGON ((55.5 24.0, 56.0 24.0, 56.0 24.5, 55.5 24.5, 55.5 24.0))",
+      "AlDhafra" -> "POLYGON ((52.5 23.0, 54.0 23.0, 54.0 24.0, 52.5 24.0, 52.5 23.0))")
+        .map { case (r, w) => val (xs, ys) = Geo.parseWktPolygonRing(w); (r, xs, ys) }
+    val keys = Tables.customer(spark, SparkTestBase.sf)
+      .select($"c_custkey").as[Long].collect()
+    val assigned = keys.map { k =>
+      val lon = 52.6 + (k % 35) * 0.1
+      val lat = 23.1 + (k % 15) * 0.1
+      val r = polys.collectFirst {
+        case (rid, xs, ys) if Geo.pointInRing(lon, lat, xs, ys) => rid
+      }.orNull
+      (r, lon, lat)
+    }
+    val want = assigned.groupBy(_._1).map { case (r, g) =>
+      (r, g.length.toLong,
+        math.rint(g.map(_._2).sum / g.length * 10000) / 10000,
+        math.rint(g.map(_._3).sum / g.length * 10000) / 10000)
+    }.toSeq.sortBy(r => Option(r._1).getOrElse(""))
+    // q35 orders by region_id with nulls first (Spark default asc_nulls_first)
+    val gotSorted = got.sortBy(r => Option(r._1).getOrElse(""))
+    assert(gotSorted == want, s"got=$gotSorted want=$want")
+  }
+}

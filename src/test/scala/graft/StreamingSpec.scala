@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+import java.sql.Timestamp
+
+import graft.core.Tables
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured-Streaming correctness: stream==batch for the tumbling
+  * aggregation (q37's incremental twin), watermark late-data drops, and
+  * event-time state eviction in the custom-state operator.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Write `rows` as ONE flat parquet file `name` under `dir`, with a
+    * controlled modification time so the file stream picks files up in
+    * write order under maxFilesPerTrigger=1. */
+  private def writeEventFile(dir: Path, name: String, seq: Int,
+                             rows: Seq[(String, Long, String, Double)]): Unit = {
+    val tmp = Files.createTempDirectory("graft_stream_part")
+    rows.toDF("ts_str", "user_id", "event_type", "value")
+      .select(to_timestamp($"ts_str").as("ts"), $"user_id", $"event_type", $"value")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val target = dir.resolve(name)
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(target, FileTime.fromMillis(1700000000000L + seq * 60000L))
+  }
+
+  private def streamFrom(dir: Path): DataFrame =
+    spark.readStream
+      .schema("ts timestamp, user_id long, event_type string, value double")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+
+  test("tumblingCounts stream equals the q37 batch aggregation") {
+    val ev = Tables.events(spark, SparkTestBase.sf)
+      .select($"ts", $"user_id", $"event_type", $"value")
+    // Static-source stream: complete mode emits the full aggregate.
+    val dir = Files.createTempDirectory("graft_stream_q37")
+    ev.write.mode(SaveMode.Overwrite).parquet(dir.resolve("events").toString)
+    val stream = spark.readStream
+      .schema("ts timestamp, user_id long, event_type string, value double")
+      .parquet(dir.resolve("events").toString)
+    val got = EventStream.runToMemorySink(spark,
+        EventStream.tumblingCounts(stream), "q37_stream", OutputMode.Complete())
+      .select($"window_start", $"event_type", $"n_events",
+        round($"total_value", 2).as("total_value"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val want = ev.groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+      .select($"window.start", $"event_type", $"n_events", $"total_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got == want, s"stream vs batch: ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("watermark drops late events in update mode") {
+    val dir = Files.createTempDirectory("graft_stream_late")
+    writeEventFile(dir, "f1.parquet", 1, Seq(
+      ("2025-01-01 10:00:00", 1L, "x", 1.0),
+      ("2025-01-01 10:30:00", 2L, "x", 1.0),
+      ("2025-01-01 12:00:00", 3L, "x", 1.0)))
+    // Late-record filtering uses the watermark of the batch BEFORE the
+    // one that commits (StateStoreSave carries (lateEventsWm, evictionWm)
+    // — one batch of propagation delay), so the late row goes in its own
+    // third batch: f1 advances the watermark to 10:00 after batch 0, f2
+    // commits it for filtering, f3's 05:00 row is then dropped.
+    writeEventFile(dir, "f2.parquet", 2, Seq(
+      ("2025-01-01 13:00:00", 5L, "x", 1.0)))
+    writeEventFile(dir, "f3.parquet", 3, Seq(
+      ("2025-01-01 05:00:00", 4L, "x", 1.0),
+      ("2025-01-01 14:00:00", 6L, "x", 1.0)))
+    val out = EventStream.runToMemorySink(spark,
+        EventStream.tumblingCounts(streamFrom(dir), "1 hour", "2 hours"),
+        "late_drop", OutputMode.Update())
+      .select(date_format($"window_start", "HH:mm").as("w"), $"n_events")
+      .as[(String, Long)].collect()
+    assert(!out.map(_._1).contains("05:00"),
+      s"late event must be dropped at the watermark, got $out")
+    assert(out.contains(("13:00", 1L)), s"fresh event missing: $out")
+  }
+
+  test("runningUserTotals evicts idle state at the event-time timeout") {
+    val dir = Files.createTempDirectory("graft_stream_evict")
+    // u1 active early with two events...
+    writeEventFile(dir, "f1.parquet", 1, Seq(
+      ("2025-01-01 10:00:00", 1L, "x", 5.0),
+      ("2025-01-01 11:00:00", 1L, "x", 7.0)))
+    // ...then 10 days of other-user traffic advances the watermark far
+    // past u1's 24 h idle timeout...
+    writeEventFile(dir, "f2.parquet", 2, Seq(
+      ("2025-01-11 10:00:00", 2L, "x", 1.0)))
+    writeEventFile(dir, "f3.parquet", 3, Seq(
+      ("2025-01-11 11:00:00", 2L, "x", 1.0)))
+    // ...and when u1 returns, its counter must restart from zero.
+    writeEventFile(dir, "f4.parquet", 4, Seq(
+      ("2025-01-11 12:00:00", 1L, "x", 9.0)))
+    val rows = EventStream.runToMemorySink(spark,
+        EventStream.runningUserTotals(streamFrom(dir),
+          watermark = "2 hours", idleTimeout = "24 hours").toDF(),
+        "evict", OutputMode.Update())
+      .as[(Long, Long, Double)].collect()
+    val u1 = rows.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet
+    assert(u1 == Set((2L, 12.0), (1L, 9.0)),
+      s"expected counter reset after eviction (2 then 1), got $u1")
+  }
+}
