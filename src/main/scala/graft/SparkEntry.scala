@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.EventFlows.all ++
     graft.queries.ScalarShapes.all ++
     graft.queries.LlmPipelines.all ++
-    graft.queries.SystemShapes.all
+    graft.queries.SystemShapes.all ++
+    graft.queries.AdsPipelines.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

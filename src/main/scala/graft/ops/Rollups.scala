@@ -14,17 +14,19 @@ object Rollups {
     *
     * One-pass implementation via GROUPING SETS: a single shuffle
     * produces both grains (Spark expands the sets map-side), versus the
-    * reference's two full passes. `overallCol` is replaced by
-    * `overallLabel` on the collapsed rows.
+    * reference's two full passes. The column named `overallCol` is
+    * replaced by `overallLabel` on the collapsed rows (taken as a name,
+    * not a Column — expression-valued columns have no recoverable
+    * output name).
     */
-  def withOverall(df: DataFrame, keepCols: Seq[Column], overallCol: Column,
+  def withOverall(df: DataFrame, keepCols: Seq[Column], overallCol: String,
                   overallLabel: String, aggs: Seq[Column]): DataFrame = {
     val grouped = df.groupingSets(
-      Seq(keepCols :+ overallCol, keepCols),
-      (keepCols :+ overallCol): _*)
+      Seq(keepCols :+ col(overallCol), keepCols),
+      (keepCols :+ col(overallCol)): _*)
     val out = grouped.agg(aggs.head, aggs.tail: _*)
-    val name = overallCol.toString.replaceAll(".*\\.", "")
-    out.withColumn(name, coalesce(col(name).cast("string"), lit(overallLabel)))
+    out.withColumn(overallCol,
+      coalesce(col(overallCol).cast("string"), lit(overallLabel)))
   }
 
   /** A7 survival-difference histogram: given per-(keys, ordinal) counts

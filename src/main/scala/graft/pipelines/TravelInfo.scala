@@ -1,0 +1,146 @@
+package graft.pipelines
+
+import graft.core.Tables
+import graft.ops.{Cleaning, Rollups}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EP1 — the reference's flagship chunked-accumulate pipeline
+  * (`scripts/ads_passenger_travel_info_mi.py:364-524`) composed as ONE
+  * Spark plan over the events/region fixtures:
+  *
+  *   clean keys → broadcast LINE join → broadcast OP_DEPT join →
+  *   region filter → transfer-time window → month aggregates at
+  *   (region ⊕ overall) → daily aggregates at (region ⊕ overall) →
+  *   avg-daily-trips fold → ratio metrics → audit columns
+  *
+  * i.e. J1+J2+F1+F2-shape+P4+F16+F12+W1+W3+W6+F17+F10+A1-A5+A9+A15+
+  * A16+F25+F15 in a single DAG — the reference's manual chunk loop
+  * (S2/ST1) is Spark's partial+final aggregation; the per-key Python
+  * dicts are two GROUPING SETS aggregations; the month × day fold is
+  * one join instead of a nested driver loop.
+  *
+  * Fixture mapping (events has no AFC schema): uid=user_id,
+  * route=event_type, journey=(uid, day), leg_id=row_number within
+  * journey by (ts, event_id), ride duration = `value` minutes (end =
+  * ts + value min), distance km = value/1000. The LINE dim derives
+  * op_dep_no = length(route) % 6, joined to region(r_regionkey) — keys
+  * 5 have no region row → 'Unknown' → filtered (P4), exactly the
+  * reference's unmatched-route flow.
+  *
+  * Deviations from the reference, both deliberate and documented:
+  *  - unique-passenger counts are exact `countDistinct`, not HLL(1%) —
+  *    the oracle-checkable twin (q14 carries the HLL form);
+  *  - audit create/update_time is the deterministic data watermark
+  *    (max event ts), not wall-clock `datetime.now()` — same column
+  *    contract (`...travel_info_mi.py:462-465`), reproducible output.
+  */
+object TravelInfo {
+
+  def adsTravelInfoMonthly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+
+    // --- dims (J1: dedup right side; F1: deep_clean both keys) --------
+    val line = ev.select(col("event_type").as("line_abbr")).distinct()
+      .withColumn("line_clean", Cleaning.deepClean(col("line_abbr")))
+      .dropDuplicates("line_clean")
+      .withColumn("op_dep_no", length(col("line_abbr")) % 6)
+    val opDept = Tables.region(s, dir)
+      .select(col("r_regionkey").as("op_dep_no"), col("r_name").as("region_name"))
+
+    // --- merge_data (J1+J2+F2-shape) + region filter (P4) -------------
+    val legsBase = ev
+      .withColumn("route_clean", Cleaning.deepClean(col("event_type")))
+      .join(broadcast(line), col("route_clean") === col("line_clean"), "left")
+      .join(broadcast(opDept), Seq("op_dep_no"), "left")
+      .withColumn("region_id", coalesce(col("region_name"), lit("Unknown")))
+      .where(col("region_id") =!= "Unknown")
+
+    // --- per-leg derivations (F9/F10/F12/F16, integer-µs time math) ---
+    val legs = legsBase
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+      .withColumn("start_us", unix_micros(col("ts")))
+      .withColumn("end_us",
+        col("start_us") + round(col("value") * 60000000L).cast("long"))
+      .withColumn("distance_km", col("value") / 1000.0)
+      .withColumn("trip_time_min",
+        (col("end_us") - col("start_us")).cast("double") / 60000000.0)
+
+    // --- journey windows (W1+W3+W6+F17) -------------------------------
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val withTransfer = legs
+      .withColumn("leg_id", row_number().over(w))
+      .withColumn("next_start_us", lead(col("start_us"), 1).over(w))
+      .withColumn("gap_us", col("next_start_us") - col("end_us"))
+      .withColumn("transfer_min",
+        when(col("next_start_us").isNull, 0.0)
+          .when(col("gap_us") < 0L || col("gap_us") > 240L * 60000000L, 0.0)
+          .otherwise(col("gap_us").cast("double") / 60000000.0))
+
+    // --- monthly metrics at (month × region ⊕ overall), one pass (A9) -
+    val monthly = Rollups.withOverall(withTransfer,
+      keepCols = Seq(col("month")), overallCol = "region_id",
+      overallLabel = "overall",
+      aggs = Seq(
+        count(lit(1)).as("passenger_trips_num"),
+        sum(when(col("leg_id") === 1, 1L).otherwise(0L)).as("journey_num"),
+        sum(when(col("leg_id") =!= 1, 1L).otherwise(0L)).as("transfer_num"),
+        sum(col("distance_km")).as("travel_distance_raw"),
+        sum(col("trip_time_min")).as("travel_time_raw"),
+        sum(col("transfer_min")).as("transfer_time_raw")))
+
+    // --- daily trips/users at (day × region ⊕ overall), folded (A15) --
+    val daily = Rollups.withOverall(withTransfer,
+      keepCols = Seq(col("day")), overallCol = "region_id",
+      overallLabel = "overall",
+      aggs = Seq(
+        count(lit(1)).as("trip_count"),
+        countDistinct(col("user_id")).as("n_users")))
+      .withColumn("ratio",
+        when(col("n_users") > 0,
+          col("trip_count").cast("double") / col("n_users")).otherwise(0.0))
+      .withColumn("month", substring(col("day"), 1, 7))
+      .withColumn("dim", dayofmonth(last_day(to_date(col("day")))))
+    val avgDaily = daily.groupBy(col("month"), col("region_id"))
+      .agg(round(sum(col("ratio")) / max(col("dim")), 4)
+        .as("avg_daily_trips_per_passenger"))
+
+    // --- audit watermark (F15, deterministic) -------------------------
+    val audit = broadcast(ev.agg(
+      date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("audit_ts")))
+
+    // --- final projection: ratio metrics (A16/F25) + audit columns ----
+    monthly
+      .join(avgDaily, Seq("month", "region_id"))
+      .crossJoin(audit)
+      .select(
+        col("month").as("t_date"),
+        lit("month").as("date_type"),
+        col("region_id"),
+        col("transfer_num"), col("journey_num"), col("passenger_trips_num"),
+        round(col("travel_distance_raw"), 2).as("travel_distance"),
+        round(col("travel_time_raw"), 2).as("travel_time"),
+        round(col("transfer_time_raw"), 2).as("transfer_time"),
+        col("avg_daily_trips_per_passenger"),
+        round(when(col("passenger_trips_num") > 0,
+          col("travel_time_raw") / col("passenger_trips_num")).otherwise(0.0), 4)
+          .as("avg_travel_time_by_trips"),
+        round(when(col("journey_num") > 0,
+          col("travel_time_raw") / col("journey_num")).otherwise(0.0), 4)
+          .as("avg_travel_time_by_journey"),
+        round(when(col("passenger_trips_num") > 0,
+          col("travel_distance_raw") / col("passenger_trips_num")).otherwise(0.0), 4)
+          .as("avg_travel_distance_by_trips"),
+        round(when(col("journey_num") > 0,
+          col("travel_distance_raw") / col("journey_num")).otherwise(0.0), 4)
+          .as("avg_travel_distance_by_journey"),
+        lit("system").as("create_by"),
+        lit("system").as("update_by"),
+        col("audit_ts").as("create_time"),
+        col("audit_ts").as("update_time"))
+      .orderBy(col("t_date"), col("region_id"))
+  }
+}

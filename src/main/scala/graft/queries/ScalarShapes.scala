@@ -250,7 +250,7 @@ object ScalarShapes {
       val o = Tables.orders(s, dir)
       Rollups.withOverall(o,
           keepCols = Seq(col("o_orderstatus")),
-          overallCol = col("o_orderpriority"),
+          overallCol = "o_orderpriority",
           overallLabel = "overall",
           aggs = Seq(
             count(lit(1)).as("n_orders"),

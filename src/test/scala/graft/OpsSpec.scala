@@ -74,7 +74,7 @@ class OpsSpec extends AnyFunSuite {
   test("withOverall grouping-sets equals explicit union of two grains") {
     val df = Seq(("F", "a", 1.0), ("F", "b", 2.0), ("O", "a", 3.0))
       .toDF("st", "pri", "x")
-    val got = Rollups.withOverall(df, Seq($"st"), $"pri", "overall",
+    val got = Rollups.withOverall(df, Seq($"st"), "pri", "overall",
         Seq(sum($"x").as("sx")))
       .select($"st", $"pri", $"sx")
       .orderBy($"st", $"pri").as[(String, String, Double)].collect()
