@@ -2,9 +2,13 @@ package graft.io
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import java.nio.charset.{CharacterCodingException, StandardCharsets}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.sql.DriverManager
+import java.util.Properties
+import scala.jdk.CollectionConverters._
 
 /** Sinks and ingestion lifecycle (SURVEY.md §2.1 S14-S16, §4):
   * atomic publish, schema sidecars, resumable folder ingestion, and the
@@ -76,10 +80,8 @@ object Sinks {
 
   /** S15 — JDBC atomic-swap DDL (staging table + transactional rename),
     * the exact statement sequence of the reference's publish step
-    * (`data_ingestion/pg_import.R:302-313`). Spark writes to
-    * `<table>__staging` via df.write.jdbc(batchsize=...), then the
-    * target executes this. Generated (not executed) here — no database
-    * ships in the test container. */
+    * (`data_ingestion/pg_import.R:302-313`) in PostgreSQL dialect.
+    * [[jdbcPublish]] executes the same sequence dialect-aware. */
   def jdbcSwapStatements(table: String): Seq[String] = {
     val staging = s"${table}__staging"
     Seq(
@@ -89,6 +91,114 @@ object Sinks {
       s"ALTER TABLE $staging RENAME TO $table",
       s"DROP TABLE IF EXISTS ${table}__old",
       "COMMIT")
+  }
+
+  /** Dialect hook for [[jdbcPublish]]: SQL renaming `from` to `to`.
+    * Derby (the embedded DB SinksSpec runs against) uses RENAME TABLE;
+    * PostgreSQL — the reference's target — ALTER TABLE RENAME. */
+  def renameSql(url: String)(from: String, to: String): String =
+    if (url.startsWith("jdbc:derby")) s"RENAME TABLE $from TO $to"
+    else s"ALTER TABLE $from RENAME TO $to"
+
+  /** S15 — executable JDBC publish: chunked `df.write.jdbc` into
+    * `<table>__staging` (batchsize = the reference's upload_chunk_size;
+    * task retries replace its 3-attempt loop), then the staging→live
+    * swap inside one transaction on the target. A failed staging write
+    * never touches the live table — readers see the old version until
+    * the rename commits (`data_ingestion/pg_import.R:239-313`). */
+  def jdbcPublish(df: DataFrame, url: String, table: String,
+                  batchSize: Int = 50000,
+                  props: Properties = new Properties): Unit = {
+    val staging = s"${table}__staging"
+    df.write.mode("overwrite")
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, staging, props)
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      def exists(t: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, t.toUpperCase, null)
+        try rs.next() finally rs.close()
+      }
+      val rename = renameSql(url) _
+      val st = conn.createStatement()
+      try {
+        val old = s"${table}__old"
+        if (exists(old)) st.executeUpdate(s"DROP TABLE $old")
+        if (exists(table)) st.executeUpdate(rename(table, old))
+        st.executeUpdate(rename(staging, table))
+        conn.commit()
+        if (exists(old)) st.executeUpdate(s"DROP TABLE $old")
+        // metadata lookups open transactions of their own (Derby
+        // refuses to close a connection mid-transaction) — commit
+        // unconditionally before closing.
+        conn.commit()
+      } finally st.close()
+    } finally {
+      try conn.rollback() catch { case _: Exception => () }
+      conn.close()
+    }
+  }
+
+  /** S14 — CSV append with header-once: the reference appends month
+    * slices to one growing CSV, writing the header only when the file
+    * does not exist yet (`scripts/ads_passenger_travel_distance_di
+    * .py:330`, pandas `mode='a', header=not exists`). Spark writes the
+    * partition files; the driver streams them onto the target (no
+    * collect — bytes are copied, not parsed). Single-file output is the
+    * reference's own contract here, not a scale path. */
+  def appendCsvHeaderOnce(df: DataFrame, targetFile: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_csv_append")
+    df.coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(tmp.toString)
+    val part = Files.list(tmp).iterator.asScala
+      .find(_.toString.endsWith(".csv"))
+      .getOrElse(throw new IllegalStateException(s"no csv part in $tmp"))
+    val target = Paths.get(targetFile)
+    val lines = Files.readAllLines(part, StandardCharsets.UTF_8).asScala
+    if (!Files.exists(target)) {
+      Files.createDirectories(target.toAbsolutePath.getParent)
+      Files.write(target, lines.asJava, StandardCharsets.UTF_8)
+    } else {
+      Files.write(target, lines.drop(1).asJava, StandardCharsets.UTF_8,
+        StandardOpenOption.APPEND)
+    }
+  }
+
+  /** P9 — NA-token normalization: the reference's CSV ingestion treats
+    * six tokens as NULL (`na = c("","NA","NULL","null","N/A","#N/A")`,
+    * `data_ingestion/pg_import.R:83`); Spark's csv reader takes only
+    * one `nullValue`, so the remaining tokens are normalized post-read
+    * on every string column (codegen'd `when` chain, no UDF). */
+  val referenceNaTokens: Seq[String] =
+    Seq("", "NA", "NULL", "null", "N/A", "#N/A")
+
+  def normalizeNaTokens(df: DataFrame,
+                        tokens: Seq[String] = referenceNaTokens): DataFrame =
+    df.schema.fields.filter(_.dataType == StringType).foldLeft(df) { (d, f) =>
+      d.withColumn(f.name,
+        when(col(f.name).isin(tokens.map(x => x: Any): _*), null)
+          .otherwise(col(f.name)))
+    }
+
+  /** S5/F26 — encoding detection with Latin-1 fallback: strict-decode a
+    * head sample as UTF-8; on malformed bytes fall back to ISO-8859-1
+    * (the reference's fread UTF-8 → Latin-1 ladder,
+    * `data_ingestion/pg_import.R:53-84`). Returns the charset name to
+    * pass as the csv reader's `encoding` option. */
+  def detectCsvEncoding(path: String, sampleBytes: Int = 1 << 20): String = {
+    val f = Paths.get(path)
+    val size = math.min(Files.size(f), sampleBytes.toLong).toInt
+    val in = Files.newInputStream(f)
+    val buf = try in.readNBytes(size) finally in.close()
+    try {
+      StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(buf))
+      "UTF-8"
+    } catch {
+      case _: CharacterCodingException => "ISO-8859-1"
+    }
   }
 
   /** S16 — resumable folder ingestion: each subfolder is a table; each

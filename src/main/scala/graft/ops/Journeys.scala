@@ -77,12 +77,18 @@ object Journeys {
     * journey_id) but the inverse operation — deriving journey ids from
     * raw taps — done the standard Spark way: lag → boundary flag →
     * running sum. One shuffle.
+    *
+    * The boundary compare runs in integer microseconds (`unix_micros`),
+    * not double epoch-seconds — the repo's rule for oracle-checked time
+    * arithmetic: a gap of exactly the threshold must classify
+    * identically in both engines, which double rounding can't promise.
     */
   def sessionize(df: DataFrame, partCols: Seq[Column], ts: Column,
                  gapMinutes: Double, sessionCol: String): DataFrame = {
     val wOrd = Window.partitionBy(partCols: _*).orderBy(ts)
-    val gap = TimeOps.minutesBetween(lag(ts, 1).over(wOrd), ts)
-    val isNew = when(gap.isNull || gap > gapMinutes, 1L).otherwise(0L)
+    val gapUs = unix_micros(ts) - unix_micros(lag(ts, 1).over(wOrd))
+    val thresholdUs = math.round(gapMinutes * 60d * 1e6)
+    val isNew = when(gapUs.isNull || gapUs > thresholdUs, 1L).otherwise(0L)
     df.withColumn(sessionCol,
       sum(isNew).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.pipelines.TravelInfo
+import graft.pipelines.{RouteInfo, TravelInfo}
 
 /** End-to-end ads-table pipelines (SURVEY.md §3 entry points composed
   * as single plans — the reference's actual product, not just its
@@ -99,5 +99,104 @@ object AdsPipelines {
            |CROSS JOIN audit au
            |ORDER BY 1, 3""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q39)
+  /** EP3 `dwd_bus_route_info_mf` VDV-network + geometry flow — see
+    * [[graft.pipelines.RouteInfo.dwdBusRouteInfo]]. */
+  val q38 = QueryDef(
+    "q38_route_network_geometry",
+    (s, dir) => RouteInfo.dwdBusRouteInfo(s, dir),
+    Some("""WITH stops AS (
+           |  SELECT p_partkey AS point_no,
+           |    1 + p_partkey % 2 AS point_type,
+           |    (54 + p_partkey % 3) * 10000000 + (p_partkey * 7 % 60) * 100000
+           |      + (p_partkey * 13 % 60) * 1000 + p_partkey % 1000 AS lon_dms,
+           |    (23 + p_partkey % 2) * 10000000 + (p_partkey * 11 % 60) * 100000
+           |      + (p_partkey * 17 % 60) * 1000 + p_partkey % 997 AS lat_dms,
+           |    p_name AS stop_desc
+           |  FROM part),
+           |route_seq AS (
+           |  SELECT l_orderkey AS line_no, 'R' AS route_abbr,
+           |    row_number() OVER (PARTITION BY l_orderkey
+           |                       ORDER BY l_linenumber, l_partkey) AS sequence_no,
+           |    l_partkey AS point_no,
+           |    1 + l_partkey % 2 AS point_type
+           |  FROM lineitem WHERE l_orderkey < 400),
+           |processed AS (
+           |  SELECT * FROM (
+           |    SELECT rs.*,
+           |      lead(point_no) OVER w AS to_point_no,
+           |      lead(point_type) OVER w AS to_point_type
+           |    FROM route_seq rs
+           |    WINDOW w AS (PARTITION BY line_no, route_abbr ORDER BY sequence_no))
+           |  WHERE to_point_no IS NOT NULL),
+           |link AS (
+           |  SELECT DISTINCT point_type, point_no, to_point_no, to_point_type
+           |  FROM processed),
+           |link2 AS (
+           |  SELECT *, (point_no * 7 + to_point_no * 3) % 5000 AS link_distance
+           |  FROM link),
+           |link_pts AS (
+           |  SELECT point_type, point_no, to_point_no, to_point_type,
+           |    1 AS serial, point_no AS stop_no, point_type AS stop_type FROM link
+           |  UNION ALL
+           |  SELECT point_type, point_no, to_point_no, to_point_type,
+           |    2, to_point_no, to_point_type FROM link),
+           |with_coords AS (
+           |  SELECT * FROM (
+           |    SELECT lp.*,
+           |      (((s.lon_dms // 10000000) * 3600000000
+           |        + ((s.lon_dms // 100000) % 100) * 60000000
+           |        + ((s.lon_dms // 1000) % 100) * 1000000
+           |        + (s.lon_dms % 1000) * 1000) + 1800) // 3600 AS lon_micro,
+           |      (((s.lat_dms // 10000000) * 3600000000
+           |        + ((s.lat_dms // 100000) % 100) * 60000000
+           |        + ((s.lat_dms // 1000) % 100) * 1000000
+           |        + (s.lat_dms % 1000) * 1000) + 1800) // 3600 AS lat_micro
+           |    FROM link_pts lp
+           |    LEFT JOIN stops s
+           |      ON lp.stop_no = s.point_no AND lp.stop_type = s.point_type)
+           |  WHERE lon_micro IS NOT NULL),
+           |link_geom AS (
+           |  SELECT point_type, point_no, to_point_no, to_point_type,
+           |    'LINESTRING (' ||
+           |      string_agg(
+           |        printf('%d.%06d', lon_micro // 1000000, lon_micro % 1000000)
+           |          || ' ' ||
+           |        printf('%d.%06d', lat_micro // 1000000, lat_micro % 1000000),
+           |        ', ' ORDER BY serial) || ')' AS wkt
+           |  FROM with_coords
+           |  GROUP BY 1, 2, 3, 4),
+           |route_lengths AS (
+           |  SELECT p.line_no, p.route_abbr,
+           |    CAST(SUM(COALESCE(l.link_distance, 0)) AS BIGINT) AS route_length_m
+           |  FROM processed p
+           |  LEFT JOIN link2 l
+           |    USING (point_type, point_no, to_point_no, to_point_type)
+           |  GROUP BY 1, 2),
+           |first_last AS (
+           |  SELECT line_no, route_abbr,
+           |    arg_min(point_no, sequence_no) AS first_stop_no,
+           |    arg_max(point_no, sequence_no) AS last_stop_no
+           |  FROM route_seq GROUP BY 1, 2),
+           |named AS (
+           |  SELECT fl.*, s1.stop_desc AS from_stop_name, s2.stop_desc AS to_stop_name
+           |  FROM first_last fl
+           |  LEFT JOIN stops s1 ON fl.first_stop_no = s1.point_no
+           |  LEFT JOIN stops s2 ON fl.last_stop_no = s2.point_no),
+           |shapes AS (
+           |  SELECT p.line_no, p.route_abbr,
+           |    CAST(count(*) AS BIGINT) AS n_links,
+           |    string_agg(g.wkt, '; ' ORDER BY p.sequence_no) AS geometry
+           |  FROM processed p
+           |  LEFT JOIN link_geom g
+           |    USING (point_type, point_no, to_point_no, to_point_type)
+           |  GROUP BY 1, 2)
+           |SELECT s.line_no, s.route_abbr AS route_no, s.n_links,
+           |  r.route_length_m, n.first_stop_no, n.last_stop_no,
+           |  n.from_stop_name, n.to_stop_name, s.geometry
+           |FROM shapes s
+           |JOIN route_lengths r ON s.line_no = r.line_no AND s.route_abbr = r.route_abbr
+           |JOIN named n ON s.line_no = n.line_no AND s.route_abbr = n.route_abbr
+           |ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q38, q39)
 }

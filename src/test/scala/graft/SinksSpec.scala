@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.io.Sinks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Sinks & ingestion lifecycle (S5/S14/S15/S16/P9): executed JDBC
+  * staging-swap against embedded Derby, swap atomicity under a failed
+  * staging write, CSV append-header-once, NA-token normalization,
+  * encoding fallback, schema sidecars, and resume markers.
+  */
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftsinks;create=true"
+
+  test("jdbcPublish writes via staging and swaps atomically") {
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.jdbcPublish(v1, url, "t_pub", batchSize = 1)
+    val r1 = spark.read.jdbc(url, "t_pub", new java.util.Properties)
+      .as[(Long, String)].collect().toSet
+    assert(r1 == Set((1L, "a"), (2L, "b")))
+    // second publish replaces the live table
+    val v2 = Seq((3L, "c")).toDF("id", "v")
+    Sinks.jdbcPublish(v2, url, "t_pub")
+    val r2 = spark.read.jdbc(url, "t_pub", new java.util.Properties)
+      .as[(Long, String)].collect().toSet
+    assert(r2 == Set((3L, "c")))
+    // no staging/old leftovers
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "T_PUB%", null)
+      val names = Iterator.continually(rs).takeWhile(_.next()).map(_.getString(3)).toList
+      assert(names == List("T_PUB"), s"leftover tables: $names")
+    } finally conn.close()
+  }
+
+  test("a failed staging write leaves the live table untouched") {
+    val v1 = Seq((1L, "keep")).toDF("id", "v")
+    Sinks.jdbcPublish(v1, url, "t_atomic")
+    val boom = udf((id: Long) => {
+      if (id == 2L) throw new RuntimeException("boom"); id
+    })
+    val bad = Seq(1L, 2L).toDF("id").withColumn("id", boom($"id"))
+      .withColumn("v", lit("x"))
+    intercept[Exception] { Sinks.jdbcPublish(bad, url, "t_atomic") }
+    val r = spark.read.jdbc(url, "t_atomic", new java.util.Properties)
+      .as[(Long, String)].collect().toSet
+    assert(r == Set((1L, "keep")), "live table must survive a failed staging write")
+  }
+
+  test("appendCsvHeaderOnce writes the header exactly once across appends") {
+    val target = Files.createTempDirectory("graft_csv").resolve("out.csv").toString
+    val df = Seq((1, "x"), (2, "y")).toDF("id", "v").orderBy("id")
+    Sinks.appendCsvHeaderOnce(df, target)
+    Sinks.appendCsvHeaderOnce(df, target)
+    val lines = Files.readAllLines(Paths.get(target), StandardCharsets.UTF_8).asScala
+    assert(lines.count(_ == "id,v") == 1, s"header must appear once: $lines")
+    assert(lines.size == 5, s"1 header + 2x2 rows, got $lines")
+  }
+
+  test("normalizeNaTokens nulls the reference's six NA tokens, strings only") {
+    val df = Seq(("NA", 1), ("N/A", 2), ("#N/A", 3), ("null", 4), ("ok", 5), ("", 6))
+      .toDF("s", "n")
+    val out = Sinks.normalizeNaTokens(df).as[(Option[String], Int)].collect().toSet
+    assert(out == Set((None, 1), (None, 2), (None, 3), (None, 4), (Some("ok"), 5), (None, 6)))
+  }
+
+  test("detectCsvEncoding falls back to Latin-1 on malformed UTF-8") {
+    val utf8 = Files.createTempFile("graft_enc", ".csv")
+    Files.write(utf8, "a,b\n1,café\n".getBytes(StandardCharsets.UTF_8))
+    assert(Sinks.detectCsvEncoding(utf8.toString) == "UTF-8")
+    val latin = Files.createTempFile("graft_enc", ".csv")
+    Files.write(latin, "a,b\n1,café\n".getBytes(StandardCharsets.ISO_8859_1))
+    assert(Sinks.detectCsvEncoding(latin.toString) == "ISO-8859-1")
+  }
+
+  test("readCsvWithSidecar infers once then reuses the sidecar schema") {
+    val dir = Files.createTempDirectory("graft_sidecar")
+    val csv = dir.resolve("t.csv")
+    Files.write(csv, "id,amount,label\n1,2.5,x\n2,NA,y\n".getBytes(StandardCharsets.UTF_8))
+    val sidecar = dir.resolve("t.schema").toString
+    val first = Sinks.readCsvWithSidecar(spark, csv.toString, sidecar)
+    assert(Files.exists(Paths.get(sidecar)))
+    assert(first.schema("amount").dataType.typeName == "double")
+    // corrupt-proof reuse: the sidecar, not re-inference, drives pass 2
+    val second = Sinks.readCsvWithSidecar(spark, csv.toString, sidecar)
+    assert(second.schema == first.schema)
+    assert(second.where($"amount".isNull).count() == 1) // NA -> null
+  }
+
+  test("importFolder is resumable via .imported markers") {
+    val root = Files.createTempDirectory("graft_folder")
+    Files.createDirectories(root.resolve("t1"))
+    Files.write(root.resolve("t1/a.csv"), "x\n1\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(root.resolve("t1/b.csv"), "x\n2\n".getBytes(StandardCharsets.UTF_8))
+    var calls = 0
+    def run() = Sinks.importFolder(root.toString, (_, _) => calls += 1)
+    val r1 = run()
+    assert(r1.map(_._3).toSeq == Seq(false, false) && calls == 2)
+    val r2 = run()
+    assert(r2.map(_._3).toSeq == Seq(true, true) && calls == 2,
+      "second run must skip everything")
+  }
+}
