@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.functions.VectorKernels.{float_cosine, float_dot}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,29 +43,76 @@ object Similarity {
 
   /** Random-hyperplane signature: bit j = sign(v · h_j) (Charikar
     * 2002). Vectors with high cosine share sign patterns, so equal
-    * signatures → strong candidates. */
-  def lshSignature(df: DataFrame, vecCol: String, numPlanes: Int, dim: Int): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val sigBits = (0 until numPlanes).map { j =>
+    * signatures → strong candidates. `seed` selects the hash table. */
+  def lshSignature(df: DataFrame, vecCol: String, numPlanes: Int, dim: Int,
+                   seed: Long = 42L): DataFrame =
+    df.withColumn("lsh_sig", lshSigExpr(vecCol, numPlanes, dim, seed))
+
+  private def lshSigExpr(vecCol: String, numPlanes: Int, dim: Int, seed: Long): Column = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    (0 until numPlanes).map { j =>
       val h = typedLit(planes(j).toSeq)
       when(float_dot(col(vecCol), h) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    df.withColumn("lsh_sig", sigBits)
   }
 
-  /** ANN top-k via sign-LSH bucketing: score only corpus vectors whose
-    * signature matches the query's (exact-bucket probe; multi-probe =
-    * union over neighbor signatures, omitted for clarity). Recall vs
-    * the exact baseline is asserted in LlmSpec. */
+  /** ANN top-k via sign-LSH with MULTI-TABLE + MULTI-PROBE bucketing:
+    * `nTables` independent hyperplane sets (seeds 42+t) each hash the
+    * corpus once; a candidate is anything sharing a bucket with the
+    * query in ANY table, where each query additionally probes all
+    * buckets at signature-Hamming ≤ `probeHamming` (Lv et al.,
+    * VLDB'07). Recall ≈ 1-(1-p_probe)^nTables vs p^numPlanes for a
+    * single exact-probe table — the standard fix for recall collapse
+    * on corpora whose neighbors are similar, not near-identical.
+    *
+    * Scale shape: the corpus is scanned once, emits nTables (table,
+    * sig) rows per vector, and never reshuffles — the tiny query side
+    * is broadcast with its probe fan-out; candidate pairs are deduped
+    * before scoring so each pair is scored once. Cost grows linearly
+    * in nTables·probes, never in |corpus|². Recall vs the exact
+    * baseline is asserted in LlmSpec. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              numPlanes: Int = 12, dim: Int = 64): DataFrame = {
-    val qs = broadcast(lshSignature(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", numPlanes, dim))
-    val cs = lshSignature(
-      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")), "cv", numPlanes, dim)
+              numPlanes: Int = 8, dim: Int = 64,
+              nTables: Int = 8, probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in [0,2]")
+    def flips(sig: Column): Seq[Column] = {
+      val exact = Seq(sig)
+      val h1 = if (probeHamming >= 1)
+        (0 until numPlanes).map(j => sig.bitwiseXOR(lit(1L << j)))
+      else Nil
+      val h2 = if (probeHamming >= 2)
+        (for { i <- 0 until numPlanes; j <- (i + 1) until numPlanes }
+          yield sig.bitwiseXOR(lit((1L << i) | (1L << j)))).toSeq
+      else Nil
+      exact ++ h1 ++ h2
+    }
+    // Per-table signatures land in real columns FIRST (persisted, tiny
+    // query table) so the probe fan-out XORs cached longs — inlining
+    // the signature expression into every flip would replicate the
+    // 8-dot tree ~300× per row (codegen explosion).
+    val qs0 = queries.select(
+        (Seq(col(idCol).as("query_id"), col(vecCol).as("qv")) ++
+          (0 until nTables).map(t =>
+            lshSigExpr(vecCol, numPlanes, dim, 42L + t).as(s"sig_$t"))): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = broadcast(
+      qs0.withColumn("probe", explode(array((0 until nTables).flatMap { t =>
+          flips(col(s"sig_$t"))
+            .map(s => struct(lit(t).as("tbl"), s.as("sig")))
+        }: _*)))
+        .select(col("query_id"), col("qv"),
+          col("probe.tbl").as("tbl"), col("probe.sig").as("probe_sig")))
+    val cs = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .select(col("corpus_id"), col("cv"), posexplode(
+        array((0 until nTables).map(t =>
+          lshSigExpr("cv", numPlanes, dim, 42L + t)): _*))
+        .as(Seq("tbl", "lsh_sig")))
     val cands = qs.join(cs,
-      qs("lsh_sig") === cs("lsh_sig") && col("query_id") =!= col("corpus_id"))
+        qs("tbl") === cs("tbl") && col("probe_sig") === col("lsh_sig") &&
+        col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "corpus_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     cands.withColumn("cos", float_cosine(col("qv"), col("cv")))
@@ -74,20 +121,61 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** Driver-side Lloyd k-means over a bounded sample (centroids are
+    * dimension data: k×dim floats). Deterministic: the sample is
+    * hash-filtered (no full sort, no RNG), seeds are the first k
+    * sampled vectors, fixed iteration count. */
+  private[llm] def sampleKMeans(sample: Array[Array[Float]], k: Int,
+                                iters: Int = 5): Array[Array[Float]] = {
+    if (sample.isEmpty) return Array.empty
+    var cents = Array.tabulate(math.min(k, sample.length))(i => sample(i).clone())
+    for (_ <- 0 until iters) {
+      val dim = sample.head.length
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) {
+            val diff = v(i) - cents(c)(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(old.length)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) coarse quantization: corpus assigned to its
-    * nearest of `nCentroids` centroids (here: deterministic sample of
-    * corpus vectors — k-means iterations would refine, same plan
-    * shape); queries probe `nProbe` nearest centroid lists only.
+    * nearest of `nCentroids` centroids from a sampled k-means (Lloyd
+    * over a hash-filtered bounded sample — no full sort, no collect of
+    * the corpus); queries probe `nProbe` nearest centroid lists only.
     * The classic FAISS-style scale path: candidate set shrinks by
     * ~nCentroids/nProbe versus brute force. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).cast("int").as("cent_id"), col(vecCol).as("cent_vec"))
+              nCentroids: Int = 16, nProbe: Int = 4,
+              sampleSize: Int = 2048): DataFrame = {
+    val n = corpus.count()
+    val keepOneIn = math.max(1L, n / sampleSize)
+    val sample = corpus
+      .where(pmod(xxhash64(col(idCol)), lit(keepOneIn)) === 0)
+      .select(col(vecCol))
+      .limit(sampleSize * 2)
       .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+      .map(_.getSeq[Float](0).toArray)
+    val cents = sampleKMeans(sample, nCentroids).zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }
     val centArray = array(cents.map { case (i, v) =>
       struct(lit(i).as("cid"), typedLit(v).as("cv")) }: _*)
 

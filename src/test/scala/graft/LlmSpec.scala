@@ -121,13 +121,16 @@ class LlmSpec extends AnyFunSuite {
     assert(agree >= 4, s"only $agree/5 queries agree between quantized and float top-1")
   }
 
-  test("LSH ANN returns true high-cosine neighbors (subset of bucket)") {
+  test("multi-table multi-probe LSH ANN: recall >= 0.85 vs exact, scores exact") {
     val queries = emb.where($"vec_id" < 50)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
     val ann = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
-      k = 5, numPlanes = 8)
+      k = 5, numPlanes = 8, probeHamming = 2) // q32's exact parameters
     val rows = ann.select($"query_id", $"corpus_id", $"cos")
       .as[(Long, Long, Double)].collect()
-    assert(rows.nonEmpty, "ANN should return candidates for some queries")
+    val recall = (exact intersect rows.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.85, s"ANN recall $recall (measured 0.944 at fixture)")
     // every returned neighbor must genuinely have that cosine (spot check determinism)
     val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 20)
       .select($"query_id", $"corpus_id", $"cos").as[(Long, Long, Double)].collect()
@@ -137,7 +140,7 @@ class LlmSpec extends AnyFunSuite {
     assert(wrong.isEmpty, s"cos mismatch vs brute force: ${wrong.take(3).toSeq}")
   }
 
-  test("IVF top-k recall vs brute force is reasonable on clustered data") {
+  test("IVF with sampled k-means centroids: recall >= 0.8 vs brute force") {
     val queries = emb.where($"vec_id" < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
       .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
@@ -145,7 +148,7 @@ class LlmSpec extends AnyFunSuite {
         nCentroids = 8, nProbe = 4)
       .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
-    assert(recall >= 0.3, s"IVF recall $recall too low")
+    assert(recall >= 0.8, s"IVF recall $recall (measured 0.883 at fixture)")
   }
 
   test("HLL approx distinct within 5% of exact at rsd=1%") {
