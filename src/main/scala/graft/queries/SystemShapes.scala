@@ -68,18 +68,54 @@ object SystemShapes {
     },
     None, bench = false)
 
-  /** J12+F23+F24 — point-in-polygon region assignment over synthetic
-    * stop coordinates (three rectangular region polygons, points
-    * derived deterministically from customer keys), then the A12 WKT
-    * linestring fold per region. Rows-only; GeoSpec holds the exact
+  /** S13 — deterministic GeoJSON FeatureCollection fixture (the three
+    * region polygons as Polygon features), materialized to tmp on
+    * first use; read by [[graft.io.GeoJson]] in q35. */
+  private[graft] lazy val geoJsonFixturePath: String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_regions.geojson")
+    def feature(rid: String, ring: String) =
+      s"""{"type": "Feature", "properties": {"region_id": "$rid"},
+         | "geometry": {"type": "Polygon", "coordinates": [[$ring]]}}""".stripMargin
+    val content =
+      s"""{"type": "FeatureCollection", "features": [
+         |${feature("AbuDhabi", "[54.0, 24.0], [54.5, 24.0], [54.5, 24.6], [54.0, 24.6], [54.0, 24.0]")},
+         |${feature("AlAin", "[55.5, 24.0], [56.0, 24.0], [56.0, 24.5], [55.5, 24.5], [55.5, 24.0]")},
+         |${feature("AlDhafra", "[52.5, 23.0], [54.0, 23.0], [54.0, 24.0], [52.5, 24.0], [52.5, 23.0]")}
+         |]}""".stripMargin
+    if (!Files.exists(p))
+      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  /** S12 — the Excel service-type dim, PRECONVERTED to CSV (the survey
+    * disposition: no Excel reader in Spark core; a real deployment runs
+    * `scripts/convert_excel_dims.py` once over
+    * `scripts/dim_region_manual.xlsx` etc. — this fixture is the
+    * converted shape, including the ADL row q-fixups target). */
+  private[graft] lazy val serviceDimCsvPath: String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_service_dim.csv")
+    val content =
+      """Route,Region,Type
+        |A1,Abu Dhabi,Link
+        |B2,Abu Dhabi,Regional
+        |C3,Al Ain,Local
+        |D4,Al Dhafra,Link
+        |ADL,NA,Express
+        |""".stripMargin
+    if (!Files.exists(p))
+      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  /** J12+F23+F24+S13 — point-in-polygon region assignment over
+    * synthetic stop coordinates: region polygons loaded from the
+    * GeoJSON fixture (S13 scan path), points derived deterministically
+    * from customer keys. Rows-only; GeoSpec holds the exact
     * containment oracle. */
   val q35 = QueryDef(
     "q35_geo_region_assign",
     (s, dir) => {
-      val polys = Seq(
-        "AbuDhabi" -> "POLYGON ((54.0 24.0, 54.5 24.0, 54.5 24.6, 54.0 24.6, 54.0 24.0))",
-        "AlAin"    -> "POLYGON ((55.5 24.0, 56.0 24.0, 56.0 24.5, 55.5 24.5, 55.5 24.0))",
-        "AlDhafra" -> "POLYGON ((52.5 23.0, 54.0 23.0, 54.0 24.0, 52.5 24.0, 52.5 23.0))")
+      val polys = graft.io.GeoJson.polygonDim(s, geoJsonFixturePath, "region_id")
       val pts = Tables.customer(s, dir).select(
         col("c_custkey"),
         (lit(52.6) + (col("c_custkey") % 35) * 0.1).as("lon"),

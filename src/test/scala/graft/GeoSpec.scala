@@ -15,6 +15,20 @@ class GeoSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("GeoJson.readPolygons yields properties + outer-ring WKT (S13)") {
+    val df = graft.io.GeoJson.readPolygons(spark,
+      graft.queries.SystemShapes.geoJsonFixturePath)
+    val rows = df.select($"region_id", $"wkt").as[(String, String)].collect().toSet
+    assert(rows == Set(
+      ("AbuDhabi", "POLYGON ((54.0 24.0, 54.5 24.0, 54.5 24.6, 54.0 24.6, 54.0 24.0))"),
+      ("AlAin", "POLYGON ((55.5 24.0, 56.0 24.0, 56.0 24.5, 55.5 24.5, 55.5 24.0))"),
+      ("AlDhafra", "POLYGON ((52.5 23.0, 54.0 23.0, 54.0 24.0, 52.5 24.0, 52.5 23.0))")))
+    // the parsed ring round-trips through the point-in-ring kernel
+    val (xs, ys) = Geo.parseWktPolygonRing(
+      rows.find(_._1 == "AbuDhabi").get._2)
+    assert(Geo.pointInRing(54.2, 24.3, xs, ys))
+  }
+
   test("wktLineString folds points in serial order") {
     val got = Seq((1, 2, 54.5, 24.2), (1, 1, 54.0, 24.0), (1, 3, 55.0, 24.5))
       .toDF("link", "serial", "lon", "lat")

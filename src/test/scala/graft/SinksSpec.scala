@@ -94,6 +94,28 @@ class SinksSpec extends AnyFunSuite {
     assert(second.where($"amount".isNull).count() == 1) // NA -> null
   }
 
+  test("preconverted Excel service dim loads and joins with J4 fixups (S12)") {
+    // The dim is the CSV produced by scripts/convert_excel_dims.py from
+    // the reference's Excel workbook; J4 = left join + post-join manual
+    // overwrite of the ADL rows (`...ridership...py:115-126`).
+    val dimPath = graft.queries.SystemShapes.serviceDimCsvPath
+    val sidecar = Files.createTempDirectory("graft_dim").resolve("svc.schema").toString
+    val dim = Sinks.normalizeNaTokens(
+      Sinks.readCsvWithSidecar(spark, dimPath, sidecar))
+    val facts = Seq(("A1", 10L), ("ADL", 7L), ("ZZ", 1L)).toDF("route", "trips")
+    val joined = facts
+      .join(broadcast(dim), facts("route") === dim("Route"), "left")
+      .drop(dim("Route")) // case-insensitive resolver would see two `route`s
+      .withColumn("region_fixed",
+        when($"route" === "ADL", "Abu Dhabi").otherwise($"Region"))
+      .select($"route", $"region_fixed", $"Type", $"trips")
+      .as[(String, Option[String], Option[String], Long)].collect().toSet
+    assert(joined == Set(
+      ("A1", Some("Abu Dhabi"), Some("Link"), 10L),
+      ("ADL", Some("Abu Dhabi"), Some("Express"), 7L), // fixup overwrote NA region
+      ("ZZ", None, None, 1L)))
+  }
+
   test("importFolder is resumable via .imported markers") {
     val root = Files.createTempDirectory("graft_folder")
     Files.createDirectories(root.resolve("t1"))
