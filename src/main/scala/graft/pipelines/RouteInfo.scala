@@ -88,10 +88,14 @@ object RouteInfo {
         row_number().over(seqNumW).as("sequence_no"),
         col("l_partkey").as("point_no"),
         (lit(1) + col("l_partkey") % 2).as("point_type"))
+    // `processed` feeds three consumers (link derivation, route-length
+    // join, shape join) — persist so the scan + two windows run once
+    // (SURVEY.md §4 shared-subplan reuse).
     val processed = routeSeq
       .withColumn("to_point_no", lead(col("point_no"), 1).over(seqW))
       .withColumn("to_point_type", lead(col("point_type"), 1).over(seqW))
       .where(col("to_point_no").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // --- LINK table: consecutive pairs + key-derived metrics ---------
     // Wider than needed on purpose: J10 selects the join key plus only

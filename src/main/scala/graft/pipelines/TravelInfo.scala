@@ -58,6 +58,11 @@ object TravelInfo {
       .where(col("region_id") =!= "Unknown")
 
     // --- per-leg derivations (F9/F10/F12/F16, integer-µs time math) ---
+    // Persisted: the cleaned-leg core feeds BOTH the monthly branch
+    // (which adds the journey window) and the daily branch (which
+    // doesn't) — the reference's shared-subplan persist (SURVEY.md §4
+    // "Shared-subplan reuse"); without it each grain re-scans and
+    // re-joins the fact table.
     val legs = legsBase
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("month", date_format(col("ts"), "yyyy-MM"))
@@ -67,6 +72,7 @@ object TravelInfo {
       .withColumn("distance_km", col("value") / 1000.0)
       .withColumn("trip_time_min",
         (col("end_us") - col("start_us")).cast("double") / 60000000.0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // --- journey windows (W1+W3+W6+F17) -------------------------------
     val w = Window.partitionBy(col("user_id"), col("day"))
@@ -93,7 +99,8 @@ object TravelInfo {
         sum(col("transfer_min")).as("transfer_time_raw")))
 
     // --- daily trips/users at (day × region ⊕ overall), folded (A15) --
-    val daily = Rollups.withOverall(withTransfer,
+    // from `legs`, not `withTransfer`: this grain needs no window.
+    val daily = Rollups.withOverall(legs,
       keepCols = Seq(col("day")), overallCol = "region_id",
       overallLabel = "overall",
       aggs = Seq(
