@@ -1,0 +1,133 @@
+package graft
+
+import graft.ops.{Journeys, Rollups, TimeOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5 item 3) over generated
+  * journey/leg data: transfer-time clamping, survival-difference
+  * histogram identities, rollup totals, and session monotonicity.
+  * ScalaCheck generators sampled with a fixed seed (the scalatestplus
+  * bridge isn't on the offline classpath, so sampling is driven
+  * directly); each property evaluates through the real Spark
+  * expressions on a generated DataFrame.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def forAll[T](gen: Gen[T], n: Int = 12)(body: T => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(params, seed).foreach(body)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val legGen: Gen[List[(Long, Long, Int, Long)]] = for {
+    nUsers <- Gen.choose(1, 5)
+    legs <- Gen.listOfN(40, for {
+      uid <- Gen.choose(1L, nUsers.toLong)
+      journey <- Gen.choose(1L, 3L)
+      legId <- Gen.choose(1, 6)
+      startUs <- Gen.choose(0L, 86400000000L)
+    } yield (uid, journey, legId, startUs))
+  } yield legs
+
+  test("transfer gap is always in [0, 240 min] and 0 on last leg") {
+    forAll(legGen) { legs =>
+      whenever(legs.nonEmpty) {
+        val df = legs.toDF("uid", "journey", "leg_id", "start_us")
+          .withColumn("ts", timestamp_micros($"start_us"))
+          .withColumn("end_ts", timestamp_micros($"start_us" + 60000000L))
+        val w = Journeys.orderedWindow(Seq($"uid", $"journey"), Seq($"leg_id", $"start_us"))
+        val gaps = df
+          .withColumn("next_ts", Journeys.nextInGroup($"ts", w))
+          .select(Journeys.transferMicros($"end_ts", $"next_ts").as("gap"),
+            $"next_ts".isNull.as("last"))
+          .as[(Long, Boolean)].collect()
+        assert(gaps.forall { case (g, _) => g >= 0L && g <= 240L * 60000000L })
+        assert(gaps.filter(_._2).forall(_._1 == 0L), "last leg gap must be 0")
+      }
+    }
+  }
+
+  test("survival-difference histogram: counts are >= 0 and sum to count(leg 1) - tail") {
+    forAll(legGen) { legs =>
+      whenever(legs.nonEmpty) {
+        val hist = legs.toDF("uid", "journey", "leg_id", "start_us")
+          .groupBy($"leg_id").agg(count(lit(1)).as("cnt"))
+        val diff = Rollups.survivalDiff(hist, Seq(), $"leg_id", $"cnt", "exactly")
+          .select($"leg_id", $"cnt", $"exactly").as[(Int, Long, Long)].collect()
+        assert(diff.forall(_._3 >= 0L), "clamped at zero")
+        // when counts are monotone non-increasing in leg_id (true survival
+        // data), the diffs sum back to the first count
+        val sorted = diff.sortBy(_._1)
+        if (sorted.sliding(2).forall {
+          case Array(a, b) => a._2 >= b._2
+          case _ => true
+        }) {
+          assert(sorted.map(_._3).sum == sorted.head._2,
+            "telescoping sum equals count at leg 1 for monotone histograms")
+        }
+      }
+    }
+  }
+
+  test("withOverall: the overall row equals the sum of its group rows") {
+    forAll(legGen) { legs =>
+      whenever(legs.nonEmpty) {
+        val df = legs.toDF("uid", "journey", "leg_id", "start_us")
+          .withColumn("region", concat(lit("r"), $"uid" % 3))
+        val out = Rollups.withOverall(df, Seq($"journey"), "region", "overall",
+            Seq(count(lit(1)).as("n"), sum($"leg_id").as("s")))
+          .select($"journey", $"region", $"n", $"s")
+          .as[(Long, String, Long, Long)].collect()
+        out.groupBy(_._1).foreach { case (_, rows) =>
+          val overall = rows.find(_._2 == "overall").get
+          val regions = rows.filter(_._2 != "overall")
+          assert(regions.map(_._3).sum == overall._3)
+          assert(regions.map(_._4).sum == overall._4)
+        }
+      }
+    }
+  }
+
+  test("sessionize: session ids start at 1 and are non-decreasing in time per user") {
+    forAll(legGen) { legs =>
+      whenever(legs.nonEmpty) {
+        val df = legs.toDF("uid", "journey", "leg_id", "start_us")
+          .withColumn("ts", timestamp_micros($"start_us"))
+        val sess = Journeys.sessionize(df, Seq($"uid"), $"ts", 30.0, "sid")
+          .select($"uid", unix_micros($"ts").as("us"), $"sid")
+          .as[(Long, Long, Long)].collect()
+          .groupBy(_._1)
+        sess.foreach { case (_, rows) =>
+          val byTime = rows.sortBy(_._2).map(_._3)
+          assert(byTime.head == 1L, "first session is 1")
+          assert(byTime.sliding(2).forall {
+            case Array(a, b) => b == a || b == a + 1
+            case _ => true
+          }, "session id increments by at most 1 in time order")
+        }
+      }
+    }
+  }
+
+  test("time bins partition the domain: every finite value lands in exactly one bin") {
+    forAll(Gen.listOfN(50, Gen.choose(-10.0, 200.0))) { vals =>
+      whenever(vals.nonEmpty) {
+        val got = vals.toDF("m").select(TimeOps.timeRangeBin($"m")).as[String].collect()
+        assert(got.forall(_ != "NA"), "finite values never fall through")
+        assert(got.length == vals.length)
+      }
+    }
+  }
+}
