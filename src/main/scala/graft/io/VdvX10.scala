@@ -19,6 +19,15 @@ import org.apache.spark.sql.types._
   * `end;`) are collected to the driver to build the section map; `rec;`
   * rows are then filtered + split entirely on executors. Dimension
   * files are small in practice, but the reader stays out-of-core-safe.
+  *
+  * S11 note: the reference's R fixed-offset variant (column names at a
+  * hard-coded line number, data from line 13, drop the trailing two
+  * rows, drop the first column) is a brittle positional re-reading of
+  * the SAME grammar — this reader subsumes it behavior-equivalently:
+  * the `atr;` line IS the fixed-offset header, the dropped trailing
+  * rows are the `end;`/`eof;` control lines (never `rec;`-prefixed, so
+  * the filter excludes them), and the dropped first column is the
+  * `rec` tag consumed by [[splitFields]].
   */
 object VdvX10 {
 

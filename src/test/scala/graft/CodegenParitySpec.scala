@@ -1,0 +1,55 @@
+package graft
+
+import graft.core.Tables
+import graft.functions.{DmsToDecimalDegrees, SimHash64, VectorKernels}
+import graft.llm.TextStats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every custom Catalyst expression must produce identical results under
+  * generated code and interpreted evaluation (factoryMode NO_CODEGEN +
+  * whole-stage off) — the contract that makes `doGenCode` trustworthy.
+  */
+class CodegenParitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def withConfs[T](kvs: (String, String)*)(f: => T): T = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally olds.foreach { case (k, o) =>
+      o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  private def runAll(): (Seq[(Long, Long)], Seq[(Long, Double)], Seq[(Long, Double, Double, Long)]) = {
+    val docs = Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 50)
+    val sim = docs.select($"doc_id",
+        SimHash64.simhash64(TextStats.tokens($"text")).as("h"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val dms = spark.range(20).select($"id",
+        DmsToDecimalDegrees.dmsToDecimalDegrees(
+          lit(541234567L) + $"id" * 997L).as("d"))
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    val emb = Tables.embeddings(spark, SparkTestBase.sf).where($"vec_id" < 20)
+      .select($"vec_id", $"embedding",
+        transform($"embedding", x => round(x * 1000).cast("long")).as("qv"))
+    val vec = emb.select($"vec_id",
+        VectorKernels.float_dot($"embedding", $"embedding").as("fd"),
+        VectorKernels.float_cosine($"embedding", $"embedding").as("fc"),
+        VectorKernels.long_dot($"qv", $"qv").as("ld"))
+      .as[(Long, Double, Double, Long)].collect().toSeq.sortBy(_._1)
+    (sim, dms, vec)
+  }
+
+  test("SimHash64 / DmsToDecimalDegrees / vector kernels: codegen == interpreted") {
+    val generated = withConfs(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(runAll())
+    val interpreted = withConfs(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(runAll())
+    assert(generated == interpreted)
+    assert(generated._1.nonEmpty && generated._2.nonEmpty && generated._3.nonEmpty)
+  }
+}

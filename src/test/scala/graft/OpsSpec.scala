@@ -15,6 +15,12 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("A1B", "XYZ", "Q7"))
   }
 
+  test("stripQuotes removes double quotes and trims (F6)") {
+    val got = Seq("\" A1 \"", "  plain  ", "\"\"").toDF("s")
+      .select(Cleaning.stripQuotes($"s")).as[String].collect()
+    assert(got.toSeq == Seq("A1", "plain", ""))
+  }
+
   test("regionFromPrefix dispatch matches reference semantics") {
     val got = Seq("AD1", "ER9", "WR2", "XX").toDF("s")
       .select(Cleaning.regionFromPrefix($"s")).as[String].collect()
