@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with typed metadata, batched
   * decode / feature-extraction / resize / frame-sampling stages.
   *
-  * The actual codecs are NOT in this container, so the decode kernels
-  * are STUBS — deterministic fakes clearly marked below. Everything
-  * around them is real and load-bearing: the schema contract, the
+  * Decode strategy: self-describing headers (BMP, WAV) are parsed FOR
+  * REAL — pure byte arithmetic. Codec-requiring formats (JPEG/PNG/
+  * H.264…) fall through to a clearly-marked deterministic stub, since
+  * no image/audio codec ships in this container. Everything around the
+  * kernels is real and load-bearing: the schema contract, the
   * `mapPartitions` batching shape (the Scala twin of PySpark's
   * `mapInPandas` — one iterator per partition, amortized per-batch
   * setup), and the partitioning strategy (media rows are fat, so
@@ -44,13 +46,45 @@ object Multimodal {
                          budgetPerPartition: Long = 128L << 20): DataFrame =
     df.repartition(math.max(1, (approxTotalBytes / budgetPerPartition).toInt))
 
-  // ---- STUB KERNELS ----------------------------------------------------
-  // Real implementations would call an image/audio codec here (e.g.
-  // javax.imageio / ffmpeg bindings). None are installed in this
-  // container, so these produce deterministic fakes derived from the
-  // payload bytes; signatures and batch shape are the real contract.
+  // ---- DECODE KERNELS --------------------------------------------------
+  // Self-describing headers (BMP, WAV) are parsed FOR REAL — pure byte
+  // arithmetic, no codec required. Compressed formats (JPEG/PNG/H.264…)
+  // would need an image/audio codec (javax.imageio / ffmpeg bindings),
+  // none of which ship in this container — those fall through to a
+  // clearly-marked deterministic stub. Signatures and batch shape are
+  // the real contract either way.
 
-  /** STUB decode: "parses" payload headers. Deterministic: dimensions
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+    ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  /** REAL decode of a BMP header: (width, height) from the
+    * BITMAPINFOHEADER at offsets 18/22 (little-endian); height may be
+    * negative for top-down bitmaps — absolute value is the pixel
+    * height. Returns None unless the 'BM' magic matches. */
+  private[graft] def decodeBmp(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+      Some((leInt(b, 18), math.abs(leInt(b, 22))))
+    else None
+
+  /** REAL decode of a WAV (RIFF/WAVE + fmt chunk at offset 12) header:
+    * (channels, sampleRate, approxFrames) where frames ≈ data bytes /
+    * block align. Returns None unless the RIFF/WAVE magic matches. */
+  private[graft] def decodeWav(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b.length >= 44 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      val channels = leShort(b, 22)
+      val sampleRate = leInt(b, 24)
+      val blockAlign = math.max(1, leShort(b, 32))
+      val dataBytes = math.max(0, b.length - 44)
+      Some((channels, sampleRate, dataBytes / blockAlign))
+    } else None
+
+  /** STUB decode for codec-requiring payloads: deterministic dimensions
     * derived from a byte hash. */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     var h = 1125899906842597L
@@ -61,6 +95,14 @@ object Multimodal {
     val frames = 1 + math.floorMod(h >> 20, 32).toInt
     (w, ht, frames)
   }
+
+  /** Dispatch: real header parse when the payload is self-describing,
+    * stub otherwise. (width, height, frames). */
+  private[graft] def decode(payload: Array[Byte]): (Int, Int, Int) =
+    decodeBmp(payload).map { case (w, h) => (w, h, 1) }
+      .orElse(decodeWav(payload).map { case (ch, rate, frames) =>
+        (ch, rate, frames) }) // width=channels, height=sampleRate by convention
+      .getOrElse(decodeStub(payload))
 
   /** STUB feature hash: stands in for an embedding/perceptual hash. */
   private def featureHashStub(payload: Array[Byte]): Long = {
@@ -79,7 +121,7 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       // per-partition decoder init would go here (once, not per row)
       it.map { m =>
-        val (w, h, frames) = decodeStub(m.payload)
+        val (w, h, frames) = decode(m.payload)
         MediaFeatures(m.media_id, m.kind, m.payload.length, w, h,
           if (m.kind == "video") frames else 1,
           featureHashStub(m.payload))

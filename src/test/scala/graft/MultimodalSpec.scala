@@ -13,6 +13,29 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("BMP and WAV headers are decoded for real (not stubbed)") {
+    // minimal BMP: 'BM' magic, width=640 @18, height=-480 @22 (top-down)
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    def putLe(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    putLe(bmp, 18, 640); putLe(bmp, 22, -480)
+    assert(Multimodal.decodeBmp(bmp).contains((640, 480)))
+    assert(Multimodal.decodeBmp("not a bmp".getBytes).isEmpty)
+    // minimal WAV: RIFF/WAVE, 2ch @22, 44100 Hz @24, blockAlign 4 @32,
+    // 44-byte header + 400 data bytes -> 100 frames
+    val wav = new Array[Byte](44 + 400)
+    "RIFF".getBytes.copyToArray(wav, 0); "WAVE".getBytes.copyToArray(wav, 8)
+    wav(22) = 2; putLe(wav, 24, 44100); wav(32) = 4
+    assert(Multimodal.decodeWav(wav).contains((2, 44100, 100)))
+    // dispatch: real parse for magic payloads, stub fallback otherwise
+    assert(Multimodal.decode(bmp) == (640, 480, 1))
+    assert(Multimodal.decode(wav) == (2, 44100, 100))
+    assert(Multimodal.decode("zzz".getBytes)._1 >= 64) // stub range
+  }
+
   test("decodeAndExtract is deterministic and byte_len is exact") {
     val media = Seq(
       (1L, "image", "payload-one", "src"),
