@@ -165,6 +165,23 @@ object Sinks {
     }
   }
 
+  /** S7 — CSV scan with explicit dtypes + timestamp parsing (the
+    * analytics scripts' `pd.read_csv(usecols, dtype, parse_dates)`,
+    * `scripts/ads_passenger_travel_info_mi.py:29-45`): a caller-fixed
+    * schema (no inference pass — at scale inference is an extra full
+    * scan), reference NA tokens, and an explicit timestamp format. */
+  def readCsvExplicit(spark: SparkSession, csvPath: String,
+                      schema: StructType,
+                      timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("nullValue", "NA")
+      .option("timestampFormat", timestampFormat)
+      .option("ignoreLeadingWhiteSpace", "true")
+      .option("ignoreTrailingWhiteSpace", "true")
+      .schema(schema)
+      .csv(csvPath)
+
   /** P9 — NA-token normalization: the reference's CSV ingestion treats
     * six tokens as NULL (`na = c("","NA","NULL","null","N/A","#N/A")`,
     * `data_ingestion/pg_import.R:83`); Spark's csv reader takes only

@@ -80,6 +80,19 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.detectCsvEncoding(latin.toString) == "ISO-8859-1")
   }
 
+  test("readCsvExplicit applies a fixed schema and parses timestamps (S7)") {
+    val dir = Files.createTempDirectory("graft_explicit")
+    val csv = dir.resolve("t.csv")
+    Files.write(csv,
+      "id,ts,amount\n1,2025-03-01 10:30:00,2.5\n2,NA,NA\n".getBytes(StandardCharsets.UTF_8))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, ts TIMESTAMP, amount DOUBLE")
+    val got = Sinks.readCsvExplicit(spark, csv.toString, schema)
+      .select($"id", date_format($"ts", "yyyy-MM-dd HH:mm").as("t"), $"amount")
+      .as[(Long, Option[String], Option[Double])].collect().toSet
+    assert(got == Set((1L, Some("2025-03-01 10:30"), Some(2.5)), (2L, None, None)))
+  }
+
   test("readCsvWithSidecar infers once then reuses the sidecar schema") {
     val dir = Files.createTempDirectory("graft_sidecar")
     val csv = dir.resolve("t.csv")
