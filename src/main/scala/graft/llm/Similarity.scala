@@ -108,15 +108,18 @@ object Similarity {
         array((0 until nTables).map(t =>
           lshSigExpr("cv", numPlanes, dim, 42L + t)): _*))
         .as(Seq("tbl", "lsh_sig")))
+    // Score BEFORE deduping: the cosine is cheap and computing it
+    // pre-shuffle means the dedup exchange carries (id, id, cos)
+    // instead of two 64-float vectors per candidate row.
     val cands = qs.join(cs,
         qs("tbl") === cs("tbl") && col("probe_sig") === col("lsh_sig") &&
         col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("corpus_id"),
+        float_cosine(col("qv"), col("cv")).as("cos"))
       .dropDuplicates("query_id", "corpus_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
-    cands.withColumn("cos", float_cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
+    cands.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
