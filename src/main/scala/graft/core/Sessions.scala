@@ -25,6 +25,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // explicit (it defaults on with AQE): runtime splitting of skewed
+      // shuffle-join partitions is the engine's skew answer for
+      // hot-route/hot-user keys (SURVEY.md §7.4 item 8)
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

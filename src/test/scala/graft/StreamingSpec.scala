@@ -89,6 +89,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains(("13:00", 1L)), s"fresh event missing: $out")
   }
 
+  test("checkpointed AvailableNow runs resume without reprocessing (ST3)") {
+    // The streaming form of the reference's `.imported` resume markers
+    // (`data_ingestion/folder_import.R:68-91`): the checkpoint IS the
+    // marker. Three runs over a file sink: initial load, an idempotent
+    // re-run with no new input, and an incremental run that picks up
+    // only the new file.
+    val src = Files.createTempDirectory("graft_stream_resume")
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    def runOnce(): Long = {
+      val q = streamFrom(src)
+        .select($"ts", $"user_id", $"event_type", $"value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    writeEventFile(src, "f1.parquet", 1, Seq(
+      ("2025-01-01 10:00:00", 1L, "x", 1.0),
+      ("2025-01-01 11:00:00", 2L, "x", 2.0)))
+    assert(runOnce() == 2L)
+    assert(runOnce() == 2L, "re-run with no new files must add nothing")
+    writeEventFile(src, "f2.parquet", 2, Seq(
+      ("2025-01-01 12:00:00", 3L, "x", 3.0)))
+    assert(runOnce() == 3L, "resume processes only the new file")
+  }
+
   test("runningUserTotals evicts idle state at the event-time timeout") {
     val dir = Files.createTempDirectory("graft_stream_evict")
     // u1 active early with two events...
