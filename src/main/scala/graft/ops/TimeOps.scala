@@ -64,6 +64,25 @@ object TimeOps {
       .when(mins <= 120, "90-120min")
       .otherwise(">120min")
 
+  /** F19 in exact integer microseconds: same nine labels as
+    * [[timeRangeBin]] with thresholds in µs — used where the binned
+    * quantity is a SUM (journey travel time): long sums are
+    * order-free-exact, so a value can never straddle a bin boundary
+    * differently across engines the way double sums can. */
+  def timeRangeBinUs(us: Column): Column = {
+    val m = 60000000L // one minute in µs
+    when(us.isNull, "NA")
+      .when(us <= 10 * m, "0-10min")
+      .when(us <= 20 * m, "10-20min")
+      .when(us <= 30 * m, "20-30min")
+      .when(us <= 40 * m, "30-40min")
+      .when(us <= 50 * m, "40-50min")
+      .when(us <= 60 * m, "50-60min")
+      .when(us <= 90 * m, "60-90min")
+      .when(us <= 120 * m, "90-120min")
+      .otherwise(">120min")
+  }
+
   /** F18/F19-style generic numeric binning: ascending upper bounds with
     * labels, last label is the overflow bucket. */
   def binByUpperBounds(c: Column, bounds: Seq[Double], labels: Seq[String]): Column = {

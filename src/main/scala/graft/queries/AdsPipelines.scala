@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.pipelines.{RouteInfo, TravelInfo}
+import graft.pipelines.{RouteInfo, TravelInfo, TravelTime}
 
 /** End-to-end ads-table pipelines (SURVEY.md §3 entry points composed
   * as single plans — the reference's actual product, not just its
@@ -198,5 +198,80 @@ object AdsPipelines {
            |JOIN named n ON s.line_no = n.line_no AND s.route_abbr = n.route_abbr
            |ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q38, q39)
+  /** EP3 `ads_passenger_travel_time_di` — see
+    * [[graft.pipelines.TravelTime.adsTravelTimeDaily]]. */
+  val q40 = QueryDef(
+    "q40_ads_travel_time_pipeline",
+    (s, dir) => TravelTime.adsTravelTimeDaily(s, dir),
+    Some("""WITH line AS (
+           |  SELECT line_abbr, line_clean, length(line_abbr) % 6 AS op_dep_no
+           |  FROM (SELECT DISTINCT event_type AS line_abbr,
+           |          upper(regexp_replace(trim(event_type), '[^A-Za-z0-9]', '', 'g')) AS line_clean
+           |        FROM events)),
+           |legs0 AS (
+           |  SELECT e.user_id, e.event_id, e.ts, e.value,
+           |    COALESCE(r.r_name, 'Unknown') AS region_id,
+           |    strftime(e.ts, '%Y-%m-%d') AS day,
+           |    CAST(round(e.value * 60000000) AS BIGINT) AS travel_us,
+           |    CASE WHEN e.value <= 10 THEN '0-10min'
+           |         WHEN e.value <= 20 THEN '10-20min'
+           |         WHEN e.value <= 30 THEN '20-30min'
+           |         WHEN e.value <= 40 THEN '30-40min'
+           |         WHEN e.value <= 50 THEN '40-50min'
+           |         WHEN e.value <= 60 THEN '50-60min'
+           |         WHEN e.value <= 90 THEN '60-90min'
+           |         WHEN e.value <= 120 THEN '90-120min'
+           |         ELSE '>120min' END AS time_range_type
+           |  FROM events e
+           |  LEFT JOIN line l
+           |    ON upper(regexp_replace(trim(e.event_type), '[^A-Za-z0-9]', '', 'g')) = l.line_clean
+           |  LEFT JOIN region r ON l.op_dep_no = r.r_regionkey),
+           |legs AS (
+           |  SELECT *,
+           |    row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS leg_id,
+           |    count(*) OVER (PARTITION BY user_id, day) AS n_legs
+           |  FROM legs0),
+           |trips AS (
+           |  SELECT day AS ope_date, time_range_type, region_id,
+           |    CAST(count(*) AS BIGINT) AS passenger_trips_num
+           |  FROM legs GROUP BY 1, 2, 3),
+           |j0 AS (
+           |  SELECT day AS ope_date, user_id, region_id,
+           |    CAST(SUM(travel_us) AS BIGINT) AS journey_us
+           |  FROM legs GROUP BY 1, 2, 3),
+           |journeys AS (
+           |  SELECT ope_date,
+           |    CASE WHEN journey_us <= 600000000 THEN '0-10min'
+           |         WHEN journey_us <= 1200000000 THEN '10-20min'
+           |         WHEN journey_us <= 1800000000 THEN '20-30min'
+           |         WHEN journey_us <= 2400000000 THEN '30-40min'
+           |         WHEN journey_us <= 3000000000 THEN '40-50min'
+           |         WHEN journey_us <= 3600000000 THEN '50-60min'
+           |         WHEN journey_us <= 5400000000 THEN '60-90min'
+           |         WHEN journey_us <= 7200000000 THEN '90-120min'
+           |         ELSE '>120min' END AS time_range_type,
+           |    region_id, CAST(count(*) AS BIGINT) AS journey_num
+           |  FROM j0 GROUP BY 1, 2, 3),
+           |transfers AS (
+           |  SELECT day AS ope_date, time_range_type, region_id,
+           |    CAST(count(*) AS BIGINT) AS transfer_num
+           |  FROM legs WHERE n_legs > 1 AND leg_id > 1 GROUP BY 1, 2, 3),
+           |joined AS (
+           |  SELECT * FROM trips
+           |  FULL JOIN journeys USING (ope_date, time_range_type, region_id)
+           |  FULL JOIN transfers USING (ope_date, time_range_type, region_id)),
+           |overall AS (
+           |  SELECT ope_date, time_range_type, 'Overall' AS region_id,
+           |    CAST(COALESCE(SUM(passenger_trips_num), 0) AS BIGINT) AS passenger_trips_num,
+           |    CAST(COALESCE(SUM(journey_num), 0) AS BIGINT) AS journey_num,
+           |    CAST(COALESCE(SUM(transfer_num), 0) AS BIGINT) AS transfer_num
+           |  FROM joined GROUP BY 1, 2)
+           |SELECT * FROM (
+           |  SELECT ope_date, time_range_type, region_id,
+           |    passenger_trips_num, journey_num, transfer_num
+           |  FROM joined
+           |  UNION ALL SELECT * FROM overall)
+           |ORDER BY 1, 2, 3""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q38, q39, q40)
 }
