@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.pipelines.{RouteInfo, TravelInfo, TravelTime}
+import graft.pipelines.{RouteInfo, TransferCount, TravelInfo, TravelTime}
 
 /** End-to-end ads-table pipelines (SURVEY.md §3 entry points composed
   * as single plans — the reference's actual product, not just its
@@ -273,5 +273,52 @@ object AdsPipelines {
            |  UNION ALL SELECT * FROM overall)
            |ORDER BY 1, 2, 3""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q40)
+  /** EP2 `ads_passenger_transfer_count_di` — see
+    * [[graft.pipelines.TransferCount.adsTransferCountDaily]]. */
+  val q41 = QueryDef(
+    "q41_ads_transfer_count_pipeline",
+    (s, dir) => TransferCount.adsTransferCountDaily(s, dir),
+    Some("""WITH line AS (
+           |  SELECT line_abbr, line_clean, length(line_abbr) % 6 AS op_dep_no
+           |  FROM (SELECT DISTINCT event_type AS line_abbr,
+           |          upper(regexp_replace(trim(event_type), '[^A-Za-z0-9]', '', 'g')) AS line_clean
+           |        FROM events)),
+           |legs AS (
+           |  SELECT user_id, region_id, t_date,
+           |    row_number() OVER (PARTITION BY user_id, t_date
+           |                       ORDER BY ts, event_id) AS leg_id
+           |  FROM (SELECT e.user_id, r.r_name AS region_id,
+           |          strftime(e.ts, '%Y-%m-%d') AS t_date, e.ts, e.event_id
+           |        FROM events e
+           |        LEFT JOIN line l
+           |          ON upper(regexp_replace(trim(e.event_type), '[^A-Za-z0-9]', '', 'g')) = l.line_clean
+           |        LEFT JOIN region r ON l.op_dep_no = r.r_regionkey)
+           |  WHERE region_id IS NOT NULL),
+           |hist AS (
+           |  SELECT t_date, CAST(leg_id AS BIGINT) AS leg_id,
+           |    CASE WHEN GROUPING(region_id) = 1 THEN 'overall' ELSE region_id END AS region_id,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM legs
+           |  GROUP BY GROUPING SETS ((t_date, leg_id, region_id), (t_date, leg_id))),
+           |spine AS (
+           |  SELECT t_date, region_id,
+           |    unnest(range(0, CAST(greatest(6, max(leg_id)) - 1 AS BIGINT))) AS transfer_cnt_type
+           |  FROM hist GROUP BY t_date, region_id),
+           |audit AS (
+           |  SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS audit_ts FROM events)
+           |SELECT s.t_date, 'day' AS date_type, s.region_id,
+           |  CAST(s.transfer_cnt_type AS INTEGER) AS transfer_cnt_type,
+           |  COALESCE(h1.cnt, 0) - COALESCE(h2.cnt, 0) AS journey_num,
+           |  'system' AS create_by, 'system' AS update_by,
+           |  au.audit_ts AS create_time, au.audit_ts AS update_time
+           |FROM spine s
+           |LEFT JOIN hist h1 ON s.t_date = h1.t_date AND s.region_id = h1.region_id
+           |  AND h1.leg_id = s.transfer_cnt_type + 1
+           |LEFT JOIN hist h2 ON s.t_date = h2.t_date AND s.region_id = h2.region_id
+           |  AND h2.leg_id = s.transfer_cnt_type + 2
+           |CROSS JOIN audit au
+           |WHERE COALESCE(h1.cnt, 0) - COALESCE(h2.cnt, 0) >= 0
+           |ORDER BY 1, 3, 4""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q38, q39, q40, q41)
 }
