@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.pipelines.{RouteInfo, TransferCount, TravelInfo, TravelTime}
+import graft.pipelines.{RouteInfo, StopTrips, TransferCount, TravelInfo, TravelTime}
 
 /** End-to-end ads-table pipelines (SURVEY.md §3 entry points composed
   * as single plans — the reference's actual product, not just its
@@ -320,5 +320,65 @@ object AdsPipelines {
            |WHERE COALESCE(h1.cnt, 0) - COALESCE(h2.cnt, 0) >= 0
            |ORDER BY 1, 3, 4""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q40, q41)
+  /** EP2 `ads_stop_passenger_trips_di` — see
+    * [[graft.pipelines.StopTrips.adsStopTripsDaily]]. */
+  val q42 = QueryDef(
+    "q42_ads_stop_trips_pipeline",
+    (s, dir) => StopTrips.adsStopTripsDaily(s, dir),
+    Some("""WITH ev AS (
+           |  SELECT *, strftime(ts, '%Y-%m-%d') AS dt,
+           |    event_id % 50 AS start_station_no,
+           |    (event_id * 7 + 3) % 50 AS end_station_no
+           |  FROM events
+           |  WHERE event_id % 50 != 0 AND (event_id * 7 + 3) % 50 != 0),
+           |spine AS (
+           |  SELECT dt, start_station_no AS station_no FROM ev
+           |  UNION
+           |  SELECT dt, end_station_no FROM ev),
+           |boards AS (
+           |  SELECT dt, start_station_no AS station_no,
+           |    CAST(count(*) AS BIGINT) AS trip_board_num
+           |  FROM ev GROUP BY 1, 2),
+           |alights AS (
+           |  SELECT dt, end_station_no AS station_no,
+           |    CAST(count(*) AS BIGINT) AS trip_alight_num
+           |  FROM ev GROUP BY 1, 2),
+           |legs AS (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id, dt
+           |                              ORDER BY ts, event_id) AS leg_id
+           |  FROM ev),
+           |journey_boards AS (
+           |  SELECT dt, start_station_no AS station_no,
+           |    CAST(count(*) AS BIGINT) AS journey_board_num
+           |  FROM legs WHERE leg_id = 1 GROUP BY 1, 2),
+           |last_legs AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY user_id, dt
+           |                                ORDER BY ts DESC, event_id DESC) AS rn
+           |    FROM ev)
+           |  WHERE rn = 1),
+           |journey_alights AS (
+           |  SELECT dt, end_station_no AS station_no,
+           |    CAST(count(*) AS BIGINT) AS journey_alight_num
+           |  FROM last_legs GROUP BY 1, 2),
+           |day_type AS (
+           |  SELECT DISTINCT dt,
+           |    CASE WHEN isodow(CAST(dt AS DATE)) >= 6
+           |         THEN 'weekend' ELSE 'weekday' END AS day_type
+           |  FROM ev)
+           |SELECT s.station_no AS stop_no, s.dt AS t_date, 'day' AS date_type,
+           |  COALESCE(b.trip_board_num, 0) AS trip_board_num,
+           |  COALESCE(a.trip_alight_num, 0) AS trip_alight_num,
+           |  COALESCE(jb.journey_board_num, 0) AS journey_board_num,
+           |  COALESCE(ja.journey_alight_num, 0) AS journey_alight_num,
+           |  d.day_type
+           |FROM spine s
+           |LEFT JOIN boards b ON s.dt = b.dt AND s.station_no = b.station_no
+           |LEFT JOIN alights a ON s.dt = a.dt AND s.station_no = a.station_no
+           |LEFT JOIN journey_boards jb ON s.dt = jb.dt AND s.station_no = jb.station_no
+           |LEFT JOIN journey_alights ja ON s.dt = ja.dt AND s.station_no = ja.station_no
+           |LEFT JOIN day_type d ON s.dt = d.dt
+           |ORDER BY 2, 1""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42)
 }
