@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.pipelines.{RouteInfo, StopTrips, TransferCount, TravelInfo, TravelTime}
+import graft.pipelines.{Ridership, RouteInfo, StopTrips, TransferCount, TravelInfo, TravelTime}
 
 /** End-to-end ads-table pipelines (SURVEY.md §3 entry points composed
   * as single plans — the reference's actual product, not just its
@@ -380,5 +380,48 @@ object AdsPipelines {
            |LEFT JOIN day_type d ON s.dt = d.dt
            |ORDER BY 2, 1""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42)
+  /** EP2 `ads_ridership_passenger_trips_di` — see
+    * [[graft.pipelines.Ridership.adsRidershipDaily]]. */
+  val q43 = QueryDef(
+    "q43_ads_ridership_pipeline",
+    (s, dir) => Ridership.adsRidershipDaily(s, dir),
+    Some("""WITH ev AS (
+           |  SELECT *, strftime(ts, '%Y-%m-%d') AS t_date, event_type AS route
+           |  FROM events),
+           |daily AS (
+           |  SELECT t_date, route, CAST(count(*) AS BIGINT) AS passenger_trips
+           |  FROM ev GROUP BY 1, 2),
+           |leg1 AS (
+           |  SELECT t_date, route, CAST(count(*) AS BIGINT) AS journey_trips
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, t_date
+           |                                     ORDER BY ts, event_id) AS leg_id
+           |        FROM ev)
+           |  WHERE leg_id = 1 GROUP BY 1, 2),
+           |dim AS (
+           |  SELECT r, region,
+           |    ['Link', 'Regional', 'Local'][length(r) % 3 + 1] AS stype
+           |  FROM (SELECT DISTINCT event_type AS r FROM events) d
+           |  LEFT JOIN (SELECT r_regionkey, r_name AS region FROM region) rg
+           |    ON length(d.r) % 6 = rg.r_regionkey),
+           |joined AS (
+           |  SELECT dly.t_date, dly.route, dly.passenger_trips,
+           |    COALESCE(l.journey_trips, 0) AS journey_trips,
+           |    CASE WHEN dly.route = 'error' THEN 'ASIA' ELSE dm.region END AS region_fixed,
+           |    dm.stype
+           |  FROM daily dly
+           |  LEFT JOIN leg1 l ON dly.t_date = l.t_date AND dly.route = l.route
+           |  LEFT JOIN dim dm ON dly.route = dm.r)
+           |SELECT t_date,
+           |  CASE WHEN region_fixed IS NULL OR stype IS NULL THEN 'Unknown'
+           |       WHEN stype = 'Link' THEN region_fixed || ' Link'
+           |       WHEN stype = 'Regional' THEN region_fixed || ' Regional'
+           |       ELSE region_fixed || ' Local' END AS service_type,
+           |  CAST(COUNT(DISTINCT route) AS BIGINT) AS route_num,
+           |  CAST(SUM(passenger_trips) AS BIGINT) AS passenger_trips,
+           |  CAST(SUM(journey_trips) AS BIGINT) AS journey_trips
+           |FROM joined
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42, q43)
 }
