@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.pipelines.{Ridership, RouteInfo, StopTrips, TransferCount, TravelInfo, TravelTime}
+import org.apache.spark.sql.functions._
 
 /** End-to-end ads-table pipelines (SURVEY.md §3 entry points composed
   * as single plans — the reference's actual product, not just its
@@ -423,5 +424,63 @@ object AdsPipelines {
            |GROUP BY 1, 2
            |ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42, q43)
+  /** Revenue family — `ads_csc_sales_revenue_region_mi`
+    * (`scripts/ads_csc_sales_revenue_region_mi.R:26-49`): two-level
+    * re-aggregation (A8: month×product sums → month with a conditional
+    * CSC sum), substring product test (F4, `grepl('CSC', ...)`), and
+    * the reference's LITERAL audit columns (it hardcodes author +
+    * timestamp — mirrored with engine literals). Fixture: sales =
+    * lineitem×orders (month) ×part (product = p_type; 'BRASS' plays
+    * the CSC marker). */
+  val q44 = QueryDef(
+    "q44_ads_sales_revenue_pipeline",
+    (s, dir) => {
+      import graft.core.Tables
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM").as("v_month"))
+      val part = Tables.part(s, dir).select(col("p_partkey"), col("p_type").as("product"))
+      val byProduct = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("v_month"), col("product"))
+        .agg(sum(col("l_quantity")).as("sales_quantity"),
+             sum(col("l_extendedprice")).as("sales_revenue"))
+        .withColumn("is_csc", col("product").contains("BRASS"))
+      byProduct.groupBy(col("v_month"))
+        .agg(
+          round(sum(col("sales_quantity")), 2).as("sales_quantity"),
+          round(sum(col("sales_revenue")), 2).as("sales_revenue"),
+          round(sum(when(col("is_csc"), col("sales_quantity")).otherwise(0.0)), 2)
+            .as("contactless_smart_tickets_num"))
+        .select(col("v_month").as("t_date"), lit("month").as("date_type"),
+          col("sales_quantity"), col("sales_revenue"),
+          col("contactless_smart_tickets_num"),
+          lit("system").as("create_by"), lit("system").as("update_by"),
+          lit("2025-09-01 11:07:58").as("create_time"),
+          lit("2025-09-01 11:07:58").as("update_time"))
+        .orderBy(col("t_date"))
+    },
+    Some("""WITH by_product AS (
+           |  SELECT strftime(o.o_orderdate, '%Y-%m') AS v_month, p.p_type AS product,
+           |    SUM(l.l_quantity) AS sales_quantity,
+           |    SUM(l.l_extendedprice) AS sales_revenue,
+           |    contains(p.p_type, 'BRASS') AS is_csc
+           |  FROM lineitem l
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN part p ON l.l_partkey = p.p_partkey
+           |  GROUP BY 1, 2, contains(p.p_type, 'BRASS'))
+           |SELECT v_month AS t_date, 'month' AS date_type,
+           |  ROUND(SUM(sales_quantity), 2) AS sales_quantity,
+           |  ROUND(SUM(sales_revenue), 2) AS sales_revenue,
+           |  ROUND(SUM(CASE WHEN is_csc THEN sales_quantity ELSE 0 END), 2)
+           |    AS contactless_smart_tickets_num,
+           |  'system' AS create_by, 'system' AS update_by,
+           |  '2025-09-01 11:07:58' AS create_time,
+           |  '2025-09-01 11:07:58' AS update_time
+           |FROM by_product
+           |GROUP BY 1
+           |ORDER BY 1""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42, q43, q44)
 }
