@@ -40,11 +40,20 @@ object Bench {
       spark.catalog.clearCache()
       (q.name, sec, err)
     }
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    // JSON escape incl. ALL control chars (<0x20), and locale-free
+    // number formatting — a comma-decimal default locale or a control
+    // byte in an exception message must not corrupt the one line this
+    // program exists to emit.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+    def jnum(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }
+    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")

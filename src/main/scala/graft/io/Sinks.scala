@@ -116,10 +116,13 @@ object Sinks {
     val conn = DriverManager.getConnection(url, props)
     try {
       conn.setAutoCommit(false)
-      def exists(t: String): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, t.toUpperCase, null)
-        try rs.next() finally rs.close()
-      }
+      // identifier case folding is dialect-specific (Derby/Oracle store
+      // unquoted names upper, PostgreSQL lower) — probe all three
+      def exists(t: String): Boolean =
+        Seq(t, t.toUpperCase, t.toLowerCase).distinct.exists { name =>
+          val rs = conn.getMetaData.getTables(null, null, name, null)
+          try rs.next() finally rs.close()
+        }
       val rename = renameSql(url) _
       val st = conn.createStatement()
       try {
@@ -149,19 +152,29 @@ object Sinks {
     * reference's own contract here, not a scale path. */
   def appendCsvHeaderOnce(df: DataFrame, targetFile: String): Unit = {
     val tmp = Files.createTempDirectory("graft_csv_append")
-    df.coalesce(1).write.mode("overwrite").option("header", "true")
-      .csv(tmp.toString)
-    val part = Files.list(tmp).iterator.asScala
-      .find(_.toString.endsWith(".csv"))
-      .getOrElse(throw new IllegalStateException(s"no csv part in $tmp"))
-    val target = Paths.get(targetFile)
-    val lines = Files.readAllLines(part, StandardCharsets.UTF_8).asScala
-    if (!Files.exists(target)) {
-      Files.createDirectories(target.toAbsolutePath.getParent)
-      Files.write(target, lines.asJava, StandardCharsets.UTF_8)
-    } else {
-      Files.write(target, lines.drop(1).asJava, StandardCharsets.UTF_8,
-        StandardOpenOption.APPEND)
+    try {
+      df.coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.iterator.asScala.find(_.toString.endsWith(".csv"))
+          .getOrElse(throw new IllegalStateException(s"no csv part in $tmp"))
+        finally listing.close()
+      val target = Paths.get(targetFile)
+      val lines = Files.readAllLines(part, StandardCharsets.UTF_8).asScala
+      if (!Files.exists(target)) {
+        Files.createDirectories(target.toAbsolutePath.getParent)
+        Files.write(target, lines.asJava, StandardCharsets.UTF_8)
+      } else {
+        Files.write(target, lines.drop(1).asJava, StandardCharsets.UTF_8,
+          StandardOpenOption.APPEND)
+      }
+    } finally {
+      // each call writes a full copy of the slice to tmp — delete it
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 
@@ -205,17 +218,22 @@ object Sinks {
     * pass as the csv reader's `encoding` option. */
   def detectCsvEncoding(path: String, sampleBytes: Int = 1 << 20): String = {
     val f = Paths.get(path)
-    val size = math.min(Files.size(f), sampleBytes.toLong).toInt
+    val fileSize = Files.size(f)
+    val size = math.min(fileSize, sampleBytes.toLong).toInt
     val in = Files.newInputStream(f)
     val buf = try in.readNBytes(size) finally in.close()
-    try {
-      StandardCharsets.UTF_8.newDecoder()
-        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-        .decode(java.nio.ByteBuffer.wrap(buf))
-      "UTF-8"
-    } catch {
-      case _: CharacterCodingException => "ISO-8859-1"
-    }
+    val truncated = fileSize > size
+    val decoder = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val bb = java.nio.ByteBuffer.wrap(buf)
+    val cb = java.nio.CharBuffer.allocate(size + 1)
+    // endOfInput=false when the sample is a prefix: a multi-byte
+    // sequence split at the sample boundary is UNDERFLOW (fine), not
+    // malformed — otherwise any >1 MB UTF-8 file whose boundary lands
+    // mid-character would be misclassified as Latin-1.
+    val res = decoder.decode(bb, cb, !truncated)
+    if (res.isMalformed || res.isUnmappable) "ISO-8859-1" else "UTF-8"
   }
 
   /** S16 — resumable folder ingestion: each subfolder is a table; each

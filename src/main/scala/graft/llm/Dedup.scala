@@ -14,6 +14,13 @@ import org.apache.spark.storage.StorageLevel
   * MinHash/SimHash bucket with band joins (Broder 1997 resp. Manku
   * WWW'07 constructions) so only same-bucket docs ever meet; the O(n²)
   * verifier is applied strictly post-candidate.
+  *
+  * Cache lifecycle: the sketch operators `persist()` shared
+  * intermediates (shingles, banded signatures, fingerprints) because
+  * each feeds several plan branches; the caches live until the caller
+  * releases them (`spark.catalog.clearCache()` between queries, as
+  * Bench/Verify do) — lazy DataFrames give the operator no safe point
+  * to unpersist itself.
   */
 object Dedup {
 
@@ -142,18 +149,49 @@ object Dedup {
                           threshold: Double, shingleN: Int = 2,
                           bands: Int = 16, rows: Int = 4,
                           maxBucketSize: Int = 500): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
+    // EXACT-DUP PRE-GROUPING: texts sharing a canonical fingerprint
+    // have identical token sequences (the fingerprint collapses exactly
+    // what tokenization collapses: case + whitespace), hence identical
+    // shingle sets and jaccard 1.0 among themselves. LSH therefore runs
+    // over ONE representative per fingerprint — a corpus with thousands
+    // of copies of one text no longer floods every band's bucket (the
+    // failure mode a bare bucket-size cap would mishandle: an
+    // oversized bucket shared by ALL bands would drop the whole group).
+    // Results are expanded back across group members afterwards, which
+    // is O(|output|) work.
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"),
+        TextStats.fingerprint(col(textCol)).as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cands = candidatesFromShingles(sh, bands, rows, maxBucketSize)
-    cands
+    val reps = base.groupBy(col("fp"))
+      .agg(min(col("id")).as("id"), min_by(col("text"), col("id")).as("text"))
+    val sh = reps.select(col("id"), col("fp"),
+        shingles(col("text"), shingleN).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candReps = candidatesFromShingles(
+      sh.select(col("id"), col("sh")), bands, rows, maxBucketSize)
+    val verifiedReps = candReps
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id"))
       .withColumn("n_inter", size(array_intersect(col("sa.sh"), col("sb.sh"))))
-      .select(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"), col("sa.fp").as("fp_a"), col("sb.fp").as("fp_b"),
         (col("n_inter").cast("double") /
           (size(col("sa.sh")) + size(col("sb.sh")) - col("n_inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    val members = base.select(col("fp"), col("id"))
+    // cross-group pairs: every member of group A × every member of B
+    val cross = verifiedReps
+      .join(members.as("ma"), col("fp_a") === col("ma.fp"))
+      .join(members.as("mb"), col("fp_b") === col("mb.fp"))
+      .select(
+        least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"),
+        col("jaccard"))
+    // within-group pairs: exact duplicates, jaccard exactly 1.0
+    val within = members.as("x").join(members.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    if (threshold <= 1.0) cross.union(within) else cross
   }
 
   /** Exact Jaccard similarity for given pairs (the post-LSH verifier):

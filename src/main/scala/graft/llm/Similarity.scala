@@ -169,12 +169,18 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               sampleSize: Int = 2048): DataFrame = {
-    val n = corpus.count()
+    val n = corpus.count() // one column-pruned pass; centroid build is setup cost
     val keepOneIn = math.max(1L, n / sampleSize)
+    // orderBy BEFORE limit: the hash filter passes ~sampleSize rows, so
+    // the sort is tiny, and the sampled set no longer depends on
+    // partition completion order (a bare limit() takes whatever arrives
+    // first — nondeterministic on a real cluster).
     val sample = corpus
       .where(pmod(xxhash64(col(idCol)), lit(keepOneIn)) === 0)
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(sampleSize)
       .select(col(vecCol))
-      .limit(sampleSize * 2)
       .collect()
       .map(_.getSeq[Float](0).toArray)
     val cents = sampleKMeans(sample, nCentroids).zipWithIndex

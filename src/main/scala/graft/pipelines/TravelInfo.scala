@@ -44,7 +44,10 @@ object TravelInfo {
     // --- dims (J1: dedup right side; F1: deep_clean both keys) --------
     val line = ev.select(col("event_type").as("line_abbr")).distinct()
       .withColumn("line_clean", Cleaning.deepClean(col("line_abbr")))
-      .dropDuplicates("line_clean")
+      // J1 right-side dedup, deterministically: min(raw) per cleaned
+      // key (dropDuplicates keeps an arbitrary row, and op_dep_no
+      // derives from the surviving raw value)
+      .groupBy(col("line_clean")).agg(min(col("line_abbr")).as("line_abbr"))
       .withColumn("op_dep_no", length(col("line_abbr")) % 6)
     val opDept = Tables.region(s, dir)
       .select(col("r_regionkey").as("op_dep_no"), col("r_name").as("region_name"))

@@ -16,10 +16,12 @@ object AdsPipelines {
     "q39_ads_travel_info_pipeline",
     (s, dir) => TravelInfo.adsTravelInfoMonthly(s, dir),
     Some("""WITH line AS (
-           |  SELECT line_abbr, line_clean, length(line_abbr) % 6 AS op_dep_no
+           |  SELECT line_clean, min(line_abbr) AS line_abbr,
+           |    length(min(line_abbr)) % 6 AS op_dep_no
            |  FROM (SELECT DISTINCT event_type AS line_abbr,
            |          upper(regexp_replace(trim(event_type), '[^A-Za-z0-9]', '', 'g')) AS line_clean
-           |        FROM events)),
+           |        FROM events)
+           |  GROUP BY line_clean),
            |legs AS (
            |  SELECT e.user_id, e.event_id, e.ts, e.value,
            |    r.r_name AS region_id,
@@ -205,10 +207,12 @@ object AdsPipelines {
     "q40_ads_travel_time_pipeline",
     (s, dir) => TravelTime.adsTravelTimeDaily(s, dir),
     Some("""WITH line AS (
-           |  SELECT line_abbr, line_clean, length(line_abbr) % 6 AS op_dep_no
+           |  SELECT line_clean, min(line_abbr) AS line_abbr,
+           |    length(min(line_abbr)) % 6 AS op_dep_no
            |  FROM (SELECT DISTINCT event_type AS line_abbr,
            |          upper(regexp_replace(trim(event_type), '[^A-Za-z0-9]', '', 'g')) AS line_clean
-           |        FROM events)),
+           |        FROM events)
+           |  GROUP BY line_clean),
            |legs0 AS (
            |  SELECT e.user_id, e.event_id, e.ts, e.value,
            |    COALESCE(r.r_name, 'Unknown') AS region_id,
@@ -280,10 +284,12 @@ object AdsPipelines {
     "q41_ads_transfer_count_pipeline",
     (s, dir) => TransferCount.adsTransferCountDaily(s, dir),
     Some("""WITH line AS (
-           |  SELECT line_abbr, line_clean, length(line_abbr) % 6 AS op_dep_no
+           |  SELECT line_clean, min(line_abbr) AS line_abbr,
+           |    length(min(line_abbr)) % 6 AS op_dep_no
            |  FROM (SELECT DISTINCT event_type AS line_abbr,
            |          upper(regexp_replace(trim(event_type), '[^A-Za-z0-9]', '', 'g')) AS line_clean
-           |        FROM events)),
+           |        FROM events)
+           |  GROUP BY line_clean),
            |legs AS (
            |  SELECT user_id, region_id, t_date,
            |    row_number() OVER (PARTITION BY user_id, t_date
