@@ -56,6 +56,24 @@ class LlmSpec extends AnyFunSuite {
       s"missed=${(exact -- verified).take(3)} extra=${(verified -- exact).take(3)}")
   }
 
+  test("exact-duplicate groups larger than the bucket cap survive near-dup dedup") {
+    // 60 identical texts share one bucket in EVERY band; with cap=20 a
+    // bare bucket filter would drop the whole group from all bands.
+    // The fingerprint pre-grouping routes them around the LSH instead.
+    val dups = (1L to 60L).map(i =>
+      (i, "the same exact text repeated again and again for dedup"))
+    val near = Seq(
+      (100L, "a quite different document about something else entirely unique"),
+      (101L, "a quite different document about something else entirely unique plus"))
+    val df = (dups ++ near).toDF("doc_id", "text")
+    val out = Dedup.minhashNearDupPairs(df, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 20)
+    assert(out.where($"jaccard" === 1.0).count() == 60L * 59 / 2,
+      "all within-group exact-dup pairs must be present")
+    assert(out.where($"id_a" === 100L && $"id_b" === 101L).count() == 1L,
+      "the distinct near-dup pair must still be found by LSH")
+  }
+
   test("SimHash banding returns exactly the hamming<=maxHamming pair set") {
     // Brute-force ground truth: XOR popcount over all fingerprint pairs.
     val fps = docs
