@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.pipelines.{Ridership, RouteInfo, StopTrips, TransferCount, TravelInfo, TravelTime}
+import graft.pipelines.{Ridership, RouteInfo, StopTrips, TransferCount, TravelDistance, TravelInfo, TravelTime}
 import org.apache.spark.sql.functions._
 
 /** End-to-end ads-table pipelines (SURVEY.md §3 entry points composed
@@ -488,5 +488,65 @@ object AdsPipelines {
            |GROUP BY 1
            |ORDER BY 1""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42, q43, q44)
+  /** EP1-family `ads_passenger_travel_distance_di` — see
+    * [[graft.pipelines.TravelDistance.adsTravelDistanceDaily]]. */
+  val q45 = QueryDef(
+    "q45_ads_travel_distance_pipeline",
+    (s, dir) => TravelDistance.adsTravelDistanceDaily(s, dir),
+    Some("""WITH line AS (
+           |  SELECT line_clean, min(line_abbr) AS line_abbr,
+           |    length(min(line_abbr)) % 6 AS op_dep_no
+           |  FROM (SELECT DISTINCT event_type AS line_abbr,
+           |          upper(regexp_replace(trim(event_type), '[^A-Za-z0-9]', '', 'g')) AS line_clean
+           |        FROM events)
+           |  GROUP BY line_clean),
+           |legs AS (
+           |  SELECT user_id, region_id, t_date, ts,
+           |    CASE WHEN km <= 5 THEN '0-5km' WHEN km <= 10 THEN '5-10km'
+           |         WHEN km <= 15 THEN '10-15km' WHEN km <= 20 THEN '15-20km'
+           |         ELSE '>20km' END AS distance_type,
+           |    row_number() OVER (PARTITION BY user_id, t_date
+           |                       ORDER BY ts, event_id) AS leg_id
+           |  FROM (SELECT e.user_id, r.r_name AS region_id, e.ts, e.event_id,
+           |          strftime(e.ts, '%Y-%m-%d') AS t_date,
+           |          e.value / 1000.0 AS km
+           |        FROM events e
+           |        LEFT JOIN line l
+           |          ON upper(regexp_replace(trim(e.event_type), '[^A-Za-z0-9]', '', 'g')) = l.line_clean
+           |        LEFT JOIN region r ON l.op_dep_no = r.r_regionkey)
+           |  WHERE region_id IS NOT NULL),
+           |agg_current AS (
+           |  SELECT t_date, distance_type,
+           |    CASE WHEN GROUPING(region_id) = 1 THEN 'overall' ELSE region_id END AS region_id,
+           |    CAST(count(*) AS BIGINT) AS passenger_trips_num,
+           |    CAST(SUM(CASE WHEN leg_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS journey_num,
+           |    CAST(SUM(CASE WHEN leg_id != 1 THEN 1 ELSE 0 END) AS BIGINT) AS transfer_num
+           |  FROM legs
+           |  GROUP BY GROUPING SETS ((t_date, distance_type, region_id),
+           |                          (t_date, distance_type))),
+           |agg_prior AS (
+           |  SELECT t_date, distance_type,
+           |    CASE WHEN GROUPING(region_id) = 1 THEN 'overall' ELSE region_id END AS region_id
+           |  FROM legs WHERE ts < TIMESTAMP '2024-01-15'
+           |  GROUP BY GROUPING SETS ((t_date, distance_type, region_id),
+           |                          (t_date, distance_type))),
+           |prev_wm AS (
+           |  SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS prev_ts
+           |  FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+           |now_wm AS (
+           |  SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS now_ts FROM events)
+           |SELECT c.t_date, 'day' AS date_type, c.region_id, c.distance_type,
+           |  c.transfer_num, c.journey_num, c.passenger_trips_num,
+           |  'system' AS create_by, 'system' AS update_by,
+           |  CASE WHEN p.t_date IS NOT NULL THEN w.prev_ts ELSE n.now_ts END
+           |    AS create_time,
+           |  n.now_ts AS update_time
+           |FROM agg_current c
+           |LEFT JOIN agg_prior p ON c.t_date = p.t_date
+           |  AND c.distance_type = p.distance_type AND c.region_id = p.region_id
+           |CROSS JOIN prev_wm w
+           |CROSS JOIN now_wm n
+           |ORDER BY 1, 3, 4""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42, q43, q44, q45)
 }
