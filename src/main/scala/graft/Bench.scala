@@ -24,7 +24,12 @@ object Bench {
     val spark = Sessions.build("graft-bench")
     // one warmup action to pay JVM/codegen startup outside the timings
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.benchQueries.map { q =>
+    // dev convenience: `runMain graft.Bench q30 q32` times only queries
+    // whose name contains one of the args; the driver passes none.
+    val picked =
+      if (args.isEmpty) SparkEntry.benchQueries
+      else SparkEntry.benchQueries.filter(q => args.exists(q.name.contains))
+    val results = picked.map { q =>
       val t0 = System.nanoTime()
       val err =
         try { q.fn(spark, sfDir).count(); None }

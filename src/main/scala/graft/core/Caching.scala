@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Shared-subplan caching with EAGER materialization.
+  *
+  * Why eager: a lazily persisted DataFrame that fans out into several
+  * downstream branches of ONE action is a scheduler race. The DAG
+  * scheduler submits every ready stage concurrently, and each
+  * concurrent stage that scans the not-yet-built InMemoryRelation
+  * computes the missing cached partitions itself — the full upstream
+  * subplan (scan + joins + window shuffles) runs once PER BRANCH, the
+  * block manager then drops the duplicates ("Block rdd_N already
+  * exists on this machine; not re-adding it"), and under memory
+  * pressure the duplicate builds evict each other and cascade into
+  * recomputation. Measured here: the round-2 driver bench hit exactly
+  * this (3 "already exists" warnings from a 3-branch pipeline) and the
+  * persist-using queries ran 10-95x slower than the same code on an
+  * idle host, while persist-free queries only showed uniform ~2x load
+  * noise.
+  *
+  * On a real cluster the same race wastes whole-cluster work —
+  * duplicated upstream stages across executors — so eager
+  * materialization before fan-out is the 100 TB-correct shape, not a
+  * local-mode workaround. One extra count() job pays the subplan once,
+  * after which every branch reads cached batches.
+  *
+  * MEMORY_AND_DISK (not MEMORY_ONLY): an evicted partition must spill,
+  * not silently recompute the full lineage mid-bench/mid-job.
+  */
+object Caching {
+
+  /** Persist `df` and force it NOW (single job), so downstream branches
+    * never race to build it. Callers own the lifecycle; Bench/Verify
+    * clearCache() between queries.
+    */
+  def eager(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+}

@@ -100,7 +100,7 @@ object Dedup {
     * bands·rows minhash expressions (higher-order-function subtrees are
     * not CSE'd), re-tokenizing every document 64 times — the round-1
     * 1613 s pathology. With it, each hash pass reads a cached array. */
-  private[llm] def candidatesFromShingles(sh: DataFrame, bands: Int, rows: Int,
+  private[graft] def candidatesFromShingles(sh: DataFrame, bands: Int, rows: Int,
                                           maxBucketSize: Int): DataFrame = {
     val numHashes = bands * rows
     // Signature via explode → 64 codegen'd xxhash64 columns → hash-agg
@@ -118,15 +118,15 @@ object Dedup {
           xxhash64((lit(b) +: (0 until rows).map(r =>
             col(s"mh${b * rows + r}"))): _*)
         }: _*)).as(Seq("band", "band_hash")))
-    // Persist AFTER the bucket-size filter: the self-join consumes the
-    // capped table twice, so caching here runs the signature agg and
-    // the window exactly once.
-    val capped = banded
+    // Materialize AFTER the bucket-size filter: the self-join consumes
+    // the capped table twice, so caching here runs the signature agg and
+    // the window exactly once — and eagerly, so the join's two scan
+    // stages can't race to build it (see [[graft.core.Caching]]).
+    val capped = graft.core.Caching.eager(banded
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("band_hash"))))
       .where(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .drop("bucket_n"))
     capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -159,14 +159,13 @@ object Dedup {
     // oversized bucket shared by ALL bands would drop the whole group).
     // Results are expanded back across group members afterwards, which
     // is O(|output|) work.
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"),
-        TextStats.fingerprint(col(textCol)).as("fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = graft.core.Caching.eager(
+      df.select(col(idCol).as("id"), col(textCol).as("text"),
+        TextStats.fingerprint(col(textCol)).as("fp")))
     val reps = base.groupBy(col("fp"))
       .agg(min(col("id")).as("id"), min_by(col("text"), col("id")).as("text"))
-    val sh = reps.select(col("id"), col("fp"),
-        shingles(col("text"), shingleN).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.core.Caching.eager(reps.select(col("id"), col("fp"),
+        shingles(col("text"), shingleN).as("sh")))
     val candReps = candidatesFromShingles(
       sh.select(col("id"), col("sh")), bands, rows, maxBucketSize)
     val verifiedReps = candReps
@@ -202,9 +201,8 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, maxId: Option[Long] = None): DataFrame = {
     val base = maxId.map(m => df.where(col(idCol) < m)).getOrElse(df)
-    val toks = base.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleN)).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val toks = graft.core.Caching.eager(base.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleN)).as("sh")))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = toks.as("x").join(toks.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
@@ -238,9 +236,8 @@ object Dedup {
     require(maxHamming < bands,
       s"banding is only exhaustive for hamming < bands: bands=$bands maxHamming=$maxHamming")
     val bits = 64 / bands
-    val fp = df.select(col(idCol).as("id"),
-        simhash64(TextStats.tokens(col(textCol))).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fp = graft.core.Caching.eager(df.select(col(idCol).as("id"),
+        simhash64(TextStats.tokens(col(textCol))).as("sh")))
     val banded = fp.select(col("id"), col("sh"), posexplode(
       array((0 until bands).map { b =>
         shiftrightunsigned(col("sh"), b * bits).bitwiseAND(lit((1L << bits) - 1))

@@ -91,11 +91,10 @@ object RouteInfo {
     // `processed` feeds three consumers (link derivation, route-length
     // join, shape join) — persist so the scan + two windows run once
     // (SURVEY.md §4 shared-subplan reuse).
-    val processed = routeSeq
+    val processed = graft.core.Caching.eager(routeSeq
       .withColumn("to_point_no", lead(col("point_no"), 1).over(seqW))
       .withColumn("to_point_type", lead(col("point_type"), 1).over(seqW))
-      .where(col("to_point_no").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .where(col("to_point_no").isNotNull))
 
     // --- LINK table: consecutive pairs + key-derived metrics ---------
     // Wider than needed on purpose: J10 selects the join key plus only

@@ -29,11 +29,17 @@ import org.apache.spark.sql.functions._
 object StopTrips {
 
   def adsStopTripsDaily(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // Seven downstream branches (spine×2, boards, alights, journey
+    // boards/alights, day-type dim) consume this projection — eagerly
+    // materialized (narrowed to the six columns used) so the scan +
+    // filter run once instead of once per concurrent branch stage.
+    val ev = graft.core.Caching.eager(Tables.events(s, dir)
       .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("start_station_no", col("event_id") % 50)
       .withColumn("end_station_no", (col("event_id") * 7 + 3) % 50)
       .where(col("start_station_no") =!= 0 && col("end_station_no") =!= 0)
+      .select(col("date"), col("start_station_no"), col("end_station_no"),
+        col("user_id"), col("ts"), col("event_id")))
 
     val spine = ev.select(col("date"), col("start_station_no").as("station_no"))
       .union(ev.select(col("date"), col("end_station_no").as("station_no")))

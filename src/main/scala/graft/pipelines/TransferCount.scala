@@ -53,7 +53,7 @@ object TransferCount {
       keepCols = Seq(col("t_date"), col("leg_id")), overallCol = "region_id",
       overallLabel = "overall",
       aggs = Seq(count(lit(1)).as("cnt")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.eager)
 
     // transfer_cnt_type 0 .. max(6, max leg)-2 per (day, region)
     val spine = hist.groupBy(col("t_date"), col("region_id"))

@@ -48,7 +48,7 @@ object TravelDistance {
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("distance_type", TimeOps.distanceBin(col("value") / 1000.0))
       .withColumn("leg_id", row_number().over(wOrd))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.eager)
 
     def aggregate(df: DataFrame): DataFrame =
       Rollups.withOverall(df.withColumnRenamed("day", "t_date"),

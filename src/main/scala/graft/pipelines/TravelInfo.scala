@@ -75,7 +75,7 @@ object TravelInfo {
       .withColumn("distance_km", col("value") / 1000.0)
       .withColumn("trip_time_min",
         (col("end_us") - col("start_us")).cast("double") / 60000000.0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.eager)
 
     // --- journey windows (W1+W3+W6+F17) -------------------------------
     val w = Window.partitionBy(col("user_id"), col("day"))

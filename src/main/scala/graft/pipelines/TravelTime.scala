@@ -59,7 +59,7 @@ object TravelTime {
       .withColumn("time_range_type", TimeOps.timeRangeBin(col("value")))
       .withColumn("leg_id", row_number().over(wOrd))
       .withColumn("n_legs", count(lit(1)).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.eager)
 
     val keys = Seq("ope_date", "time_range_type", "region_id")
 
