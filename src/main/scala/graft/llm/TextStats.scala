@@ -88,10 +88,13 @@ object TextStats {
 
   /** Polynomial rolling hash over tokens (Rabin-Karp style) — an
     * order-sensitive fingerprint that, unlike md5-of-whole-text, can be
-    * computed incrementally per shingle window. */
+    * computed incrementally per shingle window. Backed by the codegen'd
+    * [[graft.functions.RollingHash64]] Expression: the `aggregate` HOF
+    * form both runs interpreted and throws ARITHMETIC_OVERFLOW under
+    * ANSI semantics once the polynomial wraps — wrap-around IS the
+    * hash, so the arithmetic must be Java's. */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(1000003L) + crc32(t.cast("binary")))
+    graft.functions.RollingHash64.rollingHash64(tokens(text))
 
   /** Full stats projection used by pipelines and the q25 query. */
   def withStats(df: DataFrame, textCol: String): DataFrame =

@@ -63,9 +63,18 @@ object TravelTime {
 
     val keys = Seq("ope_date", "time_range_type", "region_id")
 
-    val trips = legs
+    // trips and transfers group by the SAME keys (the reference bins
+    // transfer legs by the leg's own travel time — `...travel_time_di
+    // .R:181-193`), so both fold into one aggregation pass; a
+    // conditional count stands in for the reference's filtered copy.
+    // `transfer_num` must be NULL (not 0) where no transfer leg exists:
+    // the R pipeline's full-join leaves NA there, and trips-only rows
+    // must keep producing NULL through the journeys full-outer below.
+    val tripsTransfers = legs
       .groupBy(col("day").as("ope_date"), col("time_range_type"), col("region_id"))
-      .agg(count(lit(1)).as("passenger_trips_num"))
+      .agg(count(lit(1)).as("passenger_trips_num"),
+        nullif(sum(when(col("n_legs") > 1 && col("leg_id") > 1, 1L)
+          .otherwise(0L)), lit(0L)).as("transfer_num"))
 
     val journeys = legs
       .groupBy(col("day").as("ope_date"), col("user_id"), col("region_id"))
@@ -74,14 +83,8 @@ object TravelTime {
       .groupBy(col("ope_date"), col("time_range_type"), col("region_id"))
       .agg(count(lit(1)).as("journey_num"))
 
-    val transfers = legs
-      .where(col("n_legs") > 1 && col("leg_id") > 1)
-      .groupBy(col("day").as("ope_date"), col("time_range_type"), col("region_id"))
-      .agg(count(lit(1)).as("transfer_num"))
-
-    val joined = trips
+    val joined = tripsTransfers
       .join(journeys, keys, "full_outer")
-      .join(transfers, keys, "full_outer")
 
     val overall = joined
       .groupBy(col("ope_date"), col("time_range_type"))

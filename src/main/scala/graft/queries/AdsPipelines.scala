@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.pipelines.{Ridership, RouteInfo, StopTrips, TransferCount, TravelDistance, TravelInfo, TravelTime}
+import graft.pipelines.{FareRevenue, Ridership, RouteInfo, RouteTrips, StopTrips, TransferCount, TravelDistance, TravelInfo, TravelTime}
 import org.apache.spark.sql.functions._
 
 /** End-to-end ads-table pipelines (SURVEY.md §3 entry points composed
@@ -548,5 +548,133 @@ object AdsPipelines {
            |CROSS JOIN now_wm n
            |ORDER BY 1, 3, 4""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42, q43, q44, q45)
+  /** EP2-family `ads_route_passenger_trips_di` — see
+    * [[graft.pipelines.RouteTrips.adsRouteTripsDaily]]. */
+  val q46 = QueryDef(
+    "q46_ads_route_trips_pipeline",
+    (s, dir) => RouteTrips.adsRouteTripsDaily(s, dir),
+    Some("""WITH ev AS (
+           |  SELECT ts, event_type AS route,
+           |    CAST(event_id % 2 AS INTEGER) AS direction
+           |  FROM events),
+           |line AS (
+           |  SELECT route AS line_abbr,
+           |    CAST(dense_rank() OVER (ORDER BY route) AS BIGINT) AS line_no
+           |  FROM (SELECT DISTINCT route FROM ev)),
+           |sliced AS (
+           |  SELECT strftime(ts, '%Y-%m-%d') AS t_date, route, direction,
+           |    CAST(count(*) AS BIGINT) AS passenger_trips_num
+           |  FROM ev
+           |  WHERE EXTRACT(day FROM ts) < 8
+           |     OR (EXTRACT(day FROM ts) = 8 AND ts = date_trunc('day', ts))
+           |  GROUP BY 1, 2, 3
+           |  UNION ALL
+           |  SELECT strftime(ts, '%Y-%m-%d'), route, direction,
+           |    CAST(count(*) AS BIGINT)
+           |  FROM ev
+           |  WHERE (EXTRACT(day FROM ts) >= 8 AND EXTRACT(day FROM ts) < 15)
+           |     OR (EXTRACT(day FROM ts) = 15 AND ts = date_trunc('day', ts))
+           |  GROUP BY 1, 2, 3
+           |  UNION ALL
+           |  SELECT strftime(ts, '%Y-%m-%d'), route, direction,
+           |    CAST(count(*) AS BIGINT)
+           |  FROM ev
+           |  WHERE (EXTRACT(day FROM ts) >= 15 AND EXTRACT(day FROM ts) < 22)
+           |     OR (EXTRACT(day FROM ts) = 22 AND ts = date_trunc('day', ts))
+           |  GROUP BY 1, 2, 3
+           |  UNION ALL
+           |  SELECT strftime(ts, '%Y-%m-%d'), route, direction,
+           |    CAST(count(*) AS BIGINT)
+           |  FROM ev
+           |  WHERE EXTRACT(day FROM ts) >= 22
+           |     OR (EXTRACT(day FROM ts) = 1 AND ts = date_trunc('day', ts))
+           |  GROUP BY 1, 2, 3),
+           |wm AS (
+           |  SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS audit_ts FROM events)
+           |SELECT l.line_no, '' AS route_no, s.direction, s.t_date,
+           |  'day' AS date_type, s.passenger_trips_num,
+           |  w.audit_ts AS create_time, 'system' AS create_by,
+           |  w.audit_ts AS update_time, 'system' AS update_by
+           |FROM sliced s
+           |LEFT JOIN line l ON s.route = l.line_abbr
+           |CROSS JOIN wm w
+           |ORDER BY t_date, line_no, direction""".stripMargin))
+
+  /** Revenue family `ads_fare_revenue_region_mi` (documented schema) —
+    * see [[graft.pipelines.FareRevenue.adsFareRevenueMonthly]]. */
+  val q47 = QueryDef(
+    "q47_ads_fare_revenue_pipeline",
+    (s, dir) => FareRevenue.adsFareRevenueMonthly(s, dir),
+    Some("""WITH region_d AS (
+           |  SELECT r_regionkey, r_name AS region_id FROM region),
+           |fares AS (
+           |  SELECT strftime(o.o_orderdate, '%Y-%m') AS t_date, r.region_id,
+           |    o.o_totalprice, EXTRACT(day FROM last_day(o.o_orderdate)) AS dim_days
+           |  FROM orders o JOIN region_d r ON o.o_custkey % 5 = r.r_regionkey),
+           |fare_agg AS (
+           |  SELECT t_date,
+           |    CASE WHEN GROUPING(region_id) = 1 THEN 'Overall' ELSE region_id END
+           |      AS region_id,
+           |    SUM(o_totalprice) AS fare_raw,
+           |    CAST(count(*) AS BIGINT) AS passenger_num,
+           |    max(dim_days) AS days_in_month
+           |  FROM fares
+           |  GROUP BY GROUPING SETS ((t_date, region_id), (t_date))),
+           |insp AS (
+           |  SELECT strftime(o.o_orderdate, '%Y-%m') AS t_date, r.region_id,
+           |    l.l_orderkey, l.l_returnflag
+           |  FROM lineitem l
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN region_d r ON o.o_custkey % 5 = r.r_regionkey),
+           |insp_agg AS (
+           |  SELECT t_date,
+           |    CASE WHEN GROUPING(region_id) = 1 THEN 'Overall' ELSE region_id END
+           |      AS region_id,
+           |    CAST(SUM(CASE WHEN l_returnflag != 'N' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS passengers_inspection_num,
+           |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS fare_evasion_passenger_num,
+           |    CAST(COUNT(DISTINCT CASE WHEN l_returnflag != 'N' THEN l_orderkey END)
+           |      AS BIGINT) AS inspected_trips,
+           |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS total_scheduled_trips,
+           |    CAST(SUM(CASE WHEN l_returnflag != 'N' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS actual_inspections_num,
+           |    CAST(count(*) AS BIGINT) AS planned_inspections_num
+           |  FROM insp
+           |  GROUP BY GROUPING SETS ((t_date, region_id), (t_date)))
+           |SELECT f.t_date, 'month' AS date_type, f.region_id,
+           |  ROUND(f.fare_raw, 2) AS fare_revenue,
+           |  ROUND(f.fare_raw / f.days_in_month, 2) AS average_daily_revenue,
+           |  ROUND(f.fare_raw / f.passenger_num, 2) AS average_fare,
+           |  COALESCE(i.passengers_inspection_num, 0) AS passengers_inspection_num,
+           |  COALESCE(i.fare_evasion_passenger_num, 0) AS fare_evasion_passenger_num,
+           |  f.passenger_num,
+           |  f.passenger_num + COALESCE(i.fare_evasion_passenger_num, 0)
+           |    AS passenger_carried,
+           |  ROUND(CASE WHEN f.passenger_num + COALESCE(i.fare_evasion_passenger_num, 0) > 0
+           |    THEN CAST(COALESCE(i.passengers_inspection_num, 0) AS DOUBLE)
+           |      / (f.passenger_num + COALESCE(i.fare_evasion_passenger_num, 0))
+           |    ELSE 0 END, 4) AS passenger_inspection_ratio,
+           |  COALESCE(i.inspected_trips, 0) AS inspected_trips,
+           |  COALESCE(i.total_scheduled_trips, 0) AS total_scheduled_trips,
+           |  COALESCE(i.actual_inspections_num, 0) AS actual_inspections_num,
+           |  COALESCE(i.planned_inspections_num, 0) AS planned_inspections_num,
+           |  ROUND(CASE WHEN f.passenger_num > 0
+           |    THEN CAST(COALESCE(i.fare_evasion_passenger_num, 0) AS DOUBLE)
+           |      / f.passenger_num ELSE 0 END, 4) AS fare_evasion_ratio,
+           |  ROUND(CASE WHEN COALESCE(i.total_scheduled_trips, 0) > 0
+           |    THEN CAST(COALESCE(i.inspected_trips, 0) AS DOUBLE)
+           |      / i.total_scheduled_trips ELSE 0 END, 4) AS bus_trip_inspection_ratio,
+           |  ROUND(CASE WHEN COALESCE(i.planned_inspections_num, 0) > 0
+           |    THEN CAST(COALESCE(i.actual_inspections_num, 0) AS DOUBLE)
+           |      / i.planned_inspections_num ELSE 0 END, 4)
+           |    AS inspection_plan_adherence_ratio,
+           |  'system' AS create_by, 'system' AS update_by,
+           |  '2025-09-01 11:07:58' AS create_time,
+           |  '2025-09-01 11:07:58' AS update_time
+           |FROM fare_agg f
+           |LEFT JOIN insp_agg i ON f.t_date = i.t_date AND f.region_id = i.region_id
+           |ORDER BY 1, 3""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.functions.{DmsToDecimalDegrees, SimHash64, VectorKernels}
+import graft.functions.{DmsToDecimalDegrees, RollingHash64, SimHash64, VectorKernels}
 import graft.llm.TextStats
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -25,7 +25,9 @@ class CodegenParitySpec extends AnyFunSuite {
   private def runAll(): (Seq[(Long, Long)], Seq[(Long, Double)], Seq[(Long, Double, Double, Long)]) = {
     val docs = Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 50)
     val sim = docs.select($"doc_id",
-        SimHash64.simhash64(TextStats.tokens($"text")).as("h"))
+        SimHash64.simhash64(TextStats.tokens($"text"))
+          .bitwiseXOR(RollingHash64.rollingHash64(TextStats.tokens($"text")))
+          .as("h"))
       .as[(Long, Long)].collect().toSeq.sortBy(_._1)
     val dms = spark.range(20).select($"id",
         DmsToDecimalDegrees.dmsToDecimalDegrees(

@@ -33,6 +33,32 @@ class LlmSpec extends AnyFunSuite {
     assert(ham(hs(0), hs(2)) >= 16, s"far hamming ${ham(hs(0), hs(2))}")
   }
 
+  test("rollingHash is order-sensitive where the md5 fingerprint is not") {
+    import graft.llm.TextStats
+    val df = Seq(
+      ("one two three", 1), ("one two three", 2), // identical
+      ("three two one", 3),                       // same tokens, reordered
+      ("ONE   two\tthree", 4)                     // canonicalizes to row 1
+    ).toDF("text", "id")
+      .select($"id", TextStats.rollingHash($"text").as("rh"),
+        TextStats.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(1) -> r.get(2)).toSeq
+    val (rh, fp) = (df.map(_._1), df.map(_._2))
+    // identical + canonically-equal texts agree under both hashes
+    assert(rh(0) == rh(1) && rh(0) == rh(3))
+    assert(fp(0) == fp(1) && fp(0) == fp(3))
+    // reordered tokens: same fingerprintable token-bag semantics differ —
+    // the rolling hash (polynomial in token order) must separate them
+    assert(rh(0) != rh(2), "rolling hash must be order-sensitive")
+    // exact reference recomputation: fold h = h*1000003 + crc32(tok)
+    val crc = (t: String) => {
+      val c = new java.util.zip.CRC32(); c.update(t.getBytes("UTF-8")); c.getValue
+    }
+    val expect = Seq("one", "two", "three")
+      .foldLeft(0L)((acc, t) => acc * 1000003L + crc(t))
+    assert(rh(0) == expect, s"rollingHash mismatch: ${rh(0)} vs $expect")
+  }
+
   test("MinHash-LSH candidates achieve full recall on high-jaccard pairs") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 2)
       .where($"jaccard" >= 0.8)
