@@ -120,4 +120,25 @@ object VdvX10 {
     * `ads_passenger_travel_time_di.R:77-91`). */
   def readAll(spark: SparkSession, path: String): Map[String, DataFrame] =
     tableNames(spark, path).map(n => n -> readTable(spark, path, n)).toMap
+
+  /** Whole-export load: every `.x10` file in a directory, merged into
+    * one table→DataFrame map — the reference's folder pattern (one file
+    * per table, `load_vdv_table(folder, "i2531280.x10")` × 11 at
+    * `ads_fare_revenue_region_mi.R:81-103`). A table split across
+    * files (multi-batch VDV exports) is unioned by column name; files
+    * are listed via the Hadoop FS API so the path may live on any
+    * supported filesystem, not just local disk. */
+  def readFolder(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".x10"))
+      .map(_.getPath.toString)
+      .sorted // deterministic merge order
+    files.flatMap(f => readAll(spark, f).toSeq)
+      .groupBy(_._1)
+      .map { case (name, dfs) =>
+        name -> dfs.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true))
+      }
+  }
 }

@@ -89,6 +89,25 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the continuous-ingest twin of the batch
+    * fingerprint dedup ([[graft.llm.Dedup.exactDupGroups]]): documents
+    * arriving on a stream are emitted once per canonical fingerprint,
+    * using Spark's built-in `dropDuplicatesWithinWatermark` state store
+    * (no custom state code needed — the Spark-first form). State is
+    * bounded by the watermark horizon: a fingerprint not re-seen within
+    * it is evicted, which is the right contract for crawl feeds where
+    * duplicates cluster in time (exact global dedup over unbounded
+    * history belongs to the batch path / a compaction job).
+    *
+    * Takes any streaming DataFrame with a text column and an event-time
+    * column already present. */
+  def streamingExactDedup(docs: DataFrame, textCol: String, tsCol: String,
+                          watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fp", graft.llm.TextStats.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Drive a streaming query to completion over the (static) test
     * directory via a memory sink — how StreamingSpec observes results
     * synchronously. Returns the collected sink table. */

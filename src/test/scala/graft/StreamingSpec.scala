@@ -143,4 +143,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1 == Set((2L, 12.0), (1L, 9.0)),
       s"expected counter reset after eviction (2 then 1), got $u1")
   }
+
+  test("streamingExactDedup emits one row per canonical fingerprint") {
+    val dir = Files.createTempDirectory("graft_stream_dedup")
+    // event_type plays the document text; "A b" / " a  B " canonicalize
+    // to the same fingerprint, "c" is distinct.
+    writeEventFile(dir, "p0.parquet", 0, Seq(
+      ("2024-01-01 10:00:00", 1L, "A b", 1.0),
+      ("2024-01-01 10:01:00", 2L, " a  B ", 1.0),
+      ("2024-01-01 10:02:00", 3L, "c", 1.0)))
+    writeEventFile(dir, "p1.parquet", 1, Seq(
+      ("2024-01-01 10:30:00", 4L, "a B", 1.0), // dup inside watermark
+      ("2024-01-01 10:31:00", 5L, "d", 1.0)))
+    val got = EventStream.runToMemorySink(spark,
+        EventStream.streamingExactDedup(streamFrom(dir), "event_type", "ts"),
+        "dedup_stream", OutputMode.Append())
+      .select($"event_type").as[String].collect().toSeq
+    // exactly one representative for the {A b} group, plus c and d
+    assert(got.size == 3, s"expected 3 unique docs, got $got")
+    assert(got.map(_.toLowerCase.replaceAll("\\s+", " ").trim).toSet ==
+      Set("a b", "c", "d"))
+  }
 }

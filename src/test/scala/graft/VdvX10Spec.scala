@@ -47,6 +47,39 @@ class VdvX10Spec extends AnyFunSuite {
     }
   }
 
+  test("readFolder merges a multi-file export, unioning split tables") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_vdv_folder")
+    // file 1: the standard two-table fixture
+    Files.copy(Paths.get(fixture), dir.resolve("i2261280.x10"))
+    // file 2: LINE continued (extra column) + a new DAY_TYPE table
+    Files.write(dir.resolve("i2901280.x10"),
+      """mod; DD.MM.YYYY; HH:MM:SS; free
+        |tbl; LINE
+        |atr; BASE_VERSION; LINE_NO; LINE_ABBR; OP_DEP_NO; LINE_DESC; EXTRA
+        |frm; num[9.0]; num[9.0]; char[6]; num[9.0]; char[40]; num[9.0]
+        |rec; 2; 201; "F6"; 11; "Island Express"; 7
+        |end;
+        |tbl; DAY_TYPE
+        |atr; BASE_VERSION; DAY_TYPE_NO; DAY_TYPE_ABBR
+        |frm; num[9.0]; num[9.0]; char[6]
+        |rec; 1; 1; "WD"
+        |rec; 1; 2; "WE"
+        |end;
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    // non-.x10 noise must be ignored
+    Files.write(dir.resolve("readme.txt"), "not vdv".getBytes(StandardCharsets.UTF_8))
+    val tables = VdvX10.readFolder(spark, dir.toString)
+    assert(tables.keySet == Set("LINE", "OPERATING_DEPARTMENT", "DAY_TYPE"))
+    val line = tables("LINE")
+    assert(line.count() == 7) // 6 from file 1 + 1 from file 2
+    // allowMissingColumns: file-1 rows carry null EXTRA, file-2 row keeps 7
+    assert(line.where($"EXTRA".isNotNull).select("LINE_NO")
+      .as[Long].collect().toSeq == Seq(201L))
+    assert(tables("DAY_TYPE").count() == 2)
+  }
+
   test("q34 output matches the hand-computed oracle") {
     // LINE deduped on LINE_ABBR keeps the first D4; joins to
     // OPERATING_DEPARTMENT; AD*->Abu Dhabi, ER*->Al Ain, WR*->Al
