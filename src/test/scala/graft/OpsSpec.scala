@@ -111,4 +111,49 @@ class OpsSpec extends AnyFunSuite {
     val got = df.select(Journeys.transferMicros($"a", $"b")).as[Long].collect()
     assert(got.toSeq == Seq(60000000L, 0L, 0L, 0L))
   }
+
+  test("GraftFunctions: SQL surface matches the Column API kernels") {
+    graft.functions.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  simhash64(array('a','b','c')) AS sh,
+        |  rolling_hash64(array('one','two')) AS rh,
+        |  dms_to_decimal(541234567L) AS dd,
+        |  float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS fd,
+        |  long_dot(array(1L, 2L), array(3L, 4L)) AS ld
+        |""".stripMargin + "FROM (SELECT 1)").head()
+    import graft.functions.{DmsToDecimalDegrees, SimHash64}
+    val shWant = spark.range(1)
+      .select(SimHash64.simhash64(array(lit("a"), lit("b"), lit("c"))))
+      .head().getLong(0)
+    assert(row.getLong(0) == shWant)
+    assert(row.getLong(1) != 0L)
+    assert(math.abs(row.getDouble(2) - DmsToDecimalDegrees.convert(541234567L)) < 1e-12)
+    assert(row.getDouble(3) == 11.0)
+    assert(row.getLong(4) == 11L)
+  }
+
+  test("GraftExtensions installs the SQL functions via spark.sql.extensions") {
+    // Builder.create() (Spark 4) builds a genuinely NEW session over the
+    // shared SparkContext unconditionally — getOrCreate would return the
+    // suite session, whose register() call above makes this vacuous.
+    spark.sparkContext // force shared-context init; create() reuses it
+    // withExtensions exercises our injector through the public hook; the
+    // equivalent spark.sql.extensions=graft.functions.GraftFunctions$GraftExtensions
+    // conf-string path is static conf, appliable only at SparkContext build.
+    val s2 = org.apache.spark.sql.classic.SparkSession.builder()
+      .master("local[2]") // ignored: SparkContext.getOrCreate finds the live one
+      .withExtensions(new graft.functions.GraftFunctions.GraftExtensions)
+      .create()
+    try {
+      assert(s2 ne spark, "extensions test must run on a fresh session")
+      val n = s2.sql("SELECT long_dot(array(2L, 3L), array(5L, 7L)) AS d")
+        .head().getLong(0)
+      assert(n == 31L)
+    } finally {
+      org.apache.spark.sql.classic.SparkSession
+        .setActiveSession(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    }
+  }
 }
