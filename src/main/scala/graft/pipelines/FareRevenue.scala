@@ -73,7 +73,10 @@ object FareRevenue {
     def ratio4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
       round(when(den > 0, num.cast("double") / den).otherwise(0.0), 4)
 
-    fareAgg.join(inspAgg, Seq("t_date", "region_id"), "left")
+    // both sides are post-aggregation smalls (months × regions rows);
+    // the static planner sees no stats, so hint the broadcast rather
+    // than rely on AQE's runtime conversion
+    fareAgg.join(broadcast(inspAgg), Seq("t_date", "region_id"), "left")
       .select(
         col("t_date"), lit("month").as("date_type"), col("region_id"),
         round(col("fare_raw"), 2).as("fare_revenue"),
