@@ -1,7 +1,8 @@
 package graft
 
+import graft.core.Tables
 import graft.functions.DmsToDecimalDegrees
-import graft.ops.{Cleaning, Journeys, Rollups, TimeOps}
+import graft.ops.{Cleaning, Journeys, Rollups, Skew, TimeOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -110,6 +111,32 @@ class OpsSpec extends AnyFunSuite {
               timestamp_micros($"b_us").as("b"))
     val got = df.select(Journeys.transferMicros($"a", $"b")).as[Long].collect()
     assert(got.toSeq == Seq(60000000L, 0L, 0L, 0L))
+  }
+
+  test("Skew.distinctCountSalted equals countDistinct (incl. null handling)") {
+    val ev = Tables.events(spark, SparkTestBase.sf)
+      .withColumn("maybe_user",
+        when($"event_id" % 7 === 0, lit(null)).otherwise($"user_id"))
+    val want = ev.groupBy($"event_type")
+      .agg(countDistinct($"maybe_user").as("n_users"))
+      .as[(String, Long)].collect().toSet
+    val got = Skew.distinctCountSalted(ev, Seq("event_type"), "maybe_user", "n_users")
+      .as[(String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("Skew.saltedInnerJoin equals the plain inner join") {
+    val ev = Tables.events(spark, SparkTestBase.sf)
+      .select($"event_id", $"event_type", $"value")
+    val dim = Tables.events(spark, SparkTestBase.sf)
+      .select($"event_type").distinct()
+      .withColumn("type_len", length($"event_type"))
+    val want = ev.join(dim, Seq("event_type"))
+      .select($"event_id", $"type_len").as[(Long, Int)].collect().sorted.toSeq
+    val got = Skew.saltedInnerJoin(ev, dim, Seq("event_type"),
+        saltFrom = $"event_id", buckets = 8)
+      .select($"event_id", $"type_len").as[(Long, Int)].collect().sorted.toSeq
+    assert(got == want)
   }
 
   test("GraftFunctions: SQL surface matches the Column API kernels") {
