@@ -260,4 +260,26 @@ object Sinks {
       }
     }.toSeq
   }
+
+  /** Bucketed-table publish — the co-located-join layout for fact
+    * tables that are repeatedly joined or aggregated on the same key
+    * (SURVEY.md §4; at 100 TB the dominant recurring cost of the ads
+    * pipelines is re-shuffling the AFC fact table on the journey/user
+    * key — bucketing pays that shuffle ONCE at write).
+    *
+    * Spark's bucketing contract: `bucketBy(n, key)` + `sortBy` persists
+    * hash-partitioned, sorted files with bucket metadata in the
+    * catalog; a subsequent equi-join or groupBy on the bucket key reads
+    * co-located data and plans NO Exchange on the bucketed side(s)
+    * (asserted in SinksSpec). Requires `saveAsTable` (bucket metadata
+    * lives in the metastore, not the parquet footers).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.format("parquet").saveAsTable(table)
+  }
 }

@@ -142,4 +142,39 @@ class SinksSpec extends AnyFunSuite {
     assert(r2.map(_._3).toSeq == Seq(true, true) && calls == 2,
       "second run must skip everything")
   }
+
+  test("bucketed tables join and aggregate without exchanges on the bucket key") {
+    import graft.core.Tables
+    val ev = Tables.events(spark, SparkTestBase.sf)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    Sinks.writeBucketed(ev, "ev_bucketed",
+      bucketCols = Seq("user_id"), numBuckets = 8, sortCols = Seq("user_id"))
+    Sinks.writeBucketed(
+      ev.groupBy($"user_id").agg(count(lit(1)).as("n")),
+      "users_bucketed", bucketCols = Seq("user_id"), numBuckets = 8)
+    // At fixture scale the planner would broadcast (making bucketing
+    // moot and "disabled by query planner"); force the shuffle-join
+    // path the layout exists for — at 100 TB neither side broadcasts.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("ev_bucketed")
+        .join(spark.table("users_bucketed"), Seq("user_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed equi-join must be exchange-free, got:\n$plan")
+      // correctness: same rows as the unbucketed join
+      assert(joined.count() ==
+        ev.join(ev.groupBy($"user_id").agg(count(lit(1)).as("n")), Seq("user_id")).count())
+      // groupBy on the bucket key also avoids the shuffle
+      val agg = spark.table("ev_bucketed").groupBy($"user_id")
+        .agg(sum($"value").as("s"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed groupBy must be exchange-free")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+      spark.sql("DROP TABLE IF EXISTS users_bucketed")
+    }
+  }
 }
