@@ -261,6 +261,20 @@ object Sinks {
     }.toSeq
   }
 
+  /** Date-partitioned publish — the pruning layout for ads tables
+    * queried by date slice (every EP2 reader filters `t_date`;
+    * `scripts/ads_route_passenger_trips_di...py:85-90` reads
+    * quarter-month timestamp ranges). `partitionBy` writes one
+    * directory per key value, so a reader's date filter prunes whole
+    * directories at planning time (PartitionFilters in the scan,
+    * asserted in SinksSpec) — at 100 TB the difference between reading
+    * a day and reading a year. */
+  def publishPartitioned(df: DataFrame, outDir: String,
+                         partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(outDir)
+
   /** Bucketed-table publish — the co-located-join layout for fact
     * tables that are repeatedly joined or aggregated on the same key
     * (SURVEY.md §4; at 100 TB the dominant recurring cost of the ads

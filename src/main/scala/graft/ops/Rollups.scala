@@ -54,4 +54,29 @@ object Rollups {
                     dayRatio: Column, daysInMonth: Column, outCol: String): DataFrame =
     daily.groupBy(monthKeys: _*)
       .agg((sum(dayRatio) / first(daysInMonth)).as(outCol))
+
+  /** MERGEABLE distinct-count rollup — the reference's HLL accumulator
+    * contract (add/merge/count objects kept per key and merged across
+    * chunks, `scripts/ads_passenger_travel_info_mi.py:266-270`),
+    * restated on Spark's built-in Datasketches HLL columns:
+    * `sketchDistinct` materializes per-fine-grain sketches (storable as
+    * BINARY alongside the aggregate), `mergeSketches` unions them up to
+    * a coarser grain WITHOUT rescanning facts — the property plain
+    * `approx_count_distinct` lacks (its partial state dies inside one
+    * aggregation). At 100 TB this is how daily ads tables roll up to
+    * monthly uniques from the daily AGGREGATES instead of a second
+    * fact-table pass.
+    */
+  def sketchDistinct(df: DataFrame, keys: Seq[Column], valueCol: Column,
+                     sketchCol: String, lgConfigK: Int = 14): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(hll_sketch_agg(valueCol, lit(lgConfigK)).as(sketchCol))
+
+  /** Merge fine-grain sketches to `coarseKeys`, yielding the estimated
+    * distinct count (exactly what a second HLL pass over raw facts at
+    * the coarse grain would estimate, by sketch mergeability). */
+  def mergeSketches(sketches: DataFrame, coarseKeys: Seq[Column],
+                    sketchCol: String, outCol: String): DataFrame =
+    sketches.groupBy(coarseKeys: _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol))).as(outCol))
 }

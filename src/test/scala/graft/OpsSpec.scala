@@ -113,6 +113,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(60000000L, 0L, 0L, 0L))
   }
 
+  test("mergeable HLL sketches: day sketches union to month estimates") {
+    val ev = Tables.events(spark, SparkTestBase.sf)
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+      .withColumn("month", date_format($"ts", "yyyy-MM"))
+    val daily = Rollups.sketchDistinct(ev,
+      Seq($"month", $"day"), $"user_id", "user_sketch")
+    val monthly = Rollups.mergeSketches(daily, Seq($"month"),
+      "user_sketch", "n_users_est")
+      .as[(String, Long)].collect().toMap
+    val exact = ev.groupBy($"month")
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(monthly.keySet == exact.keySet)
+    monthly.foreach { case (m, est) =>
+      val err = math.abs(est.toDouble - exact(m)) / exact(m)
+      assert(err < 0.05, s"month $m: estimate $est vs exact ${exact(m)} (err $err)")
+    }
+    // the merged estimate equals a direct single-pass sketch at month
+    // grain — the mergeability contract itself
+    val direct = Rollups.mergeSketches(
+      Rollups.sketchDistinct(ev, Seq($"month"), $"user_id", "s"),
+      Seq($"month"), "s", "n").as[(String, Long)].collect().toMap
+    assert(monthly == direct)
+  }
+
   test("Skew.distinctCountSalted equals countDistinct (incl. null handling)") {
     val ev = Tables.events(spark, SparkTestBase.sf)
       .withColumn("maybe_user",

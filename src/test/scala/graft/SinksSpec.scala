@@ -143,6 +143,22 @@ class SinksSpec extends AnyFunSuite {
       "second run must skip everything")
   }
 
+  test("partitioned publish prunes partitions at planning time") {
+    import graft.core.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_pub").toString
+    val ev = Tables.events(spark, SparkTestBase.sf)
+      .withColumn("t_date", date_format($"ts", "yyyy-MM-dd"))
+      .select($"event_id", $"user_id", $"value", $"t_date")
+    Sinks.publishPartitioned(ev, dir, Seq("t_date"))
+    val firstDay = ev.agg(min($"t_date")).head().getString(0)
+    val read = spark.read.parquet(dir).where($"t_date" === firstDay)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*t_date[^\\]]*\\].*"),
+      s"date filter must reach PartitionFilters, got:\n$plan")
+    assert(read.count() == ev.where($"t_date" === firstDay).count())
+  }
+
   test("bucketed tables join and aggregate without exchanges on the bucket key") {
     import graft.core.Tables
     val ev = Tables.events(spark, SparkTestBase.sf)
