@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts — the properties that make the queries
+  * scale, pinned as tests so a refactor that silently loses a pushdown
+  * or broadcasts-turned-cartesian fails CI, not the 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def planOf(name: String): String = {
+    val fn = SparkEntry.queries(name)
+    fn(spark, SparkTestBase.sf).queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = planOf("q02_scan_pushdown")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"expected non-empty PushedFilters:\n$p")
+    // projection pruning: the scan schema must not include all lineitem columns
+    assert(!p.contains("l_comment"), "scan must prune unused columns")
+  }
+
+  test("q03: dims broadcast, never sort-merge") {
+    val p = planOf("q03_join_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no SMJ expected:\n$p")
+  }
+
+  test("q24: region-overall rollup is one Expand, not a double pass") {
+    val p = planOf("q24_rollup_overall")
+    assert(p.contains("Expand"), "GROUPING SETS must plan an Expand")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"rollup must scan the fact table exactly once:\n$p")
+  }
+
+  test("no unbounded cartesian anywhere in the registry") {
+    // CartesianProduct = non-broadcast cross join: always a scale bug.
+    // (BroadcastNestedLoopJoin appears only with a bounded broadcast
+    // side — the audited exact-verifier twins.)
+    SparkEntry.registry.foreach { q =>
+      val p = q.fn(spark, SparkTestBase.sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("ads pipelines broadcast their dims") {
+    Seq("q39_ads_travel_info_pipeline", "q40_ads_travel_time_pipeline",
+        "q45_ads_travel_distance_pipeline", "q47_ads_fare_revenue_pipeline")
+      .foreach { name =>
+        val p = planOf(name)
+        assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+          s"$name lost its dim broadcasts")
+      }
+    spark.catalog.clearCache()
+  }
+}
