@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.pipelines.{FareRevenue, Ridership, RouteInfo, RouteTrips, StopTrips, TransferCount, TravelDistance, TravelInfo, TravelTime}
+import graft.pipelines.{DimDate, FareRevenue, Ridership, RouteInfo, RouteTrips, StopDims, StopTrips, TransferCount, TravelDistance, TravelInfo, TravelTime}
 import org.apache.spark.sql.functions._
 
 /** End-to-end ads-table pipelines (SURVEY.md §3 entry points composed
@@ -676,5 +676,106 @@ object AdsPipelines {
            |LEFT JOIN insp_agg i ON f.t_date = i.t_date AND f.region_id = i.region_id
            |ORDER BY 1, 3""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+  /** Calendar dimension `dim_date_info` — see
+    * [[graft.pipelines.DimDate.dimDateInfo]]. */
+  val q48 = QueryDef(
+    "q48_dim_date_info",
+    (s, dir) => DimDate.dimDateInfo(s, dir),
+    Some("""WITH span AS (
+           |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1,
+           |    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS audit_ts
+           |  FROM events),
+           |days AS (
+           |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d,
+           |    audit_ts
+           |  FROM span)
+           |SELECT strftime(d, '%Y-%m-%d') AS t_date,
+           |  CAST(year(d) AS INTEGER) AS t_year,
+           |  CAST(month(d) AS INTEGER) AS t_month,
+           |  CAST(day(d) AS INTEGER) AS t_day,
+           |  CAST(weekofyear(d) AS INTEGER) AS week_id,
+           |  CAST(quarter(d) AS INTEGER) AS quarter,
+           |  CAST(isodow(d) AS INTEGER) AS week_day,
+           |  strftime(d - (isodow(d) - 1) * INTERVAL 1 DAY, '%Y-%m-%d') AS from_date,
+           |  strftime(d + (7 - isodow(d)) * INTERVAL 1 DAY, '%Y-%m-%d') AS to_date,
+           |  CASE WHEN isodow(d) <= 5 THEN 1 ELSE 0 END AS is_workday,
+           |  -99 AS holiday_fid,
+           |  'system' AS create_by, 'system' AS update_by,
+           |  audit_ts AS create_time, audit_ts AS update_time
+           |FROM days ORDER BY t_date""".stripMargin))
+
+  /** `dwd_bus_route_stop_info_mf` — see
+    * [[graft.pipelines.StopDims.dwdBusRouteStopInfo]]. */
+  val q49 = QueryDef(
+    "q49_dwd_route_stop_pipeline",
+    (s, dir) => StopDims.dwdBusRouteStopInfo(s, dir),
+    Some("""WITH rs AS (
+           |  SELECT l_orderkey AS line_no, 'R' AS route_no,
+           |    CAST(1 AS BIGINT) AS version,
+           |    CAST(l_partkey AS VARCHAR) AS stop_no,
+           |    CAST(row_number() OVER (PARTITION BY l_orderkey
+           |                            ORDER BY l_linenumber, l_partkey)
+           |      AS VARCHAR) AS stop_index
+           |  FROM lineitem WHERE l_orderkey < 400),
+           |lkp AS (
+           |  SELECT DISTINCT line_no, route_no,
+           |    CAST(line_no % 2 AS VARCHAR) AS direction
+           |  FROM rs)
+           |SELECT rs.route_no, rs.version, rs.stop_no, rs.stop_index,
+           |  rs.line_no, lkp.direction,
+           |  'system' AS create_by, 'system' AS update_by,
+           |  '20250807_11:07:58' AS create_time,
+           |  '20250807_11:07:58' AS update_time
+           |FROM rs LEFT JOIN lkp USING (line_no, route_no)
+           |ORDER BY line_no, route_no, CAST(stop_index AS INTEGER)""".stripMargin))
+
+  /** `dwd_bus_stop_info_mf` — see
+    * [[graft.pipelines.StopDims.dwdBusStopInfo]]. */
+  val q50 = QueryDef(
+    "q50_dwd_stop_info_pipeline",
+    (s, dir) => StopDims.dwdBusStopInfo(s, dir),
+    Some("""WITH s AS (
+           |  SELECT p_partkey AS key, p_name AS stop_name,
+           |    (54 + p_partkey % 3) * 10000000 + (p_partkey * 7 % 60) * 100000 +
+           |      (p_partkey * 13 % 60) * 1000 + (p_partkey % 997 + 1) AS lon_dms,
+           |    (23 + p_partkey % 2) * 10000000 + (p_partkey * 11 % 60) * 100000 +
+           |      (p_partkey * 17 % 60) * 1000 + (p_partkey % 991 + 1) AS lat_dms
+           |  FROM part),
+           |c AS (
+           |  SELECT *,
+           |    ((lon_dms // 10000000) * 3600000000 +
+           |     ((lon_dms // 100000) % 100) * 60000000 +
+           |     ((lon_dms // 1000) % 100) * 1000000 +
+           |     (lon_dms % 1000) * 1000 + 1800) // 3600 AS lon_u,
+           |    ((lat_dms // 10000000) * 3600000000 +
+           |     ((lat_dms // 100000) % 100) * 60000000 +
+           |     ((lat_dms // 1000) % 100) * 1000000 +
+           |     (lat_dms % 1000) * 1000 + 1800) // 3600 AS lat_u
+           |  FROM s)
+           |SELECT CAST(key AS VARCHAR) AS stop_no, stop_name,
+           |  CAST(key % 20 + 5 AS INTEGER) AS bay_size,
+           |  CAST(1 + key % 2 AS VARCHAR) AS stop_type,
+           |  CAST(NULL AS INTEGER) AS is_afc,
+           |  CAST(NULL AS INTEGER) AS bus_shelter,
+           |  CAST(NULL AS INTEGER) AS platform_type,
+           |  CAST(NULL AS INTEGER) AS active_status,
+           |  printf('POINT (%d.%06d %d.%06d)',
+           |    lon_u // 1000000, lon_u % 1000000,
+           |    lat_u // 1000000, lat_u % 1000000) AS geom,
+           |  CASE
+           |    WHEN lon_u > 54000000 AND lon_u < 54500000
+           |     AND lat_u > 24000000 AND lat_u < 24600000 THEN 'AbuDhabi'
+           |    WHEN lon_u > 55500000 AND lon_u < 56000000
+           |     AND lat_u > 24000000 AND lat_u < 24500000 THEN 'AlAin'
+           |    WHEN lon_u > 52500000 AND lon_u < 54000000
+           |     AND lat_u > 23000000 AND lat_u < 24000000 THEN 'AlDhafra'
+           |    ELSE NULL END AS region_id,
+           |  '202505080912' AS version,
+           |  'system' AS create_by, 'system' AS update_by,
+           |  '20250807_11:07:58' AS create_time,
+           |  '20250807_11:07:58' AS update_time
+           |FROM c ORDER BY key""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 }
