@@ -51,7 +51,12 @@ object Bench {
       // caches; dropping them afterwards keeps the long session from
       // degrading (executor memory pressure compounds across 30+
       // queries otherwise — the round-1 q26 113s-vs-6s anomaly).
+      // The explicit GC lets the ContextCleaner release the query's
+      // broadcast + shuffle blocks NOW instead of whenever the next
+      // full GC happens — without it, ~90 executions of accumulated
+      // blocks made late-bench queries degrade 5-30x.
       spark.catalog.clearCache()
+      System.gc()
       (q.name, sec, err)
     }
     // JSON escape incl. ALL control chars (<0x20), and locale-free

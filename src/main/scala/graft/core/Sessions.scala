@@ -30,6 +30,14 @@ object Sessions {
       // hot-route/hot-user keys (SURVEY.md §7.4 item 8)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The ContextCleaner frees broadcast/shuffle blocks only after a
+      // driver GC collects their references; with a large heap under low
+      // allocation pressure that can be never during a 90-execution
+      // session, so state from early queries accumulates until late
+      // queries spill (measured: queries near the end of the bench
+      // degrading 5-30x non-deterministically). Default is 30min —
+      // far longer than the whole session.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
