@@ -38,10 +38,12 @@ import org.apache.spark.sql.functions._
   */
 object TravelInfo {
 
-  def adsTravelInfoMonthly(s: SparkSession, dir: String): DataFrame = {
+  /** Cleaned per-leg core shared by the monthly and daily variants:
+    * dims (J1: dedup right side; F1: deep_clean both keys), region
+    * filter (P4), and the per-leg derivations (F9/F10/F12/F16,
+    * integer-µs time math). NOT persisted here — each caller decides. */
+  private def cleanedLegs(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-
-    // --- dims (J1: dedup right side; F1: deep_clean both keys) --------
     val line = ev.select(col("event_type").as("line_abbr")).distinct()
       .withColumn("line_clean", Cleaning.deepClean(col("line_abbr")))
       // J1 right-side dedup, deterministically: min(raw) per cleaned
@@ -51,22 +53,12 @@ object TravelInfo {
       .withColumn("op_dep_no", length(col("line_abbr")) % 6)
     val opDept = Tables.region(s, dir)
       .select(col("r_regionkey").as("op_dep_no"), col("r_name").as("region_name"))
-
-    // --- merge_data (J1+J2+F2-shape) + region filter (P4) -------------
-    val legsBase = ev
+    ev
       .withColumn("route_clean", Cleaning.deepClean(col("event_type")))
       .join(broadcast(line), col("route_clean") === col("line_clean"), "left")
       .join(broadcast(opDept), Seq("op_dep_no"), "left")
       .withColumn("region_id", coalesce(col("region_name"), lit("Unknown")))
       .where(col("region_id") =!= "Unknown")
-
-    // --- per-leg derivations (F9/F10/F12/F16, integer-µs time math) ---
-    // Persisted: the cleaned-leg core feeds BOTH the monthly branch
-    // (which adds the journey window) and the daily branch (which
-    // doesn't) — the reference's shared-subplan persist (SURVEY.md §4
-    // "Shared-subplan reuse"); without it each grain re-scans and
-    // re-joins the fact table.
-    val legs = legsBase
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("month", date_format(col("ts"), "yyyy-MM"))
       .withColumn("start_us", unix_micros(col("ts")))
@@ -75,12 +67,13 @@ object TravelInfo {
       .withColumn("distance_km", col("value") / 1000.0)
       .withColumn("trip_time_min",
         (col("end_us") - col("start_us")).cast("double") / 60000000.0)
-      .transform(graft.core.Caching.eager)
+  }
 
-    // --- journey windows (W1+W3+W6+F17) -------------------------------
+  /** Journey windows (W1+W3+W6+F17) over the cleaned legs. */
+  private def addTransfer(legs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts"), col("event_id"))
-    val withTransfer = legs
+    legs
       .withColumn("leg_id", row_number().over(w))
       .withColumn("next_start_us", lead(col("start_us"), 1).over(w))
       .withColumn("gap_us", col("next_start_us") - col("end_us"))
@@ -88,6 +81,18 @@ object TravelInfo {
         when(col("next_start_us").isNull, 0.0)
           .when(col("gap_us") < 0L || col("gap_us") > 240L * 60000000L, 0.0)
           .otherwise(col("gap_us").cast("double") / 60000000.0))
+  }
+
+  def adsTravelInfoMonthly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+
+    // Persisted: the cleaned-leg core feeds BOTH the monthly branch
+    // (which adds the journey window) and the daily branch (which
+    // doesn't) — the reference's shared-subplan persist (SURVEY.md §4
+    // "Shared-subplan reuse"); without it each grain re-scans and
+    // re-joins the fact table.
+    val legs = cleanedLegs(s, dir).transform(graft.core.Caching.eager)
+    val withTransfer = addTransfer(legs)
 
     // --- monthly metrics at (month × region ⊕ overall), one pass (A9) -
     val monthly = Rollups.withOverall(withTransfer,
@@ -140,6 +145,68 @@ object TravelInfo {
           .as("avg_travel_time_by_trips"),
         round(when(col("journey_num") > 0,
           col("travel_time_raw") / col("journey_num")).otherwise(0.0), 4)
+          .as("avg_travel_time_by_journey"),
+        round(when(col("passenger_trips_num") > 0,
+          col("travel_distance_raw") / col("passenger_trips_num")).otherwise(0.0), 4)
+          .as("avg_travel_distance_by_trips"),
+        round(when(col("journey_num") > 0,
+          col("travel_distance_raw") / col("journey_num")).otherwise(0.0), 4)
+          .as("avg_travel_distance_by_journey"),
+        lit("system").as("create_by"),
+        lit("system").as("update_by"),
+        col("audit_ts").as("create_time"),
+        col("audit_ts").as("update_time"))
+      .orderBy(col("t_date"), col("region_id"))
+  }
+
+  /** `ads_passenger_travel_info_di` — the DAILY grain the data
+    * inventory documents alongside the monthly table (same columns
+    * minus the avg-daily fold, date_type='day'): one GROUPING SETS
+    * pass over the windowed legs, ratio metrics, audit columns. */
+  def adsTravelInfoDaily(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // single consumer — no persist needed (one pass, no fan-out)
+    val withTransfer = addTransfer(cleanedLegs(s, dir))
+    // Time metrics aggregate in EXACT integer microseconds (the repo's
+    // oracle-parity rule): double minute-sums differ between engines in
+    // the last bit by summation order, which flips round-4 quotients
+    // that land exactly on a rounding boundary (measured: one
+    // avg_travel_time_by_journey tie at sf0.01). Integer sums are
+    // order-free; the single double division afterwards is identical
+    // arithmetic on identical inputs in both engines.
+    val daily = Rollups.withOverall(withTransfer,
+      keepCols = Seq(col("day")), overallCol = "region_id",
+      overallLabel = "overall",
+      aggs = Seq(
+        count(lit(1)).as("passenger_trips_num"),
+        sum(when(col("leg_id") === 1, 1L).otherwise(0L)).as("journey_num"),
+        sum(when(col("leg_id") =!= 1, 1L).otherwise(0L)).as("transfer_num"),
+        sum(col("distance_km")).as("travel_distance_raw"),
+        sum(col("end_us") - col("start_us")).as("travel_time_us"),
+        sum(when(col("next_start_us").isNull, 0L)
+          .when(col("gap_us") < 0L || col("gap_us") > 240L * 60000000L, 0L)
+          .otherwise(col("gap_us"))).as("transfer_time_us")))
+    val audit = broadcast(ev.agg(
+      date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("audit_ts")))
+    daily
+      .crossJoin(audit)
+      .select(
+        col("day").as("t_date"),
+        lit("day").as("date_type"),
+        col("region_id"),
+        col("transfer_num"), col("journey_num"), col("passenger_trips_num"),
+        round(col("travel_distance_raw"), 2).as("travel_distance"),
+        round(col("travel_time_us").cast("double") / 60000000.0, 2)
+          .as("travel_time"),
+        round(col("transfer_time_us").cast("double") / 60000000.0, 2)
+          .as("transfer_time"),
+        round(when(col("passenger_trips_num") > 0,
+          col("travel_time_us").cast("double") / 60000000.0
+            / col("passenger_trips_num")).otherwise(0.0), 4)
+          .as("avg_travel_time_by_trips"),
+        round(when(col("journey_num") > 0,
+          col("travel_time_us").cast("double") / 60000000.0
+            / col("journey_num")).otherwise(0.0), 4)
           .as("avg_travel_time_by_journey"),
         round(when(col("passenger_trips_num") > 0,
           col("travel_distance_raw") / col("passenger_trips_num")).otherwise(0.0), 4)

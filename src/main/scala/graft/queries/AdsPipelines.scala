@@ -776,6 +776,87 @@ object AdsPipelines {
            |  '20250807_11:07:58' AS update_time
            |FROM c ORDER BY key""".stripMargin))
 
+  /** Daily-grain `ads_passenger_travel_info_di` — see
+    * [[graft.pipelines.TravelInfo.adsTravelInfoDaily]]. */
+  val q51 = QueryDef(
+    "q51_ads_travel_info_daily",
+    (s, dir) => TravelInfo.adsTravelInfoDaily(s, dir),
+    Some("""WITH line AS (
+           |  SELECT line_clean, min(line_abbr) AS line_abbr,
+           |    length(min(line_abbr)) % 6 AS op_dep_no
+           |  FROM (SELECT DISTINCT event_type AS line_abbr,
+           |          upper(regexp_replace(trim(event_type), '[^A-Za-z0-9]', '', 'g')) AS line_clean
+           |        FROM events)
+           |  GROUP BY line_clean),
+           |legs AS (
+           |  SELECT e.user_id, e.event_id, e.ts, e.value,
+           |    r.r_name AS region_id,
+           |    strftime(e.ts, '%Y-%m-%d') AS day,
+           |    epoch_us(e.ts) AS start_us,
+           |    epoch_us(e.ts) + CAST(round(e.value * 60000000) AS BIGINT) AS end_us
+           |  FROM events e
+           |  LEFT JOIN line l
+           |    ON upper(regexp_replace(trim(e.event_type), '[^A-Za-z0-9]', '', 'g')) = l.line_clean
+           |  LEFT JOIN region r ON l.op_dep_no = r.r_regionkey
+           |  WHERE r.r_name IS NOT NULL),
+           |wt AS (
+           |  SELECT *,
+           |    value / 1000.0 AS distance_km,
+           |    CAST(end_us - start_us AS DOUBLE) / 60000000.0 AS trip_time_min,
+           |    row_number() OVER w AS leg_id,
+           |    lead(start_us) OVER w AS next_start_us
+           |  FROM legs
+           |  WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id)),
+           |wt2 AS (
+           |  SELECT *,
+           |    CASE WHEN next_start_us IS NULL THEN 0.0
+           |         WHEN next_start_us - end_us < 0
+           |           OR next_start_us - end_us > 14400000000 THEN 0.0
+           |         ELSE CAST(next_start_us - end_us AS DOUBLE) / 60000000.0
+           |    END AS transfer_min
+           |  FROM wt),
+           |daily AS (
+           |  SELECT day,
+           |    CASE WHEN GROUPING(region_id) = 1 THEN 'overall' ELSE region_id END AS region_id,
+           |    CAST(count(*) AS BIGINT) AS passenger_trips_num,
+           |    CAST(SUM(CASE WHEN leg_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS journey_num,
+           |    CAST(SUM(CASE WHEN leg_id != 1 THEN 1 ELSE 0 END) AS BIGINT) AS transfer_num,
+           |    SUM(distance_km) AS travel_distance_raw,
+           |    CAST(SUM(end_us - start_us) AS BIGINT) AS travel_time_us,
+           |    CAST(SUM(CASE WHEN next_start_us IS NULL THEN 0
+           |                  WHEN next_start_us - end_us < 0
+           |                    OR next_start_us - end_us > 14400000000 THEN 0
+           |                  ELSE next_start_us - end_us END) AS BIGINT)
+           |      AS transfer_time_us
+           |  FROM wt2
+           |  GROUP BY GROUPING SETS ((day, region_id), (day))),
+           |audit AS (
+           |  SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS audit_ts FROM events)
+           |SELECT d.day AS t_date, 'day' AS date_type, d.region_id,
+           |  d.transfer_num, d.journey_num, d.passenger_trips_num,
+           |  ROUND(d.travel_distance_raw, 2) AS travel_distance,
+           |  ROUND(CAST(d.travel_time_us AS DOUBLE) / 60000000.0, 2) AS travel_time,
+           |  ROUND(CAST(d.transfer_time_us AS DOUBLE) / 60000000.0, 2) AS transfer_time,
+           |  ROUND(CASE WHEN d.passenger_trips_num > 0
+           |             THEN CAST(d.travel_time_us AS DOUBLE) / 60000000.0
+           |                  / d.passenger_trips_num ELSE 0 END, 4)
+           |    AS avg_travel_time_by_trips,
+           |  ROUND(CASE WHEN d.journey_num > 0
+           |             THEN CAST(d.travel_time_us AS DOUBLE) / 60000000.0
+           |                  / d.journey_num ELSE 0 END, 4)
+           |    AS avg_travel_time_by_journey,
+           |  ROUND(CASE WHEN d.passenger_trips_num > 0
+           |             THEN d.travel_distance_raw / d.passenger_trips_num ELSE 0 END, 4)
+           |    AS avg_travel_distance_by_trips,
+           |  ROUND(CASE WHEN d.journey_num > 0
+           |             THEN d.travel_distance_raw / d.journey_num ELSE 0 END, 4)
+           |    AS avg_travel_distance_by_journey,
+           |  'system' AS create_by, 'system' AS update_by,
+           |  au.audit_ts AS create_time, au.audit_ts AS update_time
+           |FROM daily d
+           |CROSS JOIN audit au
+           |ORDER BY 1, 3""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
 }
