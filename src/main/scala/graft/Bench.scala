@@ -37,7 +37,9 @@ object Bench {
       // Data caches are dropped in between: the timed run still builds
       // its own persists, reads parquet, and shuffles from scratch.
       try q.fn(spark, sfDir).count()
-      catch { case _: Throwable => () } // timed run reports the error
+      catch { case scala.util.control.NonFatal(_) => () } // timed run reports it
+      // (fatal VM errors must propagate — a timed run in a corrupted
+      // JVM would record garbage instead of the real failure)
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val err =

@@ -85,11 +85,15 @@ object VdvX10 {
     * the `frm;` line when present (reference generic variant), else all
     * strings (tag variant behavior — the caller casts). */
   def readTable(spark: SparkSession, path: String, tableName: String): DataFrame = {
-    val sec = sections(spark, path)
-      .find(_.name == tableName.toUpperCase)
+    val secs = sections(spark, path)
+    val sec = secs.find(_.name == tableName.toUpperCase)
       .getOrElse(throw new IllegalArgumentException(
-        s"table $tableName not in $path (has: ${tableNames(spark, path).mkString(",")})"))
-    require(sec.cols.nonEmpty, s"table $tableName has no atr; header")
+        s"table $tableName not in $path (has: ${secs.map(_.name).mkString(",")})"))
+    readSection(spark, path, sec)
+  }
+
+  private def readSection(spark: SparkSession, path: String, sec: Section): DataFrame = {
+    require(sec.cols.nonEmpty, s"table ${sec.name} has no atr; header")
 
     val types: Seq[DataType] =
       if (sec.formats.size == sec.cols.size) sec.formats.map(frmType)
@@ -117,9 +121,14 @@ object VdvX10 {
 
   /** All tables of the file as a map (dimension-load convenience,
     * mirroring the reference loading 11 VDV tables at once —
-    * `ads_passenger_travel_time_di.R:77-91`). */
+    * `ads_passenger_travel_time_di.R:77-91`). The control-line layout
+    * is parsed ONCE and shared across every table — per-table
+    * `readTable` calls would re-scan the file's control lines K times
+    * for a K-table file (K+1 jobs of identical I/O, multiplied per
+    * file by readFolder). */
   def readAll(spark: SparkSession, path: String): Map[String, DataFrame] =
-    tableNames(spark, path).map(n => n -> readTable(spark, path, n)).toMap
+    sections(spark, path).map(sec =>
+      sec.name -> readSection(spark, path, sec)).toMap
 
   /** Whole-export load: every `.x10` file in a directory, merged into
     * one table→DataFrame map — the reference's folder pattern (one file

@@ -30,11 +30,13 @@ object Skew {
     * matching countDistinct). */
   def distinctCountSalted(df: DataFrame, keys: Seq[String], valueCol: String,
                           outCol: String): DataFrame =
-    df.where(col(valueCol).isNotNull)
-      .select((keys :+ valueCol).map(col): _*)
+    // NULL rows are kept through the first shuffle (a key whose values
+    // are ALL null must still yield a (key, 0) row, exactly like
+    // countDistinct) and excluded only from the final count.
+    df.select((keys :+ valueCol).map(col): _*)
       .distinct()
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as(outCol))
+      .agg(count(col(valueCol)).as(outCol))
 
   /** Salted equi-join for a skewed LEFT side against a RIGHT side too
     * big to broadcast: the left's shuffle key gains a deterministic

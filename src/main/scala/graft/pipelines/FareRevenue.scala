@@ -35,26 +35,32 @@ object FareRevenue {
     val region = broadcast(Tables.region(s, dir)
       .select(col("r_regionkey"), col("r_name").as("region_id")))
 
-    val fares = Tables.orders(s, dir)
+    // ONE projected scan of orders feeds both grains (fares and the
+    // inspection join) — eagerly cached per the shared-subplan rule.
+    // Fares aggregate in exact integer CENTS (o_totalprice is
+    // 2-decimal money; double sums differ across engines in the last
+    // bit by summation order, flipping round-half boundaries — the
+    // same tie class q51 hit on minute-sums).
+    val orders = graft.core.Caching.eager(Tables.orders(s, dir)
       .join(region, col("o_custkey") % 5 === col("r_regionkey"))
-      .select(date_format(col("o_orderdate"), "yyyy-MM").as("t_date"),
-        col("region_id"), col("o_totalprice"),
-        dayofmonth(last_day(col("o_orderdate"))).as("dim"))
-    val fareAgg = Rollups.withOverall(fares,
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("t_date"),
+        col("region_id"),
+        round(col("o_totalprice") * 100).cast("long").as("fare_cents"),
+        dayofmonth(last_day(col("o_orderdate"))).as("dim")))
+
+    val fareAgg = Rollups.withOverall(orders,
       keepCols = Seq(col("t_date")), overallCol = "region_id",
       overallLabel = "Overall",
       aggs = Seq(
-        sum(col("o_totalprice")).as("fare_raw"),
+        sum(col("fare_cents")).as("fare_cents"),
         count(lit(1)).as("passenger_num"),
         max(col("dim")).as("days_in_month")))
 
     val inspections = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(orders.select(col("o_orderkey"), col("t_date"), col("region_id")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(region, col("o_custkey") % 5 === col("r_regionkey"))
-      .select(date_format(col("o_orderdate"), "yyyy-MM").as("t_date"),
-        col("region_id"), col("l_orderkey"), col("l_returnflag"))
     val inspAgg = Rollups.withOverall(inspections,
       keepCols = Seq(col("t_date")), overallCol = "region_id",
       overallLabel = "Overall",
@@ -79,10 +85,11 @@ object FareRevenue {
     fareAgg.join(broadcast(inspAgg), Seq("t_date", "region_id"), "left")
       .select(
         col("t_date"), lit("month").as("date_type"), col("region_id"),
-        round(col("fare_raw"), 2).as("fare_revenue"),
-        round(col("fare_raw") / col("days_in_month"), 2)
+        round(col("fare_cents").cast("double") / 100.0, 2).as("fare_revenue"),
+        round(col("fare_cents").cast("double") / 100.0 / col("days_in_month"), 2)
           .as("average_daily_revenue"),
-        round(col("fare_raw") / col("passenger_num"), 2).as("average_fare"),
+        round(col("fare_cents").cast("double") / 100.0 / col("passenger_num"), 2)
+          .as("average_fare"),
         coalesce(col("passengers_inspection_num"), lit(0L))
           .as("passengers_inspection_num"),
         coalesce(col("fare_evasion_passenger_num"), lit(0L))

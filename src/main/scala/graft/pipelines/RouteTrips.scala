@@ -101,6 +101,12 @@ object RouteTrips {
         lit("system").as("create_by"),
         col("audit_ts").as("update_time"),
         lit("system").as("update_by"))
-      .orderBy(col("t_date"), col("line_no"), col("direction"))
+      // passenger_trips_num joins the sort key: at a slice-boundary
+      // midnight the same (date, line, direction) legitimately appears
+      // twice with different counts (reference quirk preserved above),
+      // and the oracle compare is positional — tied keys must not
+      // leave row order to the engine.
+      .orderBy(col("t_date"), col("line_no"), col("direction"),
+        col("passenger_trips_num"))
   }
 }

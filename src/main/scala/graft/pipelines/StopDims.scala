@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   *
   * Fixture mapping matches q38 (routes/stops derive from lineitem/
   * part), with one deliberate difference: stop coordinate milliseconds
-  * are key%997+1 / key%991+1 — never zero — so no stop lands exactly
-  * on a region-rectangle edge and the within-test is boundary-free.
+  * are key%997+1 / key%991+1 — never zero — so (except where
+  * microdegree rounding collapses the sub-milliarcsecond offset back
+  * onto a degree boundary, possible only at keys ≡ 0 mod 59820) stops
+  * sit strictly inside or outside the rectangles. Edge-landing points
+  * classify identically in both engines anyway: the comparison runs on
+  * the SAME integer microdegree value against the same strict bounds.
   * The region polygons here are the q35 GeoJSON fixture's axis-aligned
   * rectangles, so `within` reduces to exact integer-microdegree range
   * checks — ANSI-expressible, which is what lets this table carry a

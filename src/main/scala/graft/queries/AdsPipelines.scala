@@ -598,7 +598,7 @@ object AdsPipelines {
            |FROM sliced s
            |LEFT JOIN line l ON s.route = l.line_abbr
            |CROSS JOIN wm w
-           |ORDER BY t_date, line_no, direction""".stripMargin))
+           |ORDER BY t_date, line_no, direction, passenger_trips_num""".stripMargin))
 
   /** Revenue family `ads_fare_revenue_region_mi` (documented schema) —
     * see [[graft.pipelines.FareRevenue.adsFareRevenueMonthly]]. */
@@ -608,24 +608,24 @@ object AdsPipelines {
     Some("""WITH region_d AS (
            |  SELECT r_regionkey, r_name AS region_id FROM region),
            |fares AS (
-           |  SELECT strftime(o.o_orderdate, '%Y-%m') AS t_date, r.region_id,
-           |    o.o_totalprice, EXTRACT(day FROM last_day(o.o_orderdate)) AS dim_days
+           |  SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m') AS t_date,
+           |    r.region_id,
+           |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS fare_cents,
+           |    EXTRACT(day FROM last_day(o.o_orderdate)) AS dim_days
            |  FROM orders o JOIN region_d r ON o.o_custkey % 5 = r.r_regionkey),
            |fare_agg AS (
            |  SELECT t_date,
            |    CASE WHEN GROUPING(region_id) = 1 THEN 'Overall' ELSE region_id END
            |      AS region_id,
-           |    SUM(o_totalprice) AS fare_raw,
+           |    CAST(SUM(fare_cents) AS BIGINT) AS fare_cents,
            |    CAST(count(*) AS BIGINT) AS passenger_num,
            |    max(dim_days) AS days_in_month
            |  FROM fares
            |  GROUP BY GROUPING SETS ((t_date, region_id), (t_date))),
            |insp AS (
-           |  SELECT strftime(o.o_orderdate, '%Y-%m') AS t_date, r.region_id,
-           |    l.l_orderkey, l.l_returnflag
+           |  SELECT f.t_date, f.region_id, l.l_orderkey, l.l_returnflag
            |  FROM lineitem l
-           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-           |  JOIN region_d r ON o.o_custkey % 5 = r.r_regionkey),
+           |  JOIN fares f ON l.l_orderkey = f.o_orderkey),
            |insp_agg AS (
            |  SELECT t_date,
            |    CASE WHEN GROUPING(region_id) = 1 THEN 'Overall' ELSE region_id END
@@ -643,9 +643,11 @@ object AdsPipelines {
            |  FROM insp
            |  GROUP BY GROUPING SETS ((t_date, region_id), (t_date)))
            |SELECT f.t_date, 'month' AS date_type, f.region_id,
-           |  ROUND(f.fare_raw, 2) AS fare_revenue,
-           |  ROUND(f.fare_raw / f.days_in_month, 2) AS average_daily_revenue,
-           |  ROUND(f.fare_raw / f.passenger_num, 2) AS average_fare,
+           |  ROUND(CAST(f.fare_cents AS DOUBLE) / 100.0, 2) AS fare_revenue,
+           |  ROUND(CAST(f.fare_cents AS DOUBLE) / 100.0 / f.days_in_month, 2)
+           |    AS average_daily_revenue,
+           |  ROUND(CAST(f.fare_cents AS DOUBLE) / 100.0 / f.passenger_num, 2)
+           |    AS average_fare,
            |  COALESCE(i.passengers_inspection_num, 0) AS passengers_inspection_num,
            |  COALESCE(i.fare_evasion_passenger_num, 0) AS fare_evasion_passenger_num,
            |  f.passenger_num,

@@ -21,7 +21,7 @@ object PlanAudit {
       } catch {
         case e: Throwable =>
           println(s"AUDIT ${q.name} ERROR ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(80)}")
-      }
+      } finally spark.catalog.clearCache() // eager() caches build during fn()
     }
     spark.stop()
   }

@@ -140,8 +140,11 @@ class OpsSpec extends AnyFunSuite {
 
   test("Skew.distinctCountSalted equals countDistinct (incl. null handling)") {
     val ev = Tables.events(spark, SparkTestBase.sf)
+      // ~1/7 of values null, plus one event_type whose values are ALL
+      // null — the group must still appear with count 0
       .withColumn("maybe_user",
-        when($"event_id" % 7 === 0, lit(null)).otherwise($"user_id"))
+        when($"event_id" % 7 === 0 || $"event_type" === "error", lit(null))
+          .otherwise($"user_id"))
     val want = ev.groupBy($"event_type")
       .agg(countDistinct($"maybe_user").as("n_users"))
       .as[(String, Long)].collect().toSet

@@ -44,8 +44,10 @@ class PlanSpec extends AnyFunSuite {
       val p = q.fn(spark, SparkTestBase.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
         s"${q.name} plans a CartesianProduct")
+      // Caching.eager materializes during fn() — drop per query, not
+      // once at the end, or ~50 queries' caches pile up in one JVM
+      spark.catalog.clearCache()
     }
-    spark.catalog.clearCache()
   }
 
   test("ads pipelines broadcast their dims") {
@@ -55,7 +57,7 @@ class PlanSpec extends AnyFunSuite {
         val p = planOf(name)
         assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
           s"$name lost its dim broadcasts")
+        spark.catalog.clearCache()
       }
-    spark.catalog.clearCache()
   }
 }
