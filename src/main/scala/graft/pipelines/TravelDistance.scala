@@ -48,6 +48,9 @@ object TravelDistance {
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("distance_type", TimeOps.distanceBin(col("value") / 1000.0))
       .withColumn("leg_id", row_number().over(wOrd))
+      // narrow BEFORE caching (see TravelTime): consumers read 5 cols
+      .select(col("day"), col("region_id"), col("distance_type"),
+        col("leg_id"), col("ts"))
       .transform(graft.core.Caching.eager)
 
     def aggregate(df: DataFrame): DataFrame =

@@ -91,7 +91,13 @@ object TravelInfo {
     // doesn't) — the reference's shared-subplan persist (SURVEY.md §4
     // "Shared-subplan reuse"); without it each grain re-scans and
     // re-joins the fact table.
-    val legs = cleanedLegs(s, dir).transform(graft.core.Caching.eager)
+    // narrow BEFORE caching: both grains read 10 of the ~18 columns
+    // (the raw event cols incl. the props JSON are dead weight here)
+    val legs = cleanedLegs(s, dir)
+      .select(col("user_id"), col("day"), col("month"), col("ts"),
+        col("event_id"), col("region_id"), col("start_us"), col("end_us"),
+        col("distance_km"), col("trip_time_min"))
+      .transform(graft.core.Caching.eager)
     val withTransfer = addTransfer(legs)
 
     // --- monthly metrics at (month × region ⊕ overall), one pass (A9) -

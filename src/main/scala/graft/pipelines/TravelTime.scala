@@ -59,6 +59,11 @@ object TravelTime {
       .withColumn("time_range_type", TimeOps.timeRangeBin(col("value")))
       .withColumn("leg_id", row_number().over(wOrd))
       .withColumn("n_legs", count(lit(1)).over(w))
+      // narrow BEFORE caching: the three consumers need 7 columns; the
+      // wide row (raw event cols incl. the props JSON) roughly doubles
+      // the cache build + scan cost for bytes nothing reads
+      .select(col("day"), col("region_id"), col("user_id"),
+        col("time_range_type"), col("travel_us"), col("leg_id"), col("n_legs"))
       .transform(graft.core.Caching.eager)
 
     val keys = Seq("ope_date", "time_range_type", "region_id")
