@@ -101,6 +101,9 @@ object TravelInfo {
     val withTransfer = addTransfer(legs)
 
     // --- monthly metrics at (month × region ⊕ overall), one pass (A9) -
+    // time metrics in exact integer microseconds — see the q51 comment:
+    // double minute-sums differ across engines in the last bit by
+    // summation order, flipping round-half quotient boundaries
     val monthly = Rollups.withOverall(withTransfer,
       keepCols = Seq(col("month")), overallCol = "region_id",
       overallLabel = "overall",
@@ -109,8 +112,10 @@ object TravelInfo {
         sum(when(col("leg_id") === 1, 1L).otherwise(0L)).as("journey_num"),
         sum(when(col("leg_id") =!= 1, 1L).otherwise(0L)).as("transfer_num"),
         sum(col("distance_km")).as("travel_distance_raw"),
-        sum(col("trip_time_min")).as("travel_time_raw"),
-        sum(col("transfer_min")).as("transfer_time_raw")))
+        sum(col("end_us") - col("start_us")).as("travel_time_us"),
+        sum(when(col("next_start_us").isNull, 0L)
+          .when(col("gap_us") < 0L || col("gap_us") > 240L * 60000000L, 0L)
+          .otherwise(col("gap_us"))).as("transfer_time_us")))
 
     // --- daily trips/users at (day × region ⊕ overall), folded (A15) --
     // from `legs`, not `withTransfer`: this grain needs no window.
@@ -143,14 +148,18 @@ object TravelInfo {
         col("region_id"),
         col("transfer_num"), col("journey_num"), col("passenger_trips_num"),
         round(col("travel_distance_raw"), 2).as("travel_distance"),
-        round(col("travel_time_raw"), 2).as("travel_time"),
-        round(col("transfer_time_raw"), 2).as("transfer_time"),
+        round(col("travel_time_us").cast("double") / 60000000.0, 2)
+          .as("travel_time"),
+        round(col("transfer_time_us").cast("double") / 60000000.0, 2)
+          .as("transfer_time"),
         col("avg_daily_trips_per_passenger"),
         round(when(col("passenger_trips_num") > 0,
-          col("travel_time_raw") / col("passenger_trips_num")).otherwise(0.0), 4)
+          col("travel_time_us").cast("double") / 60000000.0
+            / col("passenger_trips_num")).otherwise(0.0), 4)
           .as("avg_travel_time_by_trips"),
         round(when(col("journey_num") > 0,
-          col("travel_time_raw") / col("journey_num")).otherwise(0.0), 4)
+          col("travel_time_us").cast("double") / 60000000.0
+            / col("journey_num")).otherwise(0.0), 4)
           .as("avg_travel_time_by_journey"),
         round(when(col("passenger_trips_num") > 0,
           col("travel_distance_raw") / col("passenger_trips_num")).otherwise(0.0), 4)

@@ -57,8 +57,12 @@ object AdsPipelines {
            |    CAST(SUM(CASE WHEN leg_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS journey_num,
            |    CAST(SUM(CASE WHEN leg_id != 1 THEN 1 ELSE 0 END) AS BIGINT) AS transfer_num,
            |    SUM(distance_km) AS travel_distance_raw,
-           |    SUM(trip_time_min) AS travel_time_raw,
-           |    SUM(transfer_min) AS transfer_time_raw
+           |    CAST(SUM(end_us - start_us) AS BIGINT) AS travel_time_us,
+           |    CAST(SUM(CASE WHEN next_start_us IS NULL THEN 0
+           |                  WHEN next_start_us - end_us < 0
+           |                    OR next_start_us - end_us > 14400000000 THEN 0
+           |                  ELSE next_start_us - end_us END) AS BIGINT)
+           |      AS transfer_time_us
            |  FROM wt2
            |  GROUP BY GROUPING SETS ((month, region_id), (month))),
            |daily AS (
@@ -80,14 +84,16 @@ object AdsPipelines {
            |SELECT m.month AS t_date, 'month' AS date_type, m.region_id,
            |  m.transfer_num, m.journey_num, m.passenger_trips_num,
            |  ROUND(m.travel_distance_raw, 2) AS travel_distance,
-           |  ROUND(m.travel_time_raw, 2) AS travel_time,
-           |  ROUND(m.transfer_time_raw, 2) AS transfer_time,
+           |  ROUND(CAST(m.travel_time_us AS DOUBLE) / 60000000.0, 2) AS travel_time,
+           |  ROUND(CAST(m.transfer_time_us AS DOUBLE) / 60000000.0, 2) AS transfer_time,
            |  a.avg_daily_trips_per_passenger,
            |  ROUND(CASE WHEN m.passenger_trips_num > 0
-           |             THEN m.travel_time_raw / m.passenger_trips_num ELSE 0 END, 4)
+           |             THEN CAST(m.travel_time_us AS DOUBLE) / 60000000.0
+           |                  / m.passenger_trips_num ELSE 0 END, 4)
            |    AS avg_travel_time_by_trips,
            |  ROUND(CASE WHEN m.journey_num > 0
-           |             THEN m.travel_time_raw / m.journey_num ELSE 0 END, 4)
+           |             THEN CAST(m.travel_time_us AS DOUBLE) / 60000000.0
+           |                  / m.journey_num ELSE 0 END, 4)
            |    AS avg_travel_time_by_journey,
            |  ROUND(CASE WHEN m.passenger_trips_num > 0
            |             THEN m.travel_distance_raw / m.passenger_trips_num ELSE 0 END, 4)
@@ -446,19 +452,25 @@ object AdsPipelines {
       val ord = Tables.orders(s, dir)
         .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM").as("v_month"))
       val part = Tables.part(s, dir).select(col("p_partkey"), col("p_type").as("product"))
+      // quantity is integral and price is 2-decimal money (both within
+      // 1e-9 in the fixture): aggregate in exact integer units so the
+      // cross-engine summation-order round-half ties (the q51 class)
+      // cannot occur
       val byProduct = li
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .groupBy(col("v_month"), col("product"))
-        .agg(sum(col("l_quantity")).as("sales_quantity"),
-             sum(col("l_extendedprice")).as("sales_revenue"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sales_quantity"),
+             sum(round(col("l_extendedprice") * 100).cast("long"))
+               .as("revenue_cents"))
         .withColumn("is_csc", col("product").contains("BRASS"))
       byProduct.groupBy(col("v_month"))
         .agg(
-          round(sum(col("sales_quantity")), 2).as("sales_quantity"),
-          round(sum(col("sales_revenue")), 2).as("sales_revenue"),
-          round(sum(when(col("is_csc"), col("sales_quantity")).otherwise(0.0)), 2)
-            .as("contactless_smart_tickets_num"))
+          round(sum(col("sales_quantity")).cast("double"), 2).as("sales_quantity"),
+          round(sum(col("revenue_cents")).cast("double") / 100.0, 2)
+            .as("sales_revenue"),
+          round(sum(when(col("is_csc"), col("sales_quantity")).otherwise(0L))
+            .cast("double"), 2).as("contactless_smart_tickets_num"))
         .select(col("v_month").as("t_date"), lit("month").as("date_type"),
           col("sales_quantity"), col("sales_revenue"),
           col("contactless_smart_tickets_num"),
@@ -469,18 +481,20 @@ object AdsPipelines {
     },
     Some("""WITH by_product AS (
            |  SELECT strftime(o.o_orderdate, '%Y-%m') AS v_month, p.p_type AS product,
-           |    SUM(l.l_quantity) AS sales_quantity,
-           |    SUM(l.l_extendedprice) AS sales_revenue,
+           |    CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+           |      AS sales_quantity,
+           |    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS revenue_cents,
            |    contains(p.p_type, 'BRASS') AS is_csc
            |  FROM lineitem l
            |  JOIN orders o ON l.l_orderkey = o.o_orderkey
            |  JOIN part p ON l.l_partkey = p.p_partkey
            |  GROUP BY 1, 2, contains(p.p_type, 'BRASS'))
            |SELECT v_month AS t_date, 'month' AS date_type,
-           |  ROUND(SUM(sales_quantity), 2) AS sales_quantity,
-           |  ROUND(SUM(sales_revenue), 2) AS sales_revenue,
-           |  ROUND(SUM(CASE WHEN is_csc THEN sales_quantity ELSE 0 END), 2)
-           |    AS contactless_smart_tickets_num,
+           |  ROUND(CAST(SUM(sales_quantity) AS DOUBLE), 2) AS sales_quantity,
+           |  ROUND(CAST(SUM(revenue_cents) AS DOUBLE) / 100.0, 2) AS sales_revenue,
+           |  ROUND(CAST(SUM(CASE WHEN is_csc THEN sales_quantity ELSE 0 END)
+           |    AS DOUBLE), 2) AS contactless_smart_tickets_num,
            |  'system' AS create_by, 'system' AS update_by,
            |  '2025-09-01 11:07:58' AS create_time,
            |  '2025-09-01 11:07:58' AS update_time
