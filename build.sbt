@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs ALL executor work in this one JVM: 32 concurrent
+  // tasks' shuffle/window buffers plus per-query caches. 8g left the
+  // 48-query bench session under enough old-gen pressure that
+  // late-position queries ran 2x their solo time even after the
+  // ContextCleaner fixes; 16g removes it (machine has 125g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -38,6 +38,13 @@ object Sessions {
       // degrading 5-30x non-deterministically). Default is 30min —
       // far longer than the whole session.
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // default 100 entries — a 50-query session generates far more
+      // codegen classes than that, so the LRU evicts a query's
+      // just-compiled classes between its warmup and timed runs
+      // (worse: AQE re-plans make recompiles non-deterministic —
+      // measured as individual heavy queries randomly running at their
+      // cold-codegen cost mid-session)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
