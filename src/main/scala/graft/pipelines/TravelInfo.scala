@@ -65,8 +65,6 @@ object TravelInfo {
       .withColumn("end_us",
         col("start_us") + round(col("value") * 60000000L).cast("long"))
       .withColumn("distance_km", col("value") / 1000.0)
-      .withColumn("trip_time_min",
-        (col("end_us") - col("start_us")).cast("double") / 60000000.0)
   }
 
   /** Journey windows (W1+W3+W6+F17) over the cleaned legs. */
@@ -77,10 +75,13 @@ object TravelInfo {
       .withColumn("leg_id", row_number().over(w))
       .withColumn("next_start_us", lead(col("start_us"), 1).over(w))
       .withColumn("gap_us", col("next_start_us") - col("end_us"))
-      .withColumn("transfer_min",
-        when(col("next_start_us").isNull, 0.0)
-          .when(col("gap_us") < 0L || col("gap_us") > 240L * 60000000L, 0.0)
-          .otherwise(col("gap_us").cast("double") / 60000000.0))
+      // the ONE copy of the 240-min transfer gate, in integer µs —
+      // both grains sum this column (a second copy in an aggregate
+      // would silently desynchronize if the cap ever changes)
+      .withColumn("transfer_us",
+        when(col("next_start_us").isNull, 0L)
+          .when(col("gap_us") < 0L || col("gap_us") > 240L * 60000000L, 0L)
+          .otherwise(col("gap_us")))
   }
 
   def adsTravelInfoMonthly(s: SparkSession, dir: String): DataFrame = {
@@ -91,12 +92,12 @@ object TravelInfo {
     // doesn't) — the reference's shared-subplan persist (SURVEY.md §4
     // "Shared-subplan reuse"); without it each grain re-scans and
     // re-joins the fact table.
-    // narrow BEFORE caching: both grains read 10 of the ~18 columns
+    // narrow BEFORE caching: both grains read 9 of the ~17 columns
     // (the raw event cols incl. the props JSON are dead weight here)
     val legs = cleanedLegs(s, dir)
       .select(col("user_id"), col("day"), col("month"), col("ts"),
         col("event_id"), col("region_id"), col("start_us"), col("end_us"),
-        col("distance_km"), col("trip_time_min"))
+        col("distance_km"))
       .transform(graft.core.Caching.eager)
     val withTransfer = addTransfer(legs)
 
@@ -113,9 +114,7 @@ object TravelInfo {
         sum(when(col("leg_id") =!= 1, 1L).otherwise(0L)).as("transfer_num"),
         sum(col("distance_km")).as("travel_distance_raw"),
         sum(col("end_us") - col("start_us")).as("travel_time_us"),
-        sum(when(col("next_start_us").isNull, 0L)
-          .when(col("gap_us") < 0L || col("gap_us") > 240L * 60000000L, 0L)
-          .otherwise(col("gap_us"))).as("transfer_time_us")))
+        sum(col("transfer_us")).as("transfer_time_us")))
 
     // --- daily trips/users at (day × region ⊕ overall), folded (A15) --
     // from `legs`, not `withTransfer`: this grain needs no window.
@@ -198,9 +197,7 @@ object TravelInfo {
         sum(when(col("leg_id") =!= 1, 1L).otherwise(0L)).as("transfer_num"),
         sum(col("distance_km")).as("travel_distance_raw"),
         sum(col("end_us") - col("start_us")).as("travel_time_us"),
-        sum(when(col("next_start_us").isNull, 0L)
-          .when(col("gap_us") < 0L || col("gap_us") > 240L * 60000000L, 0L)
-          .otherwise(col("gap_us"))).as("transfer_time_us")))
+        sum(col("transfer_us")).as("transfer_time_us")))
     val audit = broadcast(ev.agg(
       date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("audit_ts")))
     daily

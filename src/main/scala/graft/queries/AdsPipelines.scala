@@ -34,22 +34,13 @@ object AdsPipelines {
            |    ON upper(regexp_replace(trim(e.event_type), '[^A-Za-z0-9]', '', 'g')) = l.line_clean
            |  LEFT JOIN region r ON l.op_dep_no = r.r_regionkey
            |  WHERE r.r_name IS NOT NULL),
-           |wt AS (
+           |wt2 AS (
            |  SELECT *,
            |    value / 1000.0 AS distance_km,
-           |    CAST(end_us - start_us AS DOUBLE) / 60000000.0 AS trip_time_min,
            |    row_number() OVER w AS leg_id,
            |    lead(start_us) OVER w AS next_start_us
            |  FROM legs
            |  WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id)),
-           |wt2 AS (
-           |  SELECT *,
-           |    CASE WHEN next_start_us IS NULL THEN 0.0
-           |         WHEN next_start_us - end_us < 0
-           |           OR next_start_us - end_us > 14400000000 THEN 0.0
-           |         ELSE CAST(next_start_us - end_us AS DOUBLE) / 60000000.0
-           |    END AS transfer_min
-           |  FROM wt),
            |monthly AS (
            |  SELECT month,
            |    CASE WHEN GROUPING(region_id) = 1 THEN 'overall' ELSE region_id END AS region_id,
@@ -815,22 +806,13 @@ object AdsPipelines {
            |    ON upper(regexp_replace(trim(e.event_type), '[^A-Za-z0-9]', '', 'g')) = l.line_clean
            |  LEFT JOIN region r ON l.op_dep_no = r.r_regionkey
            |  WHERE r.r_name IS NOT NULL),
-           |wt AS (
+           |wt2 AS (
            |  SELECT *,
            |    value / 1000.0 AS distance_km,
-           |    CAST(end_us - start_us AS DOUBLE) / 60000000.0 AS trip_time_min,
            |    row_number() OVER w AS leg_id,
            |    lead(start_us) OVER w AS next_start_us
            |  FROM legs
            |  WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id)),
-           |wt2 AS (
-           |  SELECT *,
-           |    CASE WHEN next_start_us IS NULL THEN 0.0
-           |         WHEN next_start_us - end_us < 0
-           |           OR next_start_us - end_us > 14400000000 THEN 0.0
-           |         ELSE CAST(next_start_us - end_us AS DOUBLE) / 60000000.0
-           |    END AS transfer_min
-           |  FROM wt),
            |daily AS (
            |  SELECT day,
            |    CASE WHEN GROUPING(region_id) = 1 THEN 'overall' ELSE region_id END AS region_id,

@@ -39,7 +39,12 @@ object ProbeQ40 {
         .withColumn("leg_id", row_number().over(wOrd))
         .withColumn("n_legs", count(lit(1)).over(w))
       t(s"r$rnd windows count")(legsW.count())
-      val legs = t(s"r$rnd eager build")(graft.core.Caching.eager(legsW))
+      // mirror TravelTime's narrow-before-cache projection, or the
+      // probe times a wide cache q40 no longer builds
+      val legsNarrow = legsW.select(col("day"), col("region_id"),
+        col("user_id"), col("time_range_type"), col("travel_us"),
+        col("leg_id"), col("n_legs"))
+      t(s"r$rnd eager build") { graft.core.Caching.eager(legsNarrow); () }
       t(s"r$rnd full q40") {
         s.catalog.clearCache()
         graft.SparkEntry.queries("q40_ads_travel_time_pipeline")(s, dir).count()
