@@ -27,15 +27,8 @@ object TransferCount {
   def adsTransferCountDaily(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
 
-    val line = ev.select(col("event_type").as("line_abbr")).distinct()
-      .withColumn("line_clean", Cleaning.deepClean(col("line_abbr")))
-      // J1 right-side dedup, deterministically: min(raw) per cleaned
-      // key (dropDuplicates keeps an arbitrary row, and op_dep_no
-      // derives from the surviving raw value)
-      .groupBy(col("line_clean")).agg(min(col("line_abbr")).as("line_abbr"))
-      .withColumn("op_dep_no", length(col("line_abbr")) % 6)
-    val opDept = Tables.region(s, dir)
-      .select(col("r_regionkey").as("op_dep_no"), col("r_name").as("region_name"))
+    val line = EventDims.lineDim(ev)
+    val opDept = EventDims.opDeptDim(s, dir)
 
     val wOrd = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts"), col("event_id"))

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * (`scripts/ads_passenger_travel_time_di.R:94-288`) as one plan:
   *
   *   region map join (J7) → per-leg travel-time 9-bin (F12+F19) →
-  *   three aggregate sub-plans over a shared persisted core — trips,
-  *   journeys (A11 re-bin of per-journey sums), transfers (W2-shaped
-  *   multi-leg filter) — → two full-outer joins (J8) → 'Overall'
-  *   re-aggregation + union (A9/U3) → ordered output (O2).
+  *   two aggregate branches over a shared persisted core — trips ⊕
+  *   transfers folded into one pass, journeys (A11 re-bin of
+  *   per-journey sums) — each at region ⊕ 'Overall' grain via GROUPING
+  *   SETS (A9) → ONE full-outer join (J8) → ordered output (O2). (The
+  *   reference's shape — join at region grain, re-aggregate the joined
+  *   result for 'Overall', union — would run the join subtree twice.)
   *
   * Reference semantics preserved deliberately:
   *  - transfer legs are binned by the LEG's travel time, not the
@@ -36,19 +38,12 @@ object TravelTime {
   def adsTravelTimeDaily(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
 
-    // route→region mapping (J7: distinct routes + region rule)
-    val line = ev.select(col("event_type").as("line_abbr")).distinct()
-      .withColumn("line_clean", Cleaning.deepClean(col("line_abbr")))
-      // J1 right-side dedup, deterministically: min(raw) per cleaned
-      // key (dropDuplicates keeps an arbitrary row, and op_dep_no
-      // derives from the surviving raw value)
-      .groupBy(col("line_clean")).agg(min(col("line_abbr")).as("line_abbr"))
-      .withColumn("op_dep_no", length(col("line_abbr")) % 6)
-    val opDept = Tables.region(s, dir)
-      .select(col("r_regionkey").as("op_dep_no"), col("r_name").as("region_name"))
+    // route→region mapping (J7: deduped LINE dim + region rule)
+    val line = EventDims.lineDim(ev)
+    val opDept = EventDims.opDeptDim(s, dir)
 
-    val w = Window.partitionBy(col("user_id"), col("day"))
-    val wOrd = w.orderBy(col("ts"), col("event_id"))
+    val wOrd = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
     val legs = ev
       .withColumn("route_clean", Cleaning.deepClean(col("event_type")))
       .join(broadcast(line), col("route_clean") === col("line_clean"), "left")
@@ -58,53 +53,60 @@ object TravelTime {
       .withColumn("travel_us", round(col("value") * 60000000L).cast("long"))
       .withColumn("time_range_type", TimeOps.timeRangeBin(col("value")))
       .withColumn("leg_id", row_number().over(wOrd))
-      .withColumn("n_legs", count(lit(1)).over(w))
-      // narrow BEFORE caching: the three consumers need 7 columns; the
+      // narrow BEFORE caching: the three consumers need 6 columns; the
       // wide row (raw event cols incl. the props JSON) roughly doubles
       // the cache build + scan cost for bytes nothing reads
       .select(col("day"), col("region_id"), col("user_id"),
-        col("time_range_type"), col("travel_us"), col("leg_id"), col("n_legs"))
+        col("time_range_type"), col("travel_us"), col("leg_id"))
       .transform(graft.core.Caching.eager)
 
     val keys = Seq("ope_date", "time_range_type", "region_id")
 
+    // Region ⊕ 'Overall' grains come out of ONE GROUPING SETS pass per
+    // branch (the reference re-aggregates the joined result and unions —
+    // `...travel_time_di.R:246-268` — which would execute the whole
+    // join subtree twice here), then ONE full-outer join aligns the two
+    // branches at both grains.
+    //
     // trips and transfers group by the SAME keys (the reference bins
     // transfer legs by the leg's own travel time — `...travel_time_di
     // .R:181-193`), so both fold into one aggregation pass; a
     // conditional count stands in for the reference's filtered copy.
-    // `transfer_num` must be NULL (not 0) where no transfer leg exists:
-    // the R pipeline's full-join leaves NA there, and trips-only rows
-    // must keep producing NULL through the journeys full-outer below.
+    // A transfer leg is any non-first leg — `leg_id > 1` alone; the
+    // reference's extra `n_legs > 1` guard is implied (a row_number
+    // above 1 means the partition has >1 row), so the whole-partition
+    // count window it would cost is dropped.
+    val regionKeys = Seq(col("ope_date"), col("time_range_type"), col("region_id"))
     val tripsTransfers = legs
-      .groupBy(col("day").as("ope_date"), col("time_range_type"), col("region_id"))
+      .withColumnRenamed("day", "ope_date")
+      .groupingSets(Seq(regionKeys, regionKeys.init), regionKeys: _*)
       .agg(count(lit(1)).as("passenger_trips_num"),
-        nullif(sum(when(col("n_legs") > 1 && col("leg_id") > 1, 1L)
-          .otherwise(0L)), lit(0L)).as("transfer_num"))
+        sum(when(col("leg_id") > 1, 1L).otherwise(0L)).as("transfer_raw"))
+      .withColumn("region_id", coalesce(col("region_id"), lit("Overall")))
 
     val journeys = legs
       .groupBy(col("day").as("ope_date"), col("user_id"), col("region_id"))
       .agg(sum(col("travel_us")).as("journey_us"))
       .withColumn("time_range_type", TimeOps.timeRangeBinUs(col("journey_us")))
-      .groupBy(col("ope_date"), col("time_range_type"), col("region_id"))
+      .groupingSets(Seq(regionKeys, regionKeys.init), regionKeys: _*)
       .agg(count(lit(1)).as("journey_num"))
+      .withColumn("region_id", coalesce(col("region_id"), lit("Overall")))
 
-    val joined = tripsTransfers
+    // NULL-vs-zero semantics differ by grain (the R rbind writes NA on
+    // regional rows, while the 'Overall' re-aggregation zero-fills
+    // `sum(na.rm=T)`): regional transfer_num is NULL when no transfer
+    // leg exists and regional trips/journeys stay NULL where the
+    // full-outer finds no partner; Overall rows zero-fill everything.
+    val overall = col("region_id") === "Overall"
+    tripsTransfers
       .join(journeys, keys, "full_outer")
-
-    val overall = joined
-      .groupBy(col("ope_date"), col("time_range_type"))
-      .agg(
-        coalesce(sum(col("passenger_trips_num")), lit(0L)).as("passenger_trips_num"),
-        coalesce(sum(col("journey_num")), lit(0L)).as("journey_num"),
-        coalesce(sum(col("transfer_num")), lit(0L)).as("transfer_num"))
-      .withColumn("region_id", lit("Overall"))
       .select(col("ope_date"), col("time_range_type"), col("region_id"),
-        col("passenger_trips_num"), col("journey_num"), col("transfer_num"))
-
-    joined
-      .select(col("ope_date"), col("time_range_type"), col("region_id"),
-        col("passenger_trips_num"), col("journey_num"), col("transfer_num"))
-      .union(overall)
+        when(overall, coalesce(col("passenger_trips_num"), lit(0L)))
+          .otherwise(col("passenger_trips_num")).as("passenger_trips_num"),
+        when(overall, coalesce(col("journey_num"), lit(0L)))
+          .otherwise(col("journey_num")).as("journey_num"),
+        when(overall, coalesce(col("transfer_raw"), lit(0L)))
+          .otherwise(nullif(col("transfer_raw"), lit(0L))).as("transfer_num"))
       .orderBy(col("ope_date"), col("time_range_type"), col("region_id"))
   }
 }

@@ -230,8 +230,7 @@ object AdsPipelines {
            |  LEFT JOIN region r ON l.op_dep_no = r.r_regionkey),
            |legs AS (
            |  SELECT *,
-           |    row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS leg_id,
-           |    count(*) OVER (PARTITION BY user_id, day) AS n_legs
+           |    row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS leg_id
            |  FROM legs0),
            |trips AS (
            |  SELECT day AS ope_date, time_range_type, region_id,
@@ -257,7 +256,7 @@ object AdsPipelines {
            |transfers AS (
            |  SELECT day AS ope_date, time_range_type, region_id,
            |    CAST(count(*) AS BIGINT) AS transfer_num
-           |  FROM legs WHERE n_legs > 1 AND leg_id > 1 GROUP BY 1, 2, 3),
+           |  FROM legs WHERE leg_id > 1 GROUP BY 1, 2, 3),
            |joined AS (
            |  SELECT * FROM trips
            |  FULL JOIN journeys USING (ope_date, time_range_type, region_id)

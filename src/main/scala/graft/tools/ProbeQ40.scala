@@ -24,8 +24,8 @@ object ProbeQ40 {
         .withColumn("op_dep_no", length(col("line_abbr")) % 6)
       val opDept = Tables.region(s, dir)
         .select(col("r_regionkey").as("op_dep_no"), col("r_name").as("region_name"))
-      val w = Window.partitionBy(col("user_id"), col("day"))
-      val wOrd = w.orderBy(col("ts"), col("event_id"))
+      val wOrd = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
       val legsPlain = ev
         .withColumn("route_clean", Cleaning.deepClean(col("event_type")))
         .join(broadcast(line), col("route_clean") === col("line_clean"), "left")
@@ -37,14 +37,29 @@ object ProbeQ40 {
       t(s"r$rnd no-window count")(legsPlain.count())
       val legsW = legsPlain
         .withColumn("leg_id", row_number().over(wOrd))
-        .withColumn("n_legs", count(lit(1)).over(w))
       t(s"r$rnd windows count")(legsW.count())
       // mirror TravelTime's narrow-before-cache projection, or the
       // probe times a wide cache q40 no longer builds
       val legsNarrow = legsW.select(col("day"), col("region_id"),
         col("user_id"), col("time_range_type"), col("travel_us"),
-        col("leg_id"), col("n_legs"))
-      t(s"r$rnd eager build") { graft.core.Caching.eager(legsNarrow); () }
+        col("leg_id"))
+      val legs = t(s"r$rnd eager build") { graft.core.Caching.eager(legsNarrow) }
+      val tripsTransfers = legs
+        .groupBy(col("day").as("ope_date"), col("time_range_type"), col("region_id"))
+        .agg(count(lit(1)).as("passenger_trips_num"),
+          nullif(sum(when(col("leg_id") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("transfer_num"))
+      t(s"r$rnd tripsTransfers")(tripsTransfers.count())
+      val journeys = legs
+        .groupBy(col("day").as("ope_date"), col("user_id"), col("region_id"))
+        .agg(sum(col("travel_us")).as("journey_us"))
+        .withColumn("time_range_type", TimeOps.timeRangeBinUs(col("journey_us")))
+        .groupBy(col("ope_date"), col("time_range_type"), col("region_id"))
+        .agg(count(lit(1)).as("journey_num"))
+      t(s"r$rnd journeys")(journeys.count())
+      val joined = tripsTransfers.join(journeys,
+        Seq("ope_date", "time_range_type", "region_id"), "full_outer")
+      t(s"r$rnd joined")(joined.count())
       t(s"r$rnd full q40") {
         s.catalog.clearCache()
         graft.SparkEntry.queries("q40_ads_travel_time_pipeline")(s, dir).count()
