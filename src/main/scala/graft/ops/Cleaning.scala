@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
 
 /** Key-cleaning and categorical-dispatch expressions (SURVEY.md §2.8).
@@ -55,4 +56,27 @@ object Cleaning {
     * Reference behavior: `scripts/ads_passenger_travel_info_mi.py:442-445`. */
   def safeDiv(num: Column, den: Column): Column =
     when(den > 0, num / den).otherwise(lit(0.0))
+
+  /** Half-up rounding of a NON-NEGATIVE integer ratio to `scale`
+    * decimals, decided in EXACT integer arithmetic: the caller
+    * pre-scales so that numScaled/den equals value·10^scale; the result
+    * is `(2·numScaled + den) div (2·den) / 10^scale` as a double.
+    *
+    * Why not `round(num/den, scale)`: when the true rational lands
+    * exactly on a half-way tie at the rounding scale, the double
+    * quotient falls above or below the tie depending on each engine's
+    * operation order and double→decimal conversion — measured: q47
+    * average_fare 269290.41 vs .42 and q51 avg_travel_time_by_trips
+    * 38.3787 vs .3788 against DuckDB at sf0.001 (fare_cents/n hit
+    * 442952.5 exactly). Both engines computing the same integer then
+    * performing one identical division is bit-deterministic.
+    *
+    * Caller contract: numScaled, den ≥ 0 integers with 2·numScaled + den
+    * inside Long; den > 0 (guard with `when` outside). DuckDB twin:
+    * `CAST((2*num + den) // (2*den) AS DOUBLE) / 10^scale`. */
+  def roundHalfUpRatio(numScaled: Column, den: Column, scale: Int): Column =
+    GraftSqlBridge.column(new IntegralDivide(
+        GraftSqlBridge.expression(numScaled * 2 + den),
+        GraftSqlBridge.expression(den * 2)))
+      .cast("double") / math.pow(10, scale)
 }

@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.core.Tables
-import graft.ops.Rollups
+import graft.ops.{Cleaning, Rollups}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -76,8 +76,13 @@ object FareRevenue {
           .as("actual_inspections_num"),
         count(lit(1)).as("planned_inspections_num")))
 
+    // integer-domain half-up rounding (see Cleaning.roundHalfUpRatio):
+    // num/den count/money ratios hit exact half-way ties at the
+    // rounding scale, and ROUND(double) resolves them differently per
+    // engine (measured here: average_fare at sf0.001)
     def ratio4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-      round(when(den > 0, num.cast("double") / den).otherwise(0.0), 4)
+      when(den > 0, Cleaning.roundHalfUpRatio(num * 10000L, den, 4))
+        .otherwise(0.0)
 
     // both sides are post-aggregation smalls (months × regions rows);
     // the static planner sees no stats, so hint the broadcast rather
@@ -86,9 +91,9 @@ object FareRevenue {
       .select(
         col("t_date"), lit("month").as("date_type"), col("region_id"),
         round(col("fare_cents").cast("double") / 100.0, 2).as("fare_revenue"),
-        round(col("fare_cents").cast("double") / 100.0 / col("days_in_month"), 2)
-          .as("average_daily_revenue"),
-        round(col("fare_cents").cast("double") / 100.0 / col("passenger_num"), 2)
+        Cleaning.roundHalfUpRatio(col("fare_cents"), col("days_in_month")
+          .cast("long"), 2).as("average_daily_revenue"),
+        Cleaning.roundHalfUpRatio(col("fare_cents"), col("passenger_num"), 2)
           .as("average_fare"),
         coalesce(col("passengers_inspection_num"), lit(0L))
           .as("passengers_inspection_num"),

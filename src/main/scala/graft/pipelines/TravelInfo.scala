@@ -57,7 +57,11 @@ object TravelInfo {
       .withColumn("start_us", unix_micros(col("ts")))
       .withColumn("end_us",
         col("start_us") + round(col("value") * 60000000L).cast("long"))
-      .withColumn("distance_km", col("value") / 1000.0)
+      // exact integer centi-meters (the fixture's `value` is 2-decimal
+      // by construction): double km sums are order-dependent in the
+      // last bit, which flips round-half ties in the distance ratios
+      // (measured: avg_travel_distance_by_journey at sf0.001)
+      .withColumn("dist_cm", round(col("value") * 100).cast("long"))
   }
 
   /** Journey windows (W1+W3+W6+F17) over the cleaned legs. */
@@ -90,7 +94,7 @@ object TravelInfo {
     val legs = cleanedLegs(s, dir)
       .select(col("user_id"), col("day"), col("month"), col("ts"),
         col("event_id"), col("region_id"), col("start_us"), col("end_us"),
-        col("distance_km"))
+        col("dist_cm"))
       .transform(graft.core.Caching.eager)
     val withTransfer = addTransfer(legs)
 
@@ -105,7 +109,7 @@ object TravelInfo {
         count(lit(1)).as("passenger_trips_num"),
         sum(when(col("leg_id") === 1, 1L).otherwise(0L)).as("journey_num"),
         sum(when(col("leg_id") =!= 1, 1L).otherwise(0L)).as("transfer_num"),
-        sum(col("distance_km")).as("travel_distance_raw"),
+        sum(col("dist_cm")).as("dist_cm_sum"),
         sum(col("end_us") - col("start_us")).as("travel_time_us"),
         sum(col("transfer_us")).as("transfer_time_us")))
 
@@ -139,25 +143,33 @@ object TravelInfo {
         lit("month").as("date_type"),
         col("region_id"),
         col("transfer_num"), col("journey_num"), col("passenger_trips_num"),
-        round(col("travel_distance_raw"), 2).as("travel_distance"),
-        round(col("travel_time_us").cast("double") / 60000000.0, 2)
+        Cleaning.roundHalfUpRatio(col("dist_cm_sum"), lit(1000L), 2)
+          .as("travel_distance"),
+        // integer-domain half-up rounding (Cleaning.roundHalfUpRatio):
+        // µs/60000000 and µs/(60000000·n) hit exact half-way ties that
+        // ROUND(double) resolves differently per engine; value·10^scale
+        // cancels to µs/600000 resp. µs/(6000·n), so everything stays
+        // in Long
+        Cleaning.roundHalfUpRatio(col("travel_time_us"), lit(600000L), 2)
           .as("travel_time"),
-        round(col("transfer_time_us").cast("double") / 60000000.0, 2)
+        Cleaning.roundHalfUpRatio(col("transfer_time_us"), lit(600000L), 2)
           .as("transfer_time"),
         col("avg_daily_trips_per_passenger"),
-        round(when(col("passenger_trips_num") > 0,
-          col("travel_time_us").cast("double") / 60000000.0
-            / col("passenger_trips_num")).otherwise(0.0), 4)
+        when(col("passenger_trips_num") > 0,
+          Cleaning.roundHalfUpRatio(col("travel_time_us"),
+            lit(6000L) * col("passenger_trips_num"), 4)).otherwise(0.0)
           .as("avg_travel_time_by_trips"),
-        round(when(col("journey_num") > 0,
-          col("travel_time_us").cast("double") / 60000000.0
-            / col("journey_num")).otherwise(0.0), 4)
+        when(col("journey_num") > 0,
+          Cleaning.roundHalfUpRatio(col("travel_time_us"),
+            lit(6000L) * col("journey_num"), 4)).otherwise(0.0)
           .as("avg_travel_time_by_journey"),
-        round(when(col("passenger_trips_num") > 0,
-          col("travel_distance_raw") / col("passenger_trips_num")).otherwise(0.0), 4)
+        when(col("passenger_trips_num") > 0,
+          Cleaning.roundHalfUpRatio(col("dist_cm_sum"),
+            lit(10L) * col("passenger_trips_num"), 4)).otherwise(0.0)
           .as("avg_travel_distance_by_trips"),
-        round(when(col("journey_num") > 0,
-          col("travel_distance_raw") / col("journey_num")).otherwise(0.0), 4)
+        when(col("journey_num") > 0,
+          Cleaning.roundHalfUpRatio(col("dist_cm_sum"),
+            lit(10L) * col("journey_num"), 4)).otherwise(0.0)
           .as("avg_travel_distance_by_journey"),
         lit("system").as("create_by"),
         lit("system").as("update_by"),
@@ -188,7 +200,7 @@ object TravelInfo {
         count(lit(1)).as("passenger_trips_num"),
         sum(when(col("leg_id") === 1, 1L).otherwise(0L)).as("journey_num"),
         sum(when(col("leg_id") =!= 1, 1L).otherwise(0L)).as("transfer_num"),
-        sum(col("distance_km")).as("travel_distance_raw"),
+        sum(col("dist_cm")).as("dist_cm_sum"),
         sum(col("end_us") - col("start_us")).as("travel_time_us"),
         sum(col("transfer_us")).as("transfer_time_us")))
     val audit = broadcast(ev.agg(
@@ -200,24 +212,29 @@ object TravelInfo {
         lit("day").as("date_type"),
         col("region_id"),
         col("transfer_num"), col("journey_num"), col("passenger_trips_num"),
-        round(col("travel_distance_raw"), 2).as("travel_distance"),
-        round(col("travel_time_us").cast("double") / 60000000.0, 2)
+        Cleaning.roundHalfUpRatio(col("dist_cm_sum"), lit(1000L), 2)
+          .as("travel_distance"),
+        // integer-domain half-up rounding — see the monthly grain above
+        // (measured: avg_travel_time_by_trips tie at sf0.001)
+        Cleaning.roundHalfUpRatio(col("travel_time_us"), lit(600000L), 2)
           .as("travel_time"),
-        round(col("transfer_time_us").cast("double") / 60000000.0, 2)
+        Cleaning.roundHalfUpRatio(col("transfer_time_us"), lit(600000L), 2)
           .as("transfer_time"),
-        round(when(col("passenger_trips_num") > 0,
-          col("travel_time_us").cast("double") / 60000000.0
-            / col("passenger_trips_num")).otherwise(0.0), 4)
+        when(col("passenger_trips_num") > 0,
+          Cleaning.roundHalfUpRatio(col("travel_time_us"),
+            lit(6000L) * col("passenger_trips_num"), 4)).otherwise(0.0)
           .as("avg_travel_time_by_trips"),
-        round(when(col("journey_num") > 0,
-          col("travel_time_us").cast("double") / 60000000.0
-            / col("journey_num")).otherwise(0.0), 4)
+        when(col("journey_num") > 0,
+          Cleaning.roundHalfUpRatio(col("travel_time_us"),
+            lit(6000L) * col("journey_num"), 4)).otherwise(0.0)
           .as("avg_travel_time_by_journey"),
-        round(when(col("passenger_trips_num") > 0,
-          col("travel_distance_raw") / col("passenger_trips_num")).otherwise(0.0), 4)
+        when(col("passenger_trips_num") > 0,
+          Cleaning.roundHalfUpRatio(col("dist_cm_sum"),
+            lit(10L) * col("passenger_trips_num"), 4)).otherwise(0.0)
           .as("avg_travel_distance_by_trips"),
-        round(when(col("journey_num") > 0,
-          col("travel_distance_raw") / col("journey_num")).otherwise(0.0), 4)
+        when(col("journey_num") > 0,
+          Cleaning.roundHalfUpRatio(col("dist_cm_sum"),
+            lit(10L) * col("journey_num"), 4)).otherwise(0.0)
           .as("avg_travel_distance_by_journey"),
         lit("system").as("create_by"),
         lit("system").as("update_by"),

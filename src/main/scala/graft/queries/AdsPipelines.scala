@@ -36,7 +36,7 @@ object AdsPipelines {
            |  WHERE r.r_name IS NOT NULL),
            |wt2 AS (
            |  SELECT *,
-           |    value / 1000.0 AS distance_km,
+           |    CAST(round(value * 100) AS BIGINT) AS dist_cm,
            |    row_number() OVER w AS leg_id,
            |    lead(start_us) OVER w AS next_start_us
            |  FROM legs
@@ -47,7 +47,7 @@ object AdsPipelines {
            |    CAST(count(*) AS BIGINT) AS passenger_trips_num,
            |    CAST(SUM(CASE WHEN leg_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS journey_num,
            |    CAST(SUM(CASE WHEN leg_id != 1 THEN 1 ELSE 0 END) AS BIGINT) AS transfer_num,
-           |    SUM(distance_km) AS travel_distance_raw,
+           |    CAST(SUM(dist_cm) AS BIGINT) AS dist_cm_sum,
            |    CAST(SUM(end_us - start_us) AS BIGINT) AS travel_time_us,
            |    CAST(SUM(CASE WHEN next_start_us IS NULL THEN 0
            |                  WHEN next_start_us - end_us < 0
@@ -74,24 +74,29 @@ object AdsPipelines {
            |  SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS audit_ts FROM events)
            |SELECT m.month AS t_date, 'month' AS date_type, m.region_id,
            |  m.transfer_num, m.journey_num, m.passenger_trips_num,
-           |  ROUND(m.travel_distance_raw, 2) AS travel_distance,
-           |  ROUND(CAST(m.travel_time_us AS DOUBLE) / 60000000.0, 2) AS travel_time,
-           |  ROUND(CAST(m.transfer_time_us AS DOUBLE) / 60000000.0, 2) AS transfer_time,
+           |  CAST((2*m.dist_cm_sum + 1000) // 2000 AS DOUBLE) / 100.0
+           |    AS travel_distance,
+           |  CAST((2*m.travel_time_us + 600000) // 1200000 AS DOUBLE) / 100.0
+           |    AS travel_time,
+           |  CAST((2*m.transfer_time_us + 600000) // 1200000 AS DOUBLE) / 100.0
+           |    AS transfer_time,
            |  a.avg_daily_trips_per_passenger,
-           |  ROUND(CASE WHEN m.passenger_trips_num > 0
-           |             THEN CAST(m.travel_time_us AS DOUBLE) / 60000000.0
-           |                  / m.passenger_trips_num ELSE 0 END, 4)
-           |    AS avg_travel_time_by_trips,
-           |  ROUND(CASE WHEN m.journey_num > 0
-           |             THEN CAST(m.travel_time_us AS DOUBLE) / 60000000.0
-           |                  / m.journey_num ELSE 0 END, 4)
-           |    AS avg_travel_time_by_journey,
-           |  ROUND(CASE WHEN m.passenger_trips_num > 0
-           |             THEN m.travel_distance_raw / m.passenger_trips_num ELSE 0 END, 4)
-           |    AS avg_travel_distance_by_trips,
-           |  ROUND(CASE WHEN m.journey_num > 0
-           |             THEN m.travel_distance_raw / m.journey_num ELSE 0 END, 4)
-           |    AS avg_travel_distance_by_journey,
+           |  CASE WHEN m.passenger_trips_num > 0
+           |       THEN CAST((2*m.travel_time_us + 6000*m.passenger_trips_num)
+           |                 // (12000*m.passenger_trips_num) AS DOUBLE) / 10000.0
+           |       ELSE 0 END AS avg_travel_time_by_trips,
+           |  CASE WHEN m.journey_num > 0
+           |       THEN CAST((2*m.travel_time_us + 6000*m.journey_num)
+           |                 // (12000*m.journey_num) AS DOUBLE) / 10000.0
+           |       ELSE 0 END AS avg_travel_time_by_journey,
+           |  CASE WHEN m.passenger_trips_num > 0
+           |       THEN CAST((2*m.dist_cm_sum + 10*m.passenger_trips_num)
+           |                 // (20*m.passenger_trips_num) AS DOUBLE) / 10000.0
+           |       ELSE 0 END AS avg_travel_distance_by_trips,
+           |  CASE WHEN m.journey_num > 0
+           |       THEN CAST((2*m.dist_cm_sum + 10*m.journey_num)
+           |                 // (20*m.journey_num) AS DOUBLE) / 10000.0
+           |       ELSE 0 END AS avg_travel_distance_by_journey,
            |  'system' AS create_by, 'system' AS update_by,
            |  au.audit_ts AS create_time, au.audit_ts AS update_time
            |FROM monthly m
@@ -648,33 +653,39 @@ object AdsPipelines {
            |  GROUP BY GROUPING SETS ((t_date, region_id), (t_date)))
            |SELECT f.t_date, 'month' AS date_type, f.region_id,
            |  ROUND(CAST(f.fare_cents AS DOUBLE) / 100.0, 2) AS fare_revenue,
-           |  ROUND(CAST(f.fare_cents AS DOUBLE) / 100.0 / f.days_in_month, 2)
-           |    AS average_daily_revenue,
-           |  ROUND(CAST(f.fare_cents AS DOUBLE) / 100.0 / f.passenger_num, 2)
-           |    AS average_fare,
+           |  CAST((2*f.fare_cents + f.days_in_month) // (2*f.days_in_month)
+           |       AS DOUBLE) / 100.0 AS average_daily_revenue,
+           |  CAST((2*f.fare_cents + f.passenger_num) // (2*f.passenger_num)
+           |       AS DOUBLE) / 100.0 AS average_fare,
            |  COALESCE(i.passengers_inspection_num, 0) AS passengers_inspection_num,
            |  COALESCE(i.fare_evasion_passenger_num, 0) AS fare_evasion_passenger_num,
            |  f.passenger_num,
            |  f.passenger_num + COALESCE(i.fare_evasion_passenger_num, 0)
            |    AS passenger_carried,
-           |  ROUND(CASE WHEN f.passenger_num + COALESCE(i.fare_evasion_passenger_num, 0) > 0
-           |    THEN CAST(COALESCE(i.passengers_inspection_num, 0) AS DOUBLE)
-           |      / (f.passenger_num + COALESCE(i.fare_evasion_passenger_num, 0))
-           |    ELSE 0 END, 4) AS passenger_inspection_ratio,
+           |  CASE WHEN f.passenger_num + COALESCE(i.fare_evasion_passenger_num, 0) > 0
+           |    THEN CAST((2*COALESCE(i.passengers_inspection_num, 0)*10000
+           |               + (f.passenger_num + COALESCE(i.fare_evasion_passenger_num, 0)))
+           |              // (2*(f.passenger_num + COALESCE(i.fare_evasion_passenger_num, 0)))
+           |              AS DOUBLE) / 10000.0
+           |    ELSE 0 END AS passenger_inspection_ratio,
            |  COALESCE(i.inspected_trips, 0) AS inspected_trips,
            |  COALESCE(i.total_scheduled_trips, 0) AS total_scheduled_trips,
            |  COALESCE(i.actual_inspections_num, 0) AS actual_inspections_num,
            |  COALESCE(i.planned_inspections_num, 0) AS planned_inspections_num,
-           |  ROUND(CASE WHEN f.passenger_num > 0
-           |    THEN CAST(COALESCE(i.fare_evasion_passenger_num, 0) AS DOUBLE)
-           |      / f.passenger_num ELSE 0 END, 4) AS fare_evasion_ratio,
-           |  ROUND(CASE WHEN COALESCE(i.total_scheduled_trips, 0) > 0
-           |    THEN CAST(COALESCE(i.inspected_trips, 0) AS DOUBLE)
-           |      / i.total_scheduled_trips ELSE 0 END, 4) AS bus_trip_inspection_ratio,
-           |  ROUND(CASE WHEN COALESCE(i.planned_inspections_num, 0) > 0
-           |    THEN CAST(COALESCE(i.actual_inspections_num, 0) AS DOUBLE)
-           |      / i.planned_inspections_num ELSE 0 END, 4)
-           |    AS inspection_plan_adherence_ratio,
+           |  CASE WHEN f.passenger_num > 0
+           |    THEN CAST((2*COALESCE(i.fare_evasion_passenger_num, 0)*10000
+           |               + f.passenger_num) // (2*f.passenger_num) AS DOUBLE) / 10000.0
+           |    ELSE 0 END AS fare_evasion_ratio,
+           |  CASE WHEN COALESCE(i.total_scheduled_trips, 0) > 0
+           |    THEN CAST((2*COALESCE(i.inspected_trips, 0)*10000
+           |               + i.total_scheduled_trips) // (2*i.total_scheduled_trips)
+           |              AS DOUBLE) / 10000.0
+           |    ELSE 0 END AS bus_trip_inspection_ratio,
+           |  CASE WHEN COALESCE(i.planned_inspections_num, 0) > 0
+           |    THEN CAST((2*COALESCE(i.actual_inspections_num, 0)*10000
+           |               + i.planned_inspections_num) // (2*i.planned_inspections_num)
+           |              AS DOUBLE) / 10000.0
+           |    ELSE 0 END AS inspection_plan_adherence_ratio,
            |  'system' AS create_by, 'system' AS update_by,
            |  '2025-09-01 11:07:58' AS create_time,
            |  '2025-09-01 11:07:58' AS update_time
@@ -807,7 +818,7 @@ object AdsPipelines {
            |  WHERE r.r_name IS NOT NULL),
            |wt2 AS (
            |  SELECT *,
-           |    value / 1000.0 AS distance_km,
+           |    CAST(round(value * 100) AS BIGINT) AS dist_cm,
            |    row_number() OVER w AS leg_id,
            |    lead(start_us) OVER w AS next_start_us
            |  FROM legs
@@ -818,7 +829,7 @@ object AdsPipelines {
            |    CAST(count(*) AS BIGINT) AS passenger_trips_num,
            |    CAST(SUM(CASE WHEN leg_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS journey_num,
            |    CAST(SUM(CASE WHEN leg_id != 1 THEN 1 ELSE 0 END) AS BIGINT) AS transfer_num,
-           |    SUM(distance_km) AS travel_distance_raw,
+           |    CAST(SUM(dist_cm) AS BIGINT) AS dist_cm_sum,
            |    CAST(SUM(end_us - start_us) AS BIGINT) AS travel_time_us,
            |    CAST(SUM(CASE WHEN next_start_us IS NULL THEN 0
            |                  WHEN next_start_us - end_us < 0
@@ -831,23 +842,28 @@ object AdsPipelines {
            |  SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS audit_ts FROM events)
            |SELECT d.day AS t_date, 'day' AS date_type, d.region_id,
            |  d.transfer_num, d.journey_num, d.passenger_trips_num,
-           |  ROUND(d.travel_distance_raw, 2) AS travel_distance,
-           |  ROUND(CAST(d.travel_time_us AS DOUBLE) / 60000000.0, 2) AS travel_time,
-           |  ROUND(CAST(d.transfer_time_us AS DOUBLE) / 60000000.0, 2) AS transfer_time,
-           |  ROUND(CASE WHEN d.passenger_trips_num > 0
-           |             THEN CAST(d.travel_time_us AS DOUBLE) / 60000000.0
-           |                  / d.passenger_trips_num ELSE 0 END, 4)
-           |    AS avg_travel_time_by_trips,
-           |  ROUND(CASE WHEN d.journey_num > 0
-           |             THEN CAST(d.travel_time_us AS DOUBLE) / 60000000.0
-           |                  / d.journey_num ELSE 0 END, 4)
-           |    AS avg_travel_time_by_journey,
-           |  ROUND(CASE WHEN d.passenger_trips_num > 0
-           |             THEN d.travel_distance_raw / d.passenger_trips_num ELSE 0 END, 4)
-           |    AS avg_travel_distance_by_trips,
-           |  ROUND(CASE WHEN d.journey_num > 0
-           |             THEN d.travel_distance_raw / d.journey_num ELSE 0 END, 4)
-           |    AS avg_travel_distance_by_journey,
+           |  CAST((2*d.dist_cm_sum + 1000) // 2000 AS DOUBLE) / 100.0
+           |    AS travel_distance,
+           |  CAST((2*d.travel_time_us + 600000) // 1200000 AS DOUBLE) / 100.0
+           |    AS travel_time,
+           |  CAST((2*d.transfer_time_us + 600000) // 1200000 AS DOUBLE) / 100.0
+           |    AS transfer_time,
+           |  CASE WHEN d.passenger_trips_num > 0
+           |       THEN CAST((2*d.travel_time_us + 6000*d.passenger_trips_num)
+           |                 // (12000*d.passenger_trips_num) AS DOUBLE) / 10000.0
+           |       ELSE 0 END AS avg_travel_time_by_trips,
+           |  CASE WHEN d.journey_num > 0
+           |       THEN CAST((2*d.travel_time_us + 6000*d.journey_num)
+           |                 // (12000*d.journey_num) AS DOUBLE) / 10000.0
+           |       ELSE 0 END AS avg_travel_time_by_journey,
+           |  CASE WHEN d.passenger_trips_num > 0
+           |       THEN CAST((2*d.dist_cm_sum + 10*d.passenger_trips_num)
+           |                 // (20*d.passenger_trips_num) AS DOUBLE) / 10000.0
+           |       ELSE 0 END AS avg_travel_distance_by_trips,
+           |  CASE WHEN d.journey_num > 0
+           |       THEN CAST((2*d.dist_cm_sum + 10*d.journey_num)
+           |                 // (20*d.journey_num) AS DOUBLE) / 10000.0
+           |       ELSE 0 END AS avg_travel_distance_by_journey,
            |  'system' AS create_by, 'system' AS update_by,
            |  au.audit_ts AS create_time, au.audit_ts AS update_time
            |FROM daily d

@@ -281,5 +281,116 @@ object LlmPipelines {
            |                  > 1225 * CAST(na AS HUGEINT) * nb
            |ORDER BY id_a, id_b""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33)
+  /** End-to-end corpus preparation — the training-data analog of the
+    * ads pipelines: the q25/q26/q27/q30 operators composed as ONE plan.
+    *
+    *   per-doc signals (tokens, quality, lang-ID, fingerprint — one
+    *   codegen'd scan) → quality + language gates → exact dedup (keep
+    *   the smallest doc_id per canonical fingerprint) → near-dup
+    *   removal via MinHash-LSH candidates + exact-Jaccard verification
+    *   (drop the larger doc_id of every verified pair — the standard
+    *   deterministic greedy policy: one pass, no connected-components
+    *   clustering) → curated (doc_id, source, lang, tokens, quality).
+    *
+    * Every stage is the at-scale shape: the signal scan is map-side
+    * only; the dedup window shuffles once on the fingerprint; the
+    * near-dup stage is bounded by |LSH candidates|, never |pairs|. The
+    * DuckDB oracle replays the same policy with an all-pairs Jaccard
+    * stage — exact despite the sketch inside, for the same reason as
+    * q30 (the verifier makes candidate output exact; generator misses
+    * at j >= 0.8 with b=16/r=4 are < 1e-3 and deterministic). */
+  val q52 = QueryDef(
+    "q52_corpus_prep",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val gated = d.select(
+          col("doc_id"), col("text"), col("source"),
+          TextStats.langIdHeuristic(col("text")).as("lang_guess"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          TextStats.qualityScore(col("text")).as("quality_score"),
+          TextStats.fingerprint(col("text")).as("fp"))
+        .where(col("quality_score") >= 0.7 && col("lang_guess") === "en")
+      // exact dedup: one shuffle on fp; eager-cached because both the
+      // near-dup generator and the final anti-join consume it
+      val exact = gated
+        .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .where(col("doc_id") === col("keep_id"))
+        .drop("keep_id")
+        .transform(graft.core.Caching.eager)
+      val drops = Dedup.minhashNearDupPairs(exact, "doc_id", "text",
+          threshold = 0.8, shingleN = 2, bands = 16, rows = 4)
+        .select(col("id_b").as("doc_id")).distinct()
+      exact.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("lang_guess"),
+          col("n_tokens"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, source,
+           |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+           |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           |    CASE WHEN contains(' ' || lower(text) || ' ', ' le ')
+           |           OR contains(' ' || lower(text) || ' ', ' la ')
+           |           OR contains(' ' || lower(text) || ' ', ' et ') THEN 'fr'
+           |         WHEN contains(' ' || lower(text) || ' ', ' el ')
+           |           OR contains(' ' || lower(text) || ' ', ' los ')
+           |           OR contains(' ' || lower(text) || ' ', ' y ') THEN 'es'
+           |         WHEN contains(' ' || lower(text) || ' ', ' der ')
+           |           OR contains(' ' || lower(text) || ' ', ' und ')
+           |           OR contains(' ' || lower(text) || ' ', ' die ') THEN 'de'
+           |         WHEN contains(' ' || lower(text) || ' ', ' the ')
+           |           OR contains(' ' || lower(text) || ' ', ' and ')
+           |           OR contains(' ' || lower(text) || ' ', ' of ') THEN 'en'
+           |         ELSE 'und' END AS lang_guess
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, text, source, fp, lang_guess,
+           |    CAST(len(toks) AS INTEGER) AS n_tokens,
+           |    ROUND(
+           |      (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0
+           |            WHEN len(toks) >= 5 THEN 0.5 ELSE 0.0 END) * 0.4 +
+           |      (CASE WHEN (CASE WHEN length(text) > 0
+           |                  THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)
+           |                  ELSE 0.0 END) < 0.1 THEN 1.0
+           |            WHEN (CASE WHEN length(text) > 0
+           |                  THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)
+           |                  ELSE 0.0 END) < 0.3 THEN 0.5 ELSE 0.0 END) * 0.3 +
+           |      (CASE WHEN (CASE WHEN len(toks) > 0
+           |                  THEN CAST(len(list_filter(toks, x -> x IN
+           |                         ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / len(toks)
+           |                  ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.3 END) * 0.3,
+           |      4) AS quality_score
+           |  FROM t),
+           |gated AS (
+           |  SELECT * FROM q WHERE quality_score >= 0.7 AND lang_guess = 'en'),
+           |exact AS (
+           |  SELECT * FROM gated
+           |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)),
+           |shing AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(w) >= 2
+           |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+           |      ELSE [array_to_string(w, ' ')] END) AS sh
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           |        FROM exact)),
+           |ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+           |inter AS (
+           |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
+           |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |drops AS (
+           |  SELECT DISTINCT id_b AS doc_id
+           |  FROM inter
+           |  JOIN sizes sa ON id_a = sa.doc_id
+           |  JOIN sizes sb ON id_b = sb.doc_id
+           |  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.8)
+           |SELECT doc_id, source, lang_guess, n_tokens, quality_score
+           |FROM exact
+           |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+           |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52)
 }
