@@ -130,4 +130,33 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("roundHalfUpRatio equals exact rational half-up rounding, ties included") {
+    // exact reference: BigDecimal(num)/den at `scale` decimals, HALF_UP —
+    // the rational arithmetic no double pipeline can promise. Generator
+    // includes guaranteed ties (num = den·k + den/2 shapes) via small dens.
+    forAll(Gen.listOfN(60, for {
+      num <- Gen.choose(0L, 2000000L)
+      den <- Gen.choose(1L, 400L)
+    } yield (num, den)), n = 6) { pairs =>
+      whenever(pairs.nonEmpty) {
+        Seq(2, 4).foreach { scale =>
+          val got = pairs.toDF("num", "den")
+            .select(graft.ops.Cleaning.roundHalfUpRatio($"num", $"den", scale))
+            .as[Double].collect()
+          // helper contract: num/den is the value pre-scaled by
+          // 10^scale, so the reference is half-up to an INTEGER then
+          // the same single division
+          val want = pairs.map { case (num, den) =>
+            (BigDecimal(num) / BigDecimal(den))
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+              .toLong / math.pow(10, scale)
+          }
+          got.zip(want).zip(pairs).foreach { case ((g, w), (num, den)) =>
+            assert(g == w, s"num=$num den=$den scale=$scale: got $g want $w")
+          }
+        }
+      }
+    }
+  }
 }
