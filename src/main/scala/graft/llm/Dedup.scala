@@ -145,6 +145,28 @@ object Dedup {
     * is < 1e-3 (deterministic seeded hashes — verified against the
     * exact all-pairs oracle at the test scale factors).
     */
+  /** The generate ∘ verify core for input ALREADY exact-deduped to one
+    * row per canonical text (e.g. after a fingerprint keep-min pass,
+    * as in q52 corpus-prep): [[minhashNearDupPairs]] minus the
+    * pre-grouping/expansion scaffolding, which on deduped input is
+    * pure overhead (a reps aggregation shuffling every text plus two
+    * member-expansion joins, all no-ops). Same exactness contract. */
+  def nearDupPairsUnique(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, shingleN: Int = 2,
+                         bands: Int = 16, rows: Int = 4,
+                         maxBucketSize: Int = 500): DataFrame = {
+    val sh = graft.core.Caching.eager(df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh")))
+    candidatesFromShingles(sh, bands, rows, maxBucketSize)
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("n_inter", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (size(col("sa.sh")) + size(col("sb.sh")) - col("n_inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, shingleN: Int = 2,
                           bands: Int = 16, rows: Int = 4,

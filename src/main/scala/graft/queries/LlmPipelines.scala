@@ -318,7 +318,11 @@ object LlmPipelines {
         .where(col("doc_id") === col("keep_id"))
         .drop("keep_id")
         .transform(graft.core.Caching.eager)
-      val drops = Dedup.minhashNearDupPairs(exact, "doc_id", "text",
+      // nearDupPairsUnique, not minhashNearDupPairs: `exact` is already
+      // one row per fingerprint, so the full operator's pre-grouping +
+      // member expansion would be no-op scaffolding (a text shuffle and
+      // three joins for nothing)
+      val drops = Dedup.nearDupPairsUnique(exact, "doc_id", "text",
           threshold = 0.8, shingleN = 2, bands = 16, rows = 4)
         .select(col("id_b").as("doc_id")).distinct()
       exact.join(drops, Seq("doc_id"), "left_anti")

@@ -82,6 +82,22 @@ class LlmSpec extends AnyFunSuite {
       s"missed=${(exact -- verified).take(3)} extra=${(verified -- exact).take(3)}")
   }
 
+  test("nearDupPairsUnique equals minhashNearDupPairs on fingerprint-deduped input") {
+    // one representative per canonical fingerprint = the precondition
+    // the lean variant documents; both paths must emit identical pairs
+    val reps = docs
+      .withColumn("fp", graft.llm.TextStats.fingerprint($"text"))
+      .withColumn("keep",
+        min($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .where($"doc_id" === $"keep").drop("fp", "keep")
+    val full = Dedup.minhashNearDupPairs(reps, "doc_id", "text", threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lean = Dedup.nearDupPairsUnique(reps, "doc_id", "text", threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lean == full,
+      s"missed=${(full -- lean).take(3)} extra=${(lean -- full).take(3)}")
+  }
+
   test("exact-duplicate groups larger than the bucket cap survive near-dup dedup") {
     // 60 identical texts share one bucket in EVERY band; with cap=20 a
     // bare bucket filter would drop the whole group from all bands.
