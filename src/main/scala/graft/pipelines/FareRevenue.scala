@@ -57,24 +57,34 @@ object FareRevenue {
         count(lit(1)).as("passenger_num"),
         max(col("dim")).as("days_in_month")))
 
-    val inspections = Tables.lineitem(s, dir)
+    // Two-phase distinct (the ops/Skew shape, exact here): each order
+    // belongs to exactly ONE (month, region) — region derives from
+    // o_custkey, the month from o_orderdate — so pre-aggregating per
+    // trip turns the two COUNT DISTINCT(l_orderkey)s into plain sums.
+    // The direct form plans a multi-distinct Expand over the whole
+    // lineitem⋈orders join (3× the rows through the exchange, distinct
+    // state per grain); this one is partial-aggregable map-side at
+    // both levels and the GROUPING SETS expand runs over the tiny
+    // per-trip table.
+    val perTrip = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_returnflag"))
       .join(orders.select(col("o_orderkey"), col("t_date"), col("region_id")),
         col("l_orderkey") === col("o_orderkey"))
-    val inspAgg = Rollups.withOverall(inspections,
+      .groupBy(col("t_date"), col("region_id"), col("l_orderkey"))
+      .agg(
+        sum(when(col("l_returnflag") =!= "N", 1L).otherwise(0L)).as("insp_legs"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("evade_legs"),
+        count(lit(1)).as("legs"))
+    val inspAgg = Rollups.withOverall(perTrip,
       keepCols = Seq(col("t_date")), overallCol = "region_id",
       overallLabel = "Overall",
       aggs = Seq(
-        sum(when(col("l_returnflag") =!= "N", 1L).otherwise(0L))
-          .as("passengers_inspection_num"),
-        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
-          .as("fare_evasion_passenger_num"),
-        countDistinct(when(col("l_returnflag") =!= "N", col("l_orderkey")))
-          .as("inspected_trips"),
-        countDistinct(col("l_orderkey")).as("total_scheduled_trips"),
-        sum(when(col("l_returnflag") =!= "N", 1L).otherwise(0L))
-          .as("actual_inspections_num"),
-        count(lit(1)).as("planned_inspections_num")))
+        sum(col("insp_legs")).as("passengers_inspection_num"),
+        sum(col("evade_legs")).as("fare_evasion_passenger_num"),
+        sum(when(col("insp_legs") > 0, 1L).otherwise(0L)).as("inspected_trips"),
+        count(lit(1)).as("total_scheduled_trips"),
+        sum(col("insp_legs")).as("actual_inspections_num"),
+        sum(col("legs")).as("planned_inspections_num")))
 
     // integer-domain half-up rounding (see Cleaning.roundHalfUpRatio):
     // num/den count/money ratios hit exact half-way ties at the
