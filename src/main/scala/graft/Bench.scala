@@ -24,6 +24,20 @@ object Bench {
     val spark = Sessions.build("graft-bench")
     // one warmup action to pay JVM/codegen startup outside the timings
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // measured per-query floor: a trivial one-stage aggregation over
+    // the 5-row region table, warm-then-timed exactly like the real
+    // queries. Local-mode job scheduling + planning dominate sf0.1
+    // timings (real queries run 5-20 AQE stages, so this single-job
+    // number is a LOWER bound per query); reported as "floor_sec" so a
+    // reader comparing the total against an in-process engine can see
+    // how much of it is per-query overhead that amortizes at scale.
+    def floorRun(): Unit = {
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_regionkey").count().count(); ()
+    }
+    floorRun()
+    val tf = System.nanoTime(); floorRun()
+    val floorSec = (System.nanoTime() - tf) / 1e9
     // dev convenience: `runMain graft.Bench q30 q32` times only queries
     // whose name contains one of the args; the driver passes none.
     val picked =
@@ -80,7 +94,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${results.size - ok.size},"floor_sec":${jnum(floorSec)},"sf":${jstr(sfDir)}}"""
     Files.write(Paths.get("BENCH_OUT.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
