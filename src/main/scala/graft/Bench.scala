@@ -36,8 +36,12 @@ object Bench {
         .groupBy("r_regionkey").count().count(); ()
     }
     floorRun()
-    val tf = System.nanoTime(); floorRun()
-    val floorSec = (System.nanoTime() - tf) / 1e9
+    // min of 3 samples: a single observation of a ~0.3s quantity
+    // inherits full GC/load jitter; the floor claim needs the best case
+    val floorSec = (1 to 3).map { _ =>
+      val tf = System.nanoTime(); floorRun()
+      (System.nanoTime() - tf) / 1e9
+    }.min
     // dev convenience: `runMain graft.Bench q30 q32` times only queries
     // whose name contains one of the args; the driver passes none.
     val picked =

@@ -125,10 +125,14 @@ object VdvX10 {
     * is parsed ONCE and shared across every table — per-table
     * `readTable` calls would re-scan the file's control lines K times
     * for a K-table file (K+1 jobs of identical I/O, multiplied per
-    * file by readFolder). */
+    * file by readFolder). A table name appearing in several sections of
+    * ONE file (multi-batch export) is unioned in file order — `toMap`
+    * on (name, df) pairs would silently keep only the last batch. */
   def readAll(spark: SparkSession, path: String): Map[String, DataFrame] =
-    sections(spark, path).map(sec =>
-      sec.name -> readSection(spark, path, sec)).toMap
+    sections(spark, path).groupBy(_.name).map { case (name, secs) =>
+      name -> secs.map(readSection(spark, path, _))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
 
   /** Whole-export load: every `.x10` file in a directory, merged into
     * one table→DataFrame map — the reference's folder pattern (one file

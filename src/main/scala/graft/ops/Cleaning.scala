@@ -79,4 +79,16 @@ object Cleaning {
         GraftSqlBridge.expression(numScaled * 2 + den),
         GraftSqlBridge.expression(den * 2)))
       .cast("double") / math.pow(10, scale)
+
+  /** num/den as value·10^scale rounded half-up, kept as an exact Long —
+    * the pre-summation form of [[roundHalfUpRatio]] for metrics that
+    * SUM per-group quotients (e.g. Σ_day trips/users): double quotients
+    * make the sum order-dependent in the last bit, while these scaled
+    * longs add associatively, so partial aggregation order can never
+    * flip a downstream rounding tie. Same caller contract; DuckDB twin
+    * `(2*10^scale*num + den) // (2*den)`. */
+  def halfUpScaledLong(num: Column, den: Column, scale: Int): Column =
+    GraftSqlBridge.column(new IntegralDivide(
+        GraftSqlBridge.expression(num * (2L * math.pow(10, scale).toLong) + den),
+        GraftSqlBridge.expression(den * 2)))
 }

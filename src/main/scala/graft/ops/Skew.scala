@@ -52,6 +52,11 @@ object Skew {
   def saltedInnerJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                       saltFrom: Column, buckets: Int): DataFrame = {
     require(buckets > 1, "buckets must be > 1")
+    // withColumn REPLACES an existing column of the same name — a user
+    // __salt column would silently become the join key and then be
+    // dropped from the output, breaking the row-for-row contract.
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedInnerJoin reserves the __salt column name; rename it on the input")
     val salted = left.withColumn("__salt",
       pmod(xxhash64(saltFrom), lit(buckets.toLong)).cast("int"))
     val replicated = right.withColumn("__salt",

@@ -59,10 +59,16 @@ object RouteTrips {
   }
 
   def adsRouteTripsDaily(s: SparkSession, dir: String): DataFrame = {
+    // Eager-cached (the repo's fan-out rule): this 3-column projection
+    // feeds SIX consumers in one action — the 4 slice aggregations
+    // (whose day-of-month predicates prune nothing at the scan), the
+    // LINE dim distinct, and the audit watermark — which would
+    // otherwise each re-scan the fact table.
     val ev = Tables.events(s, dir).select(
-      col("ts"),
-      col("event_type").as("route"),
-      (col("event_id") % 2).cast("int").as("direction"))
+        col("ts"),
+        col("event_type").as("route"),
+        (col("event_id") % 2).cast("int").as("direction"))
+      .transform(graft.core.Caching.eager)
 
     // LINE dim (J1): distinct routes, line_no = dense_rank over text.
     // The rank's unpartitioned window is safe HERE ONLY because it runs
@@ -84,7 +90,7 @@ object RouteTrips {
     }
     val unioned = slices.reduce(_.unionAll(_))
 
-    val audit = broadcast(Tables.events(s, dir).agg(
+    val audit = broadcast(ev.agg(
       date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("audit_ts")))
 
     unioned

@@ -121,13 +121,23 @@ object TravelInfo {
       aggs = Seq(
         count(lit(1)).as("trip_count"),
         countDistinct(col("user_id")).as("n_users")))
-      .withColumn("ratio",
+      // per-day ratio as an exact scaled Long (half-up at 6 decimals),
+      // NOT a double: the month fold SUMs these across days, and double
+      // quotients sum order-dependently in the last bit — the same tie
+      // class the integer-domain rounding below closes for every other
+      // ratio column (deviation from the per-day true rational ≤ 5e-7,
+      // far inside the final 4-decimal rounding; the oracle replays the
+      // identical integer arithmetic)
+      .withColumn("ratio_e6",
         when(col("n_users") > 0,
-          col("trip_count").cast("double") / col("n_users")).otherwise(0.0))
+          Cleaning.halfUpScaledLong(col("trip_count"), col("n_users"), 6))
+          .otherwise(0L))
       .withColumn("month", substring(col("day"), 1, 7))
       .withColumn("dim", dayofmonth(last_day(to_date(col("day")))))
     val avgDaily = daily.groupBy(col("month"), col("region_id"))
-      .agg(round(sum(col("ratio")) / max(col("dim")), 4)
+      // value·10^4 = Σratio_e6 / (100·dim) — one exact integral divide
+      .agg(Cleaning.roundHalfUpRatio(
+          sum(col("ratio_e6")), max(col("dim")).cast("long") * 100L, 4)
         .as("avg_daily_trips_per_passenger"))
 
     // --- audit watermark (F15, deterministic) -------------------------

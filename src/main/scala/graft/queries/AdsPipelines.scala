@@ -65,10 +65,12 @@ object AdsPipelines {
            |  GROUP BY GROUPING SETS ((day, region_id), (day))),
            |avg_daily AS (
            |  SELECT substr(day, 1, 7) AS month, region_id,
-           |    ROUND(SUM(CASE WHEN n_users > 0
-           |                   THEN CAST(trip_count AS DOUBLE) / n_users ELSE 0 END)
-           |          / MAX(date_part('day', last_day(CAST(day AS DATE)))),
-           |          4) AS avg_daily_trips_per_passenger
+           |    CAST((2*SUM(CASE WHEN n_users > 0
+           |                THEN (2000000*trip_count + n_users) // (2*n_users)
+           |                ELSE 0 END)
+           |          + 100*MAX(date_part('day', last_day(CAST(day AS DATE)))))
+           |         // (200*MAX(date_part('day', last_day(CAST(day AS DATE)))))
+           |         AS DOUBLE) / 10000.0 AS avg_daily_trips_per_passenger
            |  FROM daily GROUP BY 1, 2),
            |audit AS (
            |  SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS audit_ts FROM events)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.ops.Journeys
+import graft.ops.{Cleaning, Journeys}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -315,13 +315,19 @@ object EventFlows {
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
-        .withColumn("ratio",
-          when(col("n_users") > 0, col("n_events").cast("double") / col("n_users"))
-            .otherwise(lit(0.0)))
+        // scaled-Long per-day ratio (half-up at 6 decimals), not a
+        // double: the month fold SUMs across days and double quotients
+        // sum order-dependently — same tie class as q39's fold
+        .withColumn("ratio_e6",
+          when(col("n_users") > 0,
+            Cleaning.halfUpScaledLong(col("n_events"), col("n_users"), 6))
+            .otherwise(0L))
         .withColumn("month", substring(col("day"), 1, 7))
         .withColumn("dim", dayofmonth(last_day(to_date(col("day")))))
       daily.groupBy(col("month"))
-        .agg(round(sum(col("ratio")) / max(col("dim")), 4).as("avg_daily_ratio"),
+        .agg(Cleaning.roundHalfUpRatio(
+               sum(col("ratio_e6")), max(col("dim")).cast("long") * 100L, 4)
+             .as("avg_daily_ratio"),
              count(lit(1)).as("n_days"))
         .orderBy(col("month"))
     },
@@ -330,10 +336,12 @@ object EventFlows {
            |         count(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
            |  FROM events GROUP BY 1)
            |SELECT substr(day, 1, 7) AS month,
-           |  ROUND(SUM(CASE WHEN n_users > 0 THEN CAST(n_events AS DOUBLE) / n_users
-           |                 ELSE 0 END)
-           |        / MAX(date_part('day', last_day(CAST(day AS DATE)))),
-           |        4) AS avg_daily_ratio,
+           |  CAST((2*SUM(CASE WHEN n_users > 0
+           |              THEN (2000000*n_events + n_users) // (2*n_users)
+           |              ELSE 0 END)
+           |        + 100*MAX(date_part('day', last_day(CAST(day AS DATE)))))
+           |       // (200*MAX(date_part('day', last_day(CAST(day AS DATE)))))
+           |       AS DOUBLE) / 10000.0 AS avg_daily_ratio,
            |  CAST(count(*) AS BIGINT) AS n_days
            |FROM daily
            |GROUP BY substr(day, 1, 7)

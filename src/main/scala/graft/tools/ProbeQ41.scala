@@ -18,12 +18,11 @@ object ProbeQ41 {
     t("warmup")(ev.count())
     for (round <- 1 to 3) {
       s.catalog.clearCache()
-      val line = ev.select(col("event_type").as("line_abbr")).distinct()
-        .withColumn("line_clean", Cleaning.deepClean(col("line_abbr")))
-        .groupBy(col("line_clean")).agg(min(col("line_abbr")).as("line_abbr"))
-        .withColumn("op_dep_no", length(col("line_abbr")) % 6)
-      val opDept = Tables.region(s, dir)
-        .select(col("r_regionkey").as("op_dep_no"), col("r_name").as("region_name"))
+      // the SAME dim builders the pipeline uses — an inlined copy of an
+      // older shape (pre-distinct + groupBy) would time an extra
+      // shuffle the real query no longer executes
+      val line = graft.pipelines.EventDims.lineDim(ev)
+      val opDept = graft.pipelines.EventDims.opDeptDim(s, dir)
       val wOrd = Window.partitionBy(col("user_id"), col("day"))
         .orderBy(col("ts"), col("event_id"))
       val legs = ev

@@ -159,4 +159,29 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("halfUpScaledLong equals exact rational half-up at the scale, as a Long") {
+    // pre-summation form: value·10^scale rounded half-up kept integer —
+    // must agree with BigDecimal HALF_UP division at `scale` decimals
+    forAll(Gen.listOfN(60, for {
+      num <- Gen.choose(0L, 2000000L)
+      den <- Gen.choose(1L, 400L)
+    } yield (num, den)), n = 6) { pairs =>
+      whenever(pairs.nonEmpty) {
+        Seq(4, 6).foreach { scale =>
+          val got = pairs.toDF("num", "den")
+            .select(graft.ops.Cleaning.halfUpScaledLong($"num", $"den", scale))
+            .as[Long].collect()
+          val want = pairs.map { case (num, den) =>
+            (BigDecimal(num) * BigDecimal(10).pow(scale) / BigDecimal(den))
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+              .toLong
+          }
+          got.zip(want).zip(pairs).foreach { case ((g, w), (num, den)) =>
+            assert(g == w, s"num=$num den=$den scale=$scale: got $g want $w")
+          }
+        }
+      }
+    }
+  }
 }

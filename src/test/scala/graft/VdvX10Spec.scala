@@ -80,6 +80,32 @@ class VdvX10Spec extends AnyFunSuite {
     assert(tables("DAY_TYPE").count() == 2)
   }
 
+  test("readAll unions a table split across sections of ONE file") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.Files
+    val f = Files.createTempFile("graft_vdv_multibatch", ".x10")
+    // LINE appears twice in the same file (multi-batch export): both
+    // batches must survive — a (name -> df) toMap kept only the last
+    Files.write(f,
+      """mod; DD.MM.YYYY; HH:MM:SS; free
+        |tbl; LINE
+        |atr; BASE_VERSION; LINE_NO; LINE_ABBR
+        |frm; num[9.0]; num[9.0]; char[6]
+        |rec; 1; 301; "G7"
+        |end;
+        |tbl; LINE
+        |atr; BASE_VERSION; LINE_NO; LINE_ABBR
+        |frm; num[9.0]; num[9.0]; char[6]
+        |rec; 1; 302; "H8"
+        |rec; 1; 303; "I9"
+        |end;
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val tables = VdvX10.readAll(spark, f.toString)
+    assert(tables.keySet == Set("LINE"))
+    assert(tables("LINE").select("LINE_NO").as[Long].collect().toSet ==
+      Set(301L, 302L, 303L))
+  }
+
   test("q34 output matches the hand-computed oracle") {
     // LINE deduped on LINE_ABBR keeps the first D4; joins to
     // OPERATING_DEPARTMENT; AD*->Abu Dhabi, ER*->Al Ain, WR*->Al
