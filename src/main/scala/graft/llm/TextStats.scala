@@ -23,7 +23,11 @@ object TextStats {
   /** BPE-ish subword count estimate: word-piece boundaries at letter/
     * digit/punct transitions (a cheap deterministic proxy for a real
     * tokenizer — the regex splits where a byte-pair tokenizer typically
-    * would; full BPE needs a vocab file, out of scope per container). */
+    * would; full BPE needs a vocab file, out of scope per container).
+    * Boundaries are zero-width (lookarounds), so pieces keep every
+    * character. Java regex is UTF-16: an astral-plane char (emoji)
+    * counts as two punct units — fine for a filtering signal, but only
+    * ASCII/BMP text is bit-identical to the q25 DuckDB twin. */
   def bpeishTokenCount(text: Column): Column =
     size(filter(
       split(trim(text), "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])"),

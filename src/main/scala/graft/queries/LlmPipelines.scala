@@ -26,17 +26,31 @@ object LlmPipelines {
       d.select(
           col("doc_id"),
           TextStats.tokenCount(col("text")).as("n_tokens"),
+          TextStats.bpeishTokenCount(col("text")).as("bpe_tokens"),
           TextStats.punctRatio(col("text")).as("punct_ratio"),
           TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
           TextStats.qualityScore(col("text")).as("quality_score"))
         .orderBy(col("doc_id"))
     },
+    // bpe_tokens twin: RE2 (DuckDB) has no lookarounds, so the Spark
+    // side's zero-width split boundaries are replayed as insert-a-space
+    // rewrites (letter->digit, digit->letter, before-each-punct) and a
+    // plain whitespace split — piece-for-piece identical on ASCII text
     Some("""WITH t AS (
            |  SELECT doc_id, text,
-           |         string_split_regex(lower(trim(text)), '\s+') AS toks
+           |         string_split_regex(lower(trim(text)), '\s+') AS toks,
+           |         list_filter(string_split_regex(
+           |           regexp_replace(
+           |             regexp_replace(
+           |               regexp_replace(trim(text),
+           |                 '([a-zA-Z])([0-9])', '\1 \2', 'g'),
+           |               '([0-9])([a-zA-Z])', '\1 \2', 'g'),
+           |             '([^a-zA-Z0-9\s])', ' \1', 'g'),
+           |           '\s+'), x -> length(x) > 0) AS bpe
            |  FROM documents)
            |SELECT doc_id,
            |  CAST(len(toks) AS INTEGER) AS n_tokens,
+           |  CAST(len(bpe) AS INTEGER) AS bpe_tokens,
            |  CASE WHEN length(text) > 0
            |       THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
            |            / length(text)

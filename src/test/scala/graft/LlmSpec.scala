@@ -59,6 +59,21 @@ class LlmSpec extends AnyFunSuite {
     assert(rh(0) == expect, s"rollingHash mismatch: ${rh(0)} vs $expect")
   }
 
+  test("bpeishTokenCount matches hand-computed word-piece counts") {
+    import graft.llm.TextStats
+    val got = Seq(
+      "hello world",        // 2 plain words
+      "abc123def",          // letter|digit|letter -> abc,123,def = 3
+      "ab!!cd",             // split BEFORE each punct: ab,!,!cd = 3
+      "a1!b",               // a,1,!b = 3
+      "it's fine.",         // it,'s,fine,. = 4
+      " x ",                // trim -> 1
+      ""                    // empty -> 0
+    ).toDF("text")
+      .select(TextStats.bpeishTokenCount($"text")).as[Int].collect().toSeq
+    assert(got == Seq(2, 3, 3, 3, 4, 1, 0), s"got $got")
+  }
+
   test("MinHash-LSH candidates achieve full recall on high-jaccard pairs") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 2)
       .where($"jaccard" >= 0.8)
