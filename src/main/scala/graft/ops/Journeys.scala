@@ -86,7 +86,7 @@ object Journeys {
   def sessionize(df: DataFrame, partCols: Seq[Column], ts: Column,
                  gapMinutes: Double, sessionCol: String): DataFrame = {
     val wOrd = Window.partitionBy(partCols: _*).orderBy(ts)
-    val gapUs = unix_micros(ts) - unix_micros(lag(ts, 1).over(wOrd))
+    val gapUs = unix_micros(ts) - unix_micros(prevInGroup(ts, wOrd))
     val thresholdUs = math.round(gapMinutes * 60d * 1e6)
     val isNew = when(gapUs.isNull || gapUs > thresholdUs, 1L).otherwise(0L)
     df.withColumn(sessionCol,

@@ -46,14 +46,30 @@ object Rollups {
   }
 
   /** A15 two-granularity fold: monthly metric = sum over days of
-    * (daily numerator / daily denominator) / days-in-month
-    * (`scripts/ads_passenger_travel_info_mi.py:411-436`). Input is the
-    * daily aggregate; output one row per (month grouping, keys).
-    */
+    * (daily numerator / daily denominator) / days-in-month, rounded
+    * half-up to 4 decimals (`scripts/ads_passenger_travel_info_mi
+    * .py:411-436`). Input is the daily aggregate carrying integer
+    * `dayNum`/`dayDen` columns plus a days-in-month column; output one
+    * row per (month grouping, keys).
+    *
+    * The whole fold runs in EXACT integer arithmetic
+    * ([[Cleaning.halfUpScaledLong]] per day at 6 decimals, one integral
+    * divide at the end): summing double quotients is order-dependent in
+    * the last bit across partial-aggregation orders, which flips
+    * rounding ties between engines — q15's and q39's measured defect
+    * class. Deviation from the true rational per day ≤ 5e-7, far inside
+    * the final 4-decimal rounding. den=0 days contribute 0 (F25). */
   def avgDailyRatio(daily: DataFrame, monthKeys: Seq[Column],
-                    dayRatio: Column, daysInMonth: Column, outCol: String): DataFrame =
-    daily.groupBy(monthKeys: _*)
-      .agg((sum(dayRatio) / first(daysInMonth)).as(outCol))
+                    dayNum: Column, dayDen: Column, daysInMonth: Column,
+                    outCol: String): DataFrame =
+    daily
+      .withColumn("__ratio_e6",
+        when(dayDen > 0, Cleaning.halfUpScaledLong(dayNum, dayDen, 6))
+          .otherwise(0L))
+      .groupBy(monthKeys: _*)
+      .agg(Cleaning.roundHalfUpRatio(
+          sum(col("__ratio_e6")), max(daysInMonth).cast("long") * 100L, 4)
+        .as(outCol))
 
   /** MERGEABLE distinct-count rollup — the reference's HLL accumulator
     * contract (add/merge/count objects kept per key and merged across

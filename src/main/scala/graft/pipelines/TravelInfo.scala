@@ -121,24 +121,14 @@ object TravelInfo {
       aggs = Seq(
         count(lit(1)).as("trip_count"),
         countDistinct(col("user_id")).as("n_users")))
-      // per-day ratio as an exact scaled Long (half-up at 6 decimals),
-      // NOT a double: the month fold SUMs these across days, and double
-      // quotients sum order-dependently in the last bit — the same tie
-      // class the integer-domain rounding below closes for every other
-      // ratio column (deviation from the per-day true rational ≤ 5e-7,
-      // far inside the final 4-decimal rounding; the oracle replays the
-      // identical integer arithmetic)
-      .withColumn("ratio_e6",
-        when(col("n_users") > 0,
-          Cleaning.halfUpScaledLong(col("trip_count"), col("n_users"), 6))
-          .otherwise(0L))
       .withColumn("month", substring(col("day"), 1, 7))
       .withColumn("dim", dayofmonth(last_day(to_date(col("day")))))
-    val avgDaily = daily.groupBy(col("month"), col("region_id"))
-      // value·10^4 = Σratio_e6 / (100·dim) — one exact integral divide
-      .agg(Cleaning.roundHalfUpRatio(
-          sum(col("ratio_e6")), max(col("dim")).cast("long") * 100L, 4)
-        .as("avg_daily_trips_per_passenger"))
+    // integer-domain fold (order-independent sums; see Rollups) — the
+    // oracle replays the identical integer arithmetic
+    val avgDaily = Rollups.avgDailyRatio(daily,
+      Seq(col("month"), col("region_id")),
+      col("trip_count"), col("n_users"), col("dim"),
+      "avg_daily_trips_per_passenger")
 
     // --- audit watermark (F15, deterministic) -------------------------
     val audit = broadcast(ev.agg(

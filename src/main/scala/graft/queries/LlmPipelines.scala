@@ -29,6 +29,7 @@ object LlmPipelines {
           TextStats.bpeishTokenCount(col("text")).as("bpe_tokens"),
           TextStats.punctRatio(col("text")).as("punct_ratio"),
           TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextStats.avgTokenLen(col("text")).as("avg_token_len"),
           TextStats.qualityScore(col("text")).as("quality_score"))
         .orderBy(col("doc_id"))
     },
@@ -60,6 +61,10 @@ object LlmPipelines {
            |              ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
            |            / len(toks)
            |       ELSE 0.0 END AS stopword_ratio,
+           |  CASE WHEN len(toks) > 0
+           |       THEN CAST(list_aggregate(list_transform(toks, x -> length(x)),
+           |                                'sum') AS DOUBLE) / len(toks)
+           |       ELSE 0.0 END AS avg_token_len,
            |  ROUND(
            |    (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0
            |          WHEN len(toks) >= 5 THEN 0.5 ELSE 0.0 END) * 0.4 +

@@ -74,6 +74,33 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Seq(2, 3, 3, 3, 4, 1, 0), s"got $got")
   }
 
+  test("minhashSignature: order-free, deterministic, agreement tracks jaccard") {
+    val sigs = Seq(
+      Seq("a b", "b c", "c d", "d e"), // base bag
+      Seq("d e", "c d", "b c", "a b"), // same bag reordered
+      Seq("a b", "b c", "c d", "x y"), // jaccard 3/5 vs base
+      Seq("p q", "q r", "r s", "s t")  // disjoint
+    ).toDF("sh")
+      .select(Dedup.minhashSignature($"sh", 64).as("sig"))
+      .as[Seq[Long]].collect()
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(sigs(0) == sigs(1), "min over a bag is order-free")
+    // Broder: P(sig slot agrees) = jaccard -> 3/5 overlap beats disjoint
+    assert(agree(sigs(0), sigs(2)) > agree(sigs(0), sigs(3)))
+    assert(agree(sigs(0), sigs(3)) <= 8, "disjoint sets rarely collide")
+  }
+
+  test("lshSignature: sign bits are scale-invariant and negate under -v") {
+    val rnd = new scala.util.Random(7)
+    val v = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val sigs = Similarity.lshSignature(
+        Seq(v, v.map(_ * 2f), v.map(-_)).toDF("vec"),
+        "vec", numPlanes = 16, dim = 64)
+      .select($"lsh_sig").as[Long].collect()
+    assert(sigs(0) == sigs(1), "sign(v-h) == sign(2v-h): cosine LSH ignores norm")
+    assert((sigs(0) ^ sigs(2)) == 0xFFFFL, "-v flips all 16 plane bits")
+  }
+
   test("MinHash-LSH candidates achieve full recall on high-jaccard pairs") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 2)
       .where($"jaccard" >= 0.8)

@@ -54,6 +54,29 @@ class SinksSpec extends AnyFunSuite {
     assert(r == Set((1L, "keep")), "live table must survive a failed staging write")
   }
 
+  test("publishAtomic replaces the target via staging rename, no staging left") {
+    val out = Files.createTempDirectory("graft_pub").resolve("out").toString
+    Sinks.publishAtomic(Seq((1, "a")).toDF("id", "v"), out)
+    assert(spark.read.parquet(out).count() == 1)
+    // second publish fully replaces (overwrite semantics, not append)
+    Sinks.publishAtomic(Seq((1, "a"), (2, "b")).toDF("id", "v"), out)
+    assert(spark.read.parquet(out).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b")))
+    assert(!Files.exists(Paths.get(out + ".__staging")), "staging dir cleaned")
+  }
+
+  test("jdbcSwapStatements pins the reference's PostgreSQL swap sequence") {
+    // the documented dialect twin of jdbcPublish's executed swap
+    // (data_ingestion/pg_import.R:302-313)
+    assert(Sinks.jdbcSwapStatements("ads_x") == Seq(
+      "BEGIN",
+      "DROP TABLE IF EXISTS ads_x__old",
+      "ALTER TABLE IF EXISTS ads_x RENAME TO ads_x__old",
+      "ALTER TABLE ads_x__staging RENAME TO ads_x",
+      "DROP TABLE IF EXISTS ads_x__old",
+      "COMMIT"))
+  }
+
   test("appendCsvHeaderOnce writes the header exactly once across appends") {
     val target = Files.createTempDirectory("graft_csv").resolve("out.csv").toString
     val df = Seq((1, "x"), (2, "y")).toDF("id", "v").orderBy("id")
