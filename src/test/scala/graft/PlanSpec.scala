@@ -60,4 +60,30 @@ class PlanSpec extends AnyFunSuite {
         spark.catalog.clearCache()
       }
   }
+
+  test("q46: the six slice/dim/audit consumers read the cached projection") {
+    // the 4 quarter-month slices, the LINE dim and the audit watermark
+    // must all come from ONE cached scan — day-of-month predicates
+    // prune nothing, so each uncached consumer is a full fact re-scan
+    // (the InMemoryRelation node reprints its one-time build plan —
+    // a FileScan — under every consumer, so count cache READS instead
+    // of asserting the absence of parquet-scan text)
+    val p = planOf("q46_ads_route_trips_pipeline")
+    val reads = "InMemoryTableScan".r.findAllIn(p).size
+    assert(reads >= 6,
+      s"q46 expected >=6 cached-projection reads, found $reads:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q39/q15: avg-daily folds aggregate scaled Longs, not doubles") {
+    // the order-independence fix is structural: the fold's sum must be
+    // over the integer ratio column (sum(ratio_e6)), never a double sum
+    Seq("q39_ads_travel_info_pipeline", "q15_avg_daily_fold").foreach { n =>
+      val a = SparkEntry.queries(n)(spark, SparkTestBase.sf)
+        .queryExecution.optimizedPlan.toString
+      assert(a.contains("ratio_e6") || a.contains("__ratio_e6"),
+        s"$n no longer folds through the scaled-Long ratio:\n$a")
+      spark.catalog.clearCache()
+    }
+  }
 }
