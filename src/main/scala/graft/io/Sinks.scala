@@ -25,14 +25,24 @@ import scala.jdk.CollectionConverters._
 object Sinks {
 
   /** S14 — atomic CSV/parquet publish: write to `<out>.__staging`, then
-    * rename over the target. Readers never observe partial output; a
-    * crashed writer leaves only a staging dir to garbage-collect. */
+    * swap via the rename ladder of the reference's DDL sequence
+    * (live→`__old`, staging→live, drop `__old` —
+    * `data_ingestion/pg_import.R:302-313`). Readers never observe
+    * partial output, and NO step deletes the only copy of the previous
+    * version: a crash between the two renames leaves the old data
+    * intact under `<out>.__old` (a delete-then-rename swap would have a
+    * window where the previous publish is simply gone). Filesystem
+    * renames aren't one transaction, so the live path can be briefly
+    * absent mid-swap — the recoverability contract is what this
+    * restates; serving without any gap needs a versioned-dir + symlink
+    * or catalog pointer on top. */
   def publishAtomic(df: DataFrame, outDir: String, format: String = "parquet",
                     header: Boolean = true): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new Path(outDir)
     val staging = new Path(outDir + ".__staging")
+    val old = new Path(outDir + ".__old")
     val fs = out.getFileSystem(conf)
     if (fs.exists(staging)) fs.delete(staging, true)
     val w = df.write.mode("overwrite")
@@ -40,8 +50,11 @@ object Sinks {
       case "csv" => w.option("header", header.toString)
       case _     => w
     }).format(format).save(staging.toString)
-    if (fs.exists(out)) fs.delete(out, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(out))
+      require(fs.rename(out, old), s"backup rename of $outDir failed")
     require(fs.rename(staging, out), s"atomic rename to $outDir failed")
+    if (fs.exists(old)) fs.delete(old, true)
   }
 
   /** Schema-sidecar persistence (the reference caches inferred CSV
@@ -117,12 +130,21 @@ object Sinks {
     try {
       conn.setAutoCommit(false)
       // identifier case folding is dialect-specific (Derby/Oracle store
-      // unquoted names upper, PostgreSQL lower) — probe all three
-      def exists(t: String): Boolean =
+      // unquoted names upper, PostgreSQL lower) — probe all three.
+      // getTables takes a LIKE pattern: the '_' in every staging/old
+      // name is a single-char wildcard that would match unrelated
+      // tables (exists("ads_x__old") matching "ads1x2old"), so escape
+      // with the driver's search-string escape.
+      def exists(t: String): Boolean = {
+        val esc = conn.getMetaData.getSearchStringEscape
+        def lit(name: String) =
+          name.replace(esc, esc + esc)
+            .replace("_", esc + "_").replace("%", esc + "%")
         Seq(t, t.toUpperCase, t.toLowerCase).distinct.exists { name =>
-          val rs = conn.getMetaData.getTables(null, null, name, null)
+          val rs = conn.getMetaData.getTables(null, null, lit(name), null)
           try rs.next() finally rs.close()
         }
+      }
       val rename = renameSql(url) _
       val st = conn.createStatement()
       try {

@@ -34,8 +34,22 @@ object VdvX10 {
   private final case class Section(name: String, atrIdx: Long, endIdx: Long,
                                    cols: Seq[String], formats: Seq[String])
 
-  private def splitFields(line: String): Seq[String] =
-    line.split(";").toSeq.drop(1).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  /** Split a control/record line on ';' OUTSIDE double quotes — VDV
+    * char[n] fields are quoted and may legitimately contain ';' (a
+    * plain split would shift every following column and null out the
+    * typed ones). The leading tag (`rec`/`atr`/...) is dropped. */
+  private def splitFields(line: String): Seq[String] = {
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var inQuotes = false
+    line.foreach {
+      case '"' => inQuotes = !inQuotes; cur.append('"')
+      case ';' if !inQuotes => fields += cur.toString; cur.setLength(0)
+      case c => cur.append(c)
+    }
+    fields += cur.toString
+    fields.toSeq.drop(1).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  }
 
   /** Parse the section layout by collecting only control lines. */
   private def sections(spark: SparkSession, path: String): Seq[Section] = {

@@ -4,7 +4,6 @@ import graft.functions.SimHash64.simhash64
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for corpus curation: exact, MinHash+LSH,
   * SimHash Hamming-banding, and exact n-gram Jaccard verification.
@@ -86,20 +85,22 @@ object Dedup {
     */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int = 2, bands: Int = 16, rows: Int = 4,
-                           maxBucketSize: Int = 500): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    candidatesFromShingles(sh, bands, rows, maxBucketSize)
-  }
+                           maxBucketSize: Int = 500): DataFrame =
+    // no persist on the shingle projection here: the explode-based
+    // signature below reads it exactly ONCE, so caching it would be
+    // pure population overhead — the generate∘verify callers cache
+    // theirs because the verify joins read it twice more
+    candidatesFromShingles(
+      df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh")),
+      bands, rows, maxBucketSize)
 
-  /** Candidate generation over a persisted `(id, sh: array<string>)`
-    * shingle table. The persist boundary on the INPUT matters as much
-    * as the one on the banded output: without it Catalyst's
-    * CollapseProject inlines the whole shingling tree into each of the
-    * bands·rows minhash expressions (higher-order-function subtrees are
-    * not CSE'd), re-tokenizing every document 64 times — the round-1
-    * 1613 s pathology. With it, each hash pass reads a cached array. */
+  /** Candidate generation over an `(id, sh: array<string>)` shingle
+    * table. The shingles expression is referenced once (the explode),
+    * so callers need no cache for THIS function — the historical
+    * round-1 pathology (CollapseProject inlining the shingling tree
+    * into 64 `array_min(transform(...))` hash passes) died with the
+    * explode rewrite below. Callers that ALSO verify candidates against
+    * the shingle sets should cache the input for those extra reads. */
   private[graft] def candidatesFromShingles(sh: DataFrame, bands: Int, rows: Int,
                                           maxBucketSize: Int): DataFrame = {
     val numHashes = bands * rows
@@ -287,11 +288,17 @@ object Dedup {
   def cosineNearDupQuantized(emb: DataFrame, idCol: String, vecCol: String,
                              threshold: Double): DataFrame = {
     import graft.functions.VectorKernels.long_dot
+    // the integer-domain compare carries t as t·100 exactly — a
+    // sub-centi threshold would be silently rounded to the nearest
+    // 0.01, changing the selection predicate; reject it instead
+    val tScaled = math.round(threshold * 100)
+    require(math.abs(threshold * 100 - tScaled) < 1e-9,
+      s"threshold must be a multiple of 0.01 (got $threshold); " +
+      "use the float kernel scorer for finer thresholds")
     val q = emb.select(col(idCol).as("id"),
       transform(col(vecCol),
         x => round(x.cast("double") * 1000).cast("long")).as("qv"))
     val withNorm = q.withColumn("norm2", long_dot(col("qv"), col("qv")))
-    val tScaled = math.round(threshold * 100) // t*100 as exact integer
     val dec = "decimal(38,0)"
     withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
       .withColumn("dot", long_dot(col("a.qv"), col("b.qv")))

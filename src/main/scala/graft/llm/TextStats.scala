@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over a
@@ -100,10 +100,4 @@ object TextStats {
   def rollingHash(text: Column): Column =
     graft.functions.RollingHash64.rollingHash64(tokens(text))
 
-  /** Full stats projection used by pipelines and the q25 query. */
-  def withStats(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("n_tokens", tokenCount(col(textCol)))
-      .withColumn("punct_ratio", punctRatio(col(textCol)))
-      .withColumn("stopword_ratio", stopwordRatio(col(textCol)))
-      .withColumn("quality_score", qualityScore(col(textCol)))
 }

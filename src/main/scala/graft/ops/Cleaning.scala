@@ -80,6 +80,17 @@ object Cleaning {
         GraftSqlBridge.expression(den * 2)))
       .cast("double") / math.pow(10, scale)
 
+  /** Σx for a column whose values are EXACTLY 2-decimal (the money/
+    * measure contract of every fixture column this is applied to,
+    * asserted against the data): sum exact integer cents, divide once.
+    * Equal to `round(sum(x), 2)` — the sum of 2-decimal values IS
+    * 2-decimal — but order-independent, where the double sum differs
+    * across engines/partial-agg orders in the last bit and flips
+    * round-half ties (the q47/q51 measured defect class). DuckDB twin:
+    * `CAST(SUM(CAST(round(x*100) AS BIGINT)) AS DOUBLE) / 100.0`. */
+  def sumExact2(c: Column): Column =
+    sum(round(c * 100).cast("long")) / 100.0
+
   /** num/den as value·10^scale rounded half-up, kept as an exact Long —
     * the pre-summation form of [[roundHalfUpRatio]] for metrics that
     * SUM per-group quotients (e.g. Σ_day trips/users): double quotients

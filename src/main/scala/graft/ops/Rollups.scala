@@ -61,7 +61,7 @@ object Rollups {
     * the final 4-decimal rounding. den=0 days contribute 0 (F25). */
   def avgDailyRatio(daily: DataFrame, monthKeys: Seq[Column],
                     dayNum: Column, dayDen: Column, daysInMonth: Column,
-                    outCol: String): DataFrame =
+                    outCol: String, extraAggs: Seq[Column] = Nil): DataFrame =
     daily
       .withColumn("__ratio_e6",
         when(dayDen > 0, Cleaning.halfUpScaledLong(dayNum, dayDen, 6))
@@ -69,7 +69,7 @@ object Rollups {
       .groupBy(monthKeys: _*)
       .agg(Cleaning.roundHalfUpRatio(
           sum(col("__ratio_e6")), max(daysInMonth).cast("long") * 100L, 4)
-        .as(outCol))
+        .as(outCol), extraAggs: _*)
 
   /** MERGEABLE distinct-count rollup — the reference's HLL accumulator
     * contract (add/merge/count objects kept per key and merged across

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
+import graft.ops.Cleaning
 import org.apache.spark.sql.functions._
 
 /** Core scan/aggregate/join capabilities (SURVEY.md §2.1 S1-S3, §2.2,
@@ -28,19 +29,36 @@ object CoreAnalytics {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("cnt"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 2).as("avg_qty"))
+          // exact integer domains throughout (qty/price/discount are
+          // 2-decimal by data contract): double sums are order-
+          // dependent in the last bit, flipping round-half ties
+          // cross-engine — the measured q47/q51 defect class
+          Cleaning.sumExact2(col("l_quantity")).as("sum_qty"),
+          Cleaning.sumExact2(col("l_extendedprice")).as("sum_base_price"),
+          // price·(1-disc) in the e4 domain: cents × (100-disc_cents),
+          // genuinely rounded (4 decimals → 2) half-up via one
+          // integral divide
+          Cleaning.roundHalfUpRatio(
+            sum(round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long"))),
+            lit(100L), 2).as("sum_disc_price"),
+          // avg = cents_sum/(100·n); ·10^2 cancels to cents_sum/n
+          Cleaning.roundHalfUpRatio(
+            sum(round(col("l_quantity") * 100).cast("long")),
+            count(lit(1)), 2).as("avg_qty"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
            |  CAST(count(*) AS BIGINT) AS cnt,
-           |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-           |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           |  ROUND(AVG(l_quantity), 2) AS avg_qty
+           |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0
+           |    AS sum_qty,
+           |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+           |    AS sum_base_price,
+           |  CAST((2*SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           |              * (100 - CAST(round(l_discount*100) AS BIGINT))) + 100)
+           |       // 200 AS DOUBLE) / 100.0 AS sum_disc_price,
+           |  CAST((2*SUM(CAST(round(l_quantity*100) AS BIGINT)) + count(*))
+           |       // (2*count(*)) AS DOUBLE) / 100.0 AS avg_qty
            |FROM lineitem
            |GROUP BY l_returnflag, l_linestatus
            |ORDER BY l_returnflag, l_linestatus""".stripMargin))
@@ -88,12 +106,14 @@ object CoreAnalytics {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("num_customers"),
-          round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+          // exact cents sum (see q01): order-independent, tie-free
+          Cleaning.sumExact2(col("c_acctbal")).as("total_acctbal"))
         .orderBy(col("r_name"), col("n_name"))
     },
     Some("""SELECT r_name, n_name,
            |  CAST(count(*) AS BIGINT) AS num_customers,
-           |  ROUND(SUM(c_acctbal), 2) AS total_acctbal
+           |  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0
+           |    AS total_acctbal
            |FROM customer
            |LEFT JOIN nation ON c_nationkey = n_nationkey
            |LEFT JOIN region ON n_regionkey = r_regionkey

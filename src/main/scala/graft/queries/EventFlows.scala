@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.ops.{Cleaning, Journeys}
+import graft.ops.Journeys
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -138,7 +138,11 @@ object EventFlows {
       ev.groupBy(col("day"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          round(sum(when(col("value") > 100, col("value")).otherwise(lit(0.0))), 2)
+          // exact cents sum (value is 2-decimal by data contract) —
+          // double sums are order-dependent in the last bit, flipping
+          // round-half ties cross-engine
+          graft.ops.Cleaning.sumExact2(
+            when(col("value") > 100, col("value")).otherwise(lit(0.0)))
             .as("big_value_sum"),
           countDistinct(col("user_id")).as("n_users"),
           sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_big"))
@@ -146,7 +150,9 @@ object EventFlows {
     },
     Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
            |  CAST(count(*) AS BIGINT) AS n_events,
-           |  ROUND(SUM(CASE WHEN value > 100 THEN value ELSE 0 END), 2) AS big_value_sum,
+           |  CAST(SUM(CASE WHEN value > 100
+           |           THEN CAST(round(value*100) AS BIGINT) ELSE 0 END)
+           |       AS DOUBLE) / 100.0 AS big_value_sum,
            |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            |  CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
            |FROM events
@@ -161,7 +167,9 @@ object EventFlows {
       val ev = Tables.events(s, dir)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       val purchases = ev.where(col("event_type") === "purchase")
-        .groupBy(col("day")).agg(round(sum(col("value")), 2).as("purchase_value"))
+        .groupBy(col("day"))
+        // exact cents sum — see q08
+        .agg(graft.ops.Cleaning.sumExact2(col("value")).as("purchase_value"))
       val errors = ev.where(col("event_type") === "error")
         .groupBy(col("day")).agg(count(lit(1)).as("n_errors"))
       val signups = ev.where(col("event_type") === "signup")
@@ -177,7 +185,9 @@ object EventFlows {
         .orderBy(col("day"))
     },
     Some("""WITH p AS (
-           |  SELECT strftime(ts, '%Y-%m-%d') AS day, ROUND(SUM(value), 2) AS purchase_value
+           |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+           |         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0
+           |           AS purchase_value
            |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
            |e AS (
            |  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n_errors
@@ -315,20 +325,13 @@ object EventFlows {
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
-        // scaled-Long per-day ratio (half-up at 6 decimals), not a
-        // double: the month fold SUMs across days and double quotients
-        // sum order-dependently — same tie class as q39's fold
-        .withColumn("ratio_e6",
-          when(col("n_users") > 0,
-            Cleaning.halfUpScaledLong(col("n_events"), col("n_users"), 6))
-            .otherwise(0L))
         .withColumn("month", substring(col("day"), 1, 7))
         .withColumn("dim", dayofmonth(last_day(to_date(col("day")))))
-      daily.groupBy(col("month"))
-        .agg(Cleaning.roundHalfUpRatio(
-               sum(col("ratio_e6")), max(col("dim")).cast("long") * 100L, 4)
-             .as("avg_daily_ratio"),
-             count(lit(1)).as("n_days"))
+      // the shared integer-domain fold (order-independent sums) — one
+      // implementation for q15 and the q39 pipeline, one DuckDB twin
+      graft.ops.Rollups.avgDailyRatio(daily, Seq(col("month")),
+          col("n_events"), col("n_users"), col("dim"), "avg_daily_ratio",
+          extraAggs = Seq(count(lit(1)).as("n_days")))
         .orderBy(col("month"))
     },
     Some("""WITH daily AS (

@@ -134,21 +134,28 @@ object ScalarShapes {
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
+      // both levels in exact integer centi-units (quantity is 2-decimal
+      // by data contract): double sums/avgs are order-dependent in the
+      // last bit, flipping round-half ties cross-engine; the final avg
+      // is one integral divide (cents_sum/(100·n) · 10^2 = cents_sum/n)
       val perOrder = li.groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity")).as("order_qty"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
       o.join(perOrder, o("o_orderkey") === perOrder("l_orderkey"), "inner")
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_orders"),
-          round(avg(col("order_qty")), 2).as("avg_order_qty"))
+          Cleaning.roundHalfUpRatio(sum(col("qty_cents")), count(lit(1)), 2)
+            .as("avg_order_qty"))
         .orderBy(col("o_orderpriority"))
     },
     Some("""WITH per_order AS (
-           |  SELECT l_orderkey, SUM(l_quantity) AS order_qty
+           |  SELECT l_orderkey,
+           |         SUM(CAST(round(l_quantity*100) AS BIGINT)) AS qty_cents
            |  FROM lineitem GROUP BY l_orderkey)
            |SELECT o_orderpriority,
            |  CAST(count(*) AS BIGINT) AS n_orders,
-           |  ROUND(AVG(order_qty), 2) AS avg_order_qty
+           |  CAST((2*SUM(qty_cents) + count(*)) // (2*count(*)) AS DOUBLE) / 100.0
+           |    AS avg_order_qty
            |FROM orders JOIN per_order ON o_orderkey = l_orderkey
            |GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
@@ -199,11 +206,14 @@ object ScalarShapes {
       val s2 = ev.where(col("day") > "2024-01-15")
       s1.union(s2)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        // exact cents sum (see Cleaning.sumExact2)
+        .agg(count(lit(1)).as("n"),
+          Cleaning.sumExact2(col("value")).as("total_value"))
         .orderBy(col("event_type"))
     },
     Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           |  ROUND(SUM(value), 2) AS total_value
+           |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0
+           |    AS total_value
            |FROM events
            |GROUP BY event_type
            |ORDER BY event_type""".stripMargin))
@@ -254,7 +264,8 @@ object ScalarShapes {
           overallLabel = "overall",
           aggs = Seq(
             count(lit(1)).as("n_orders"),
-            round(sum(col("o_totalprice")), 2).as("total_price")))
+            // exact cents sum (see Cleaning.sumExact2)
+            Cleaning.sumExact2(col("o_totalprice")).as("total_price")))
         .select(col("o_orderstatus"), col("o_orderpriority"),
                 col("n_orders"), col("total_price"))
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -262,7 +273,8 @@ object ScalarShapes {
     Some("""SELECT o_orderstatus,
            |  COALESCE(o_orderpriority, 'overall') AS o_orderpriority,
            |  CAST(count(*) AS BIGINT) AS n_orders,
-           |  ROUND(SUM(o_totalprice), 2) AS total_price
+           |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+           |    AS total_price
            |FROM orders
            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
            |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))

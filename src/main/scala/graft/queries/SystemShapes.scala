@@ -16,6 +16,17 @@ import java.nio.file.{Files, Paths}
   */
 object SystemShapes {
 
+  /** Materialize an embedded fixture to tmp, REWRITING when the
+    * embedded content changed — an exists()-only guard would keep
+    * parsing a stale file from a previous build after the fixture is
+    * edited in code, with tests silently running against old bytes. */
+  private def materialize(p: java.nio.file.Path, content: String): String = {
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    if (!Files.exists(p) || !java.util.Arrays.equals(Files.readAllBytes(p), bytes))
+      Files.write(p, bytes)
+    p.toString
+  }
+
   /** Deterministic embedded VDV fixture (LINE + OPERATING_DEPARTMENT,
     * generic atr;/frm; variant), materialized to tmp on first use. */
   private[graft] lazy val vdvFixturePath: String = {
@@ -41,9 +52,7 @@ object SystemShapes {
         |rec; 1; 31; "WR1"; "Al Dhafra Main"
         |end;
         |""".stripMargin
-    if (!Files.exists(p))
-      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
-    p.toString
+    materialize(p, content)
   }
 
   /** S9-S11 — the VdvX10 multi-table source + the reference's
@@ -82,9 +91,7 @@ object SystemShapes {
          |${feature("AlAin", "[55.5, 24.0], [56.0, 24.0], [56.0, 24.5], [55.5, 24.5], [55.5, 24.0]")},
          |${feature("AlDhafra", "[52.5, 23.0], [54.0, 23.0], [54.0, 24.0], [52.5, 24.0], [52.5, 23.0]")}
          |]}""".stripMargin
-    if (!Files.exists(p))
-      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
-    p.toString
+    materialize(p, content)
   }
 
   /** S12 — the Excel service-type dim, PRECONVERTED to CSV (the survey
@@ -102,9 +109,7 @@ object SystemShapes {
         |D4,Al Dhafra,Link
         |ADL,NA,Express
         |""".stripMargin
-    if (!Files.exists(p))
-      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
-    p.toString
+    materialize(p, content)
   }
 
   /** J12+F23+F24+S13 — point-in-polygon region assignment over
@@ -162,8 +167,11 @@ object SystemShapes {
     (s, dir) => {
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        // exact cents sum (Cleaning.sumExact2) — same expression the
+        // streaming twin aggregates, so stream==batch is exact and the
+        // cross-engine round-half tie class is closed
         .agg(count(lit(1)).as("n_events"),
-             round(sum(col("value")), 2).as("total_value"))
+             graft.ops.Cleaning.sumExact2(col("value")).as("total_value"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
           col("event_type"), col("n_events"), col("total_value"))
@@ -172,7 +180,8 @@ object SystemShapes {
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
            |  event_type,
            |  CAST(count(*) AS BIGINT) AS n_events,
-           |  ROUND(SUM(value), 2) AS total_value
+           |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0
+           |    AS total_value
            |FROM events
            |GROUP BY 1, 2
            |ORDER BY 1, 2""".stripMargin))

@@ -39,8 +39,11 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
+      // exact cents sum: streaming partial-state addition order is even
+      // less deterministic than batch — integer cents make the running
+      // total exact and the q37 stream==batch contract bit-identical
       .agg(count(lit(1)).as("n_events"),
-           sum(col("value")).as("total_value"))
+           graft.ops.Cleaning.sumExact2(col("value")).as("total_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))

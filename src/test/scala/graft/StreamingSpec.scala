@@ -56,7 +56,10 @@ class StreamingSpec extends AnyFunSuite {
         round($"total_value", 2).as("total_value"))
       .as[(Timestamp, String, Long, Double)].collect().toSet
     val want = ev.groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+      // same exact-cents expression as tumblingCounts — equality is
+      // bit-exact, not up-to-double-summation-order
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.Cleaning.sumExact2($"value").as("total_value"))
       .select($"window.start", $"event_type", $"n_events", $"total_value")
       .as[(Timestamp, String, Long, Double)].collect().toSet
     assert(got == want, s"stream vs batch: ${(got diff want).take(3)} / ${(want diff got).take(3)}")

@@ -80,6 +80,23 @@ class VdvX10Spec extends AnyFunSuite {
     assert(tables("DAY_TYPE").count() == 2)
   }
 
+  test("quoted char fields may contain the field separator") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.Files
+    val f = Files.createTempFile("graft_vdv_semicolon", ".x10")
+    Files.write(f,
+      """tbl; LINE
+        |atr; LINE_NO; LINE_ABBR; LINE_DESC
+        |frm; num[9.0]; char[6]; char[40]
+        |rec; 1; "A;1"; "Airport; Express"
+        |end;
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val row = VdvX10.readTable(spark, f.toString, "LINE")
+      .as[(Long, String, String)].collect().toSeq
+    assert(row == Seq((1L, "A;1", "Airport; Express")),
+      "';' inside quotes must not shift columns")
+  }
+
   test("readAll unions a table split across sections of ONE file") {
     import java.nio.charset.StandardCharsets
     import java.nio.file.Files
