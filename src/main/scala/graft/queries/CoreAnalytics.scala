@@ -37,10 +37,13 @@ object CoreAnalytics {
           Cleaning.sumExact2(col("l_extendedprice")).as("sum_base_price"),
           // price·(1-disc) in the e4 domain: cents × (100-disc_cents),
           // genuinely rounded (4 decimals → 2) half-up via one
-          // integral divide
+          // integral divide. The e4-scaled per-row terms reach ~1e9, so
+          // the SUM accumulates in decimal (exact, order-free, no Long
+          // wrap at extreme row counts — DuckDB's HUGEINT twin likewise)
           Cleaning.roundHalfUpRatio(
-            sum(round(col("l_extendedprice") * 100).cast("long") *
-              (lit(100L) - round(col("l_discount") * 100).cast("long"))),
+            sum((round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .cast("decimal(28,0)")),
             lit(100L), 2).as("sum_disc_price"),
           // avg = cents_sum/(100·n); ·10^2 cancels to cents_sum/n
           Cleaning.roundHalfUpRatio(
