@@ -52,13 +52,22 @@ object Sessions {
   }
 
   /** Make a driver-supplied session usable for our reads even when it was
-    * not built by [[build]] (runtime-settable SQL confs only).
+    * not built by [[build]] (runtime-settable SQL confs only). A conf the
+    * session rejects (non-runtime-settable) is warned about, not
+    * swallowed silently — without nanosAsLong the events read fails
+    * later with an unrelated-looking vectorized-reader error. Fatal
+    * JVM errors propagate (NonFatal, not Throwable).
     */
   def tune(spark: SparkSession): SparkSession = {
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
-    try spark.conf.set("spark.sql.session.timeZone", "UTC")
-    catch { case _: Throwable => () }
+    Seq("spark.sql.legacy.parquet.nanosAsLong" -> "true",
+        "spark.sql.session.timeZone" -> "UTC").foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] could not set $k=$v on the " +
+            s"provided session (${e.getMessage}); reads that need it may fail")
+      }
+    }
     spark
   }
 }

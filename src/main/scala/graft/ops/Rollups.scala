@@ -24,9 +24,16 @@ object Rollups {
     val grouped = df.groupingSets(
       Seq(keepCols :+ col(overallCol), keepCols),
       (keepCols :+ col(overallCol)): _*)
-    val out = grouped.agg(aggs.head, aggs.tail: _*)
+    // discriminate rollup rows via grouping(), NOT NULL-ness: a genuine
+    // NULL value of overallCol in the fine grain would otherwise also
+    // be relabeled `overallLabel`, colliding with the rollup row and
+    // breaking the "overall equals the sum of its groups" invariant
+    val out = grouped.agg(aggs.head,
+      (aggs.tail :+ grouping(col(overallCol)).as("__is_overall")): _*)
     out.withColumn(overallCol,
-      coalesce(col(overallCol).cast("string"), lit(overallLabel)))
+        when(col("__is_overall") === 1, lit(overallLabel))
+          .otherwise(col(overallCol).cast("string")))
+      .drop("__is_overall")
   }
 
   /** A7 survival-difference histogram: given per-(keys, ordinal) counts

@@ -84,12 +84,15 @@ object TimeOps {
   }
 
   /** F18/F19-style generic numeric binning: ascending upper bounds with
-    * labels, last label is the overflow bucket. */
+    * labels, last label is the overflow bucket; null → "NA" (matching
+    * the sibling binners — a null would otherwise fall through every
+    * `when` into the overflow label and silently misclassify). */
   def binByUpperBounds(c: Column, bounds: Seq[Double], labels: Seq[String]): Column = {
     require(labels.length == bounds.length + 1, "labels = bounds + overflow")
     val base: Column = lit(labels.last)
-    bounds.zip(labels).reverse.foldLeft(base) { case (acc, (b, l)) =>
+    val binned = bounds.zip(labels).reverse.foldLeft(base) { case (acc, (b, l)) =>
       when(c <= b, l).otherwise(acc)
     }
+    when(c.isNull, "NA").otherwise(binned)
   }
 }

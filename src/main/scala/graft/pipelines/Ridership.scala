@@ -24,9 +24,15 @@ import org.apache.spark.sql.functions._
 object Ridership {
 
   def adsRidershipDaily(s: SparkSession, dir: String): DataFrame = {
+    // eager-cached (the repo's fan-out rule): three consumers of one
+    // action — the daily counts, the journey window, and the dim
+    // distinct — would each re-scan the fact table otherwise
     val ev = Tables.events(s, dir)
-      .withColumn("t_date", date_format(col("ts"), "yyyy-MM-dd"))
-      .withColumn("route", col("event_type"))
+      .select(col("ts"), col("user_id"), col("event_id"),
+        col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("t_date"),
+        col("event_type").as("route"))
+      .transform(graft.core.Caching.eager)
 
     val daily = ev.groupBy(col("t_date"), col("route"))
       .agg(count(lit(1)).as("passenger_trips"))

@@ -37,23 +37,7 @@ import org.apache.spark.sql.functions._
   */
 object RouteInfo {
 
-  /** DMS-milliseconds (`dddmmssnnn`, positive) → integer microdegrees,
-    * half-up. All intermediates ≤ ~2e12, exact in double; the /3600
-    * quotient can't straddle an integer boundary (remainder/3600 ≤
-    * 0.99972 vs ulp(5.6e7) ≈ 7.5e-9), so divide-then-truncate is an
-    * exact integer division. */
-  private def dmsToMicroDeg(x: Column): Column = {
-    val n = (x / 10000000L).cast("long") * 3600000000L +
-      ((x / 100000L).cast("long") % 100L) * 60000000L +
-      ((x / 1000L).cast("long") % 100L) * 1000000L +
-      (x % 1000L) * 1000L
-    ((n + 1800L) / 3600L).cast("long")
-  }
-
-  /** Fixed-6-decimal coordinate text from integer microdegrees. */
-  private def microDegText(micro: Column): Column =
-    format_string("%d.%06d",
-      (micro / 1000000L).cast("long"), micro % 1000000L)
+  import Geo.{dmsToMicroDeg, microDegText}
 
   def dwdBusRouteInfo(s: SparkSession, dir: String): DataFrame = {
     // --- STOP dim: DMS coords synthesized from the part key ----------

@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *    appears twice in the concatenated output (the reference's
   *    `drop_duplicates` runs per slice, never across slices). The
   *    slice predicates below reproduce that: day-of-month ranges plus
-  *    an exact-midnight membership test at each boundary.
+  *    an exact-midnight membership test at each boundary — EXCEPT the
+  *    dataset's very first month's opening midnight, which the
+  *    reference emits once (no preceding month is processed).
   *  - `route_no` is emitted as an empty string (the reference
   *    hardcodes `''`).
   *
@@ -43,8 +45,14 @@ object RouteTrips {
     * timestamp-boundary semantics. Quarter q ∈ 1..4 spans
     * [B(q), B(q+1)] where B = (1st, 8th, 15th, 22nd, next 1st) at
     * midnight; interior days are exclusive to one slice, boundary
-    * midnights belong to two. */
-  private def inQuarter(ts: Column, q: Int): Column = {
+    * midnights belong to two.
+    *
+    * `minMonth` (the dataset's first month start) guards the q4 arm: a
+    * first-of-month midnight belongs to the PREVIOUS month's part 4,
+    * which the reference only processes when that month is inside its
+    * month list — the very first month's opening midnight therefore
+    * appears once (its own part 1), not twice. */
+  private def inQuarter(ts: Column, q: Int, minMonth: Column): Column = {
     val dom = dayofmonth(ts)
     val isMidnight = ts === date_trunc("day", ts)
     def atBoundary(day: Int) = dom === day && isMidnight
@@ -54,7 +62,8 @@ object RouteTrips {
       case 3 => (dom >= 15 && dom < 22) || atBoundary(22)
       // part 4 runs to next month's 1st 00:00 — that instant is also
       // next month's part-1 start (`month_end + 1 day`, py:74-76)
-      case 4 => dom >= 22 || atBoundary(1)
+      case 4 => dom >= 22 ||
+        (atBoundary(1) && date_trunc("month", ts) > minMonth)
     }
   }
 
@@ -80,9 +89,15 @@ object RouteTrips {
         dense_rank().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("line_abbr"))).cast("long"))
 
+    // dataset's first month start (broadcast scalar): guards the q4
+    // first-midnight arm — see inQuarter
+    val minMonth = broadcast(ev.agg(
+      min(date_trunc("month", col("ts"))).as("__min_month")))
+
     // per-slice partial aggregates (S2 slices → A1 counts → U2 union)
     val slices = (1 to 4).map { q =>
-      ev.where(inQuarter(col("ts"), q))
+      ev.crossJoin(minMonth)
+        .where(inQuarter(col("ts"), q, col("__min_month")))
         .groupBy(
           date_format(col("ts"), "yyyy-MM-dd").as("t_date"),
           col("route"), col("direction"))

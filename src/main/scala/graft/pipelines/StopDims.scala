@@ -32,17 +32,7 @@ import org.apache.spark.sql.functions._
   */
 object StopDims {
 
-  private def dmsToMicroDeg(x: Column): Column = {
-    val n = (x / 10000000L).cast("long") * 3600000000L +
-      ((x / 100000L).cast("long") % 100L) * 60000000L +
-      ((x / 1000L).cast("long") % 100L) * 1000000L +
-      (x % 1000L) * 1000L
-    ((n + 1800L) / 3600L).cast("long")
-  }
-
-  private def microDegText(micro: Column): Column =
-    format_string("%d.%06d",
-      (micro / 1000000L).cast("long"), micro % 1000000L)
+  import graft.ops.Geo.{dmsToMicroDeg, microDegText}
 
   /** Route-stop sequence dim — pure relational (J9-family). */
   def dwdBusRouteStopInfo(s: SparkSession, dir: String): DataFrame = {

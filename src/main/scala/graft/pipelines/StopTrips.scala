@@ -71,7 +71,8 @@ object StopTrips {
       .join(alights, Seq("date", "station_no"), "left")
       .join(journeyBoards, Seq("date", "station_no"), "left")
       .join(journeyAlights, Seq("date", "station_no"), "left")
-      .join(broadcast(dayType.dropDuplicates("date")), Seq("date"), "left")
+      // dayType is distinct-by-date by construction — no re-dedup
+      .join(broadcast(dayType), Seq("date"), "left")
       .select(
         col("station_no").as("stop_no"),
         col("date").as("t_date"),

@@ -598,7 +598,9 @@ object AdsPipelines {
            |    CAST(count(*) AS BIGINT)
            |  FROM ev
            |  WHERE EXTRACT(day FROM ts) >= 22
-           |     OR (EXTRACT(day FROM ts) = 1 AND ts = date_trunc('day', ts))
+           |     OR (EXTRACT(day FROM ts) = 1 AND ts = date_trunc('day', ts)
+           |         AND date_trunc('month', ts) >
+           |             (SELECT min(date_trunc('month', ts)) FROM ev))
            |  GROUP BY 1, 2, 3),
            |wm AS (
            |  SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS audit_ts FROM events)

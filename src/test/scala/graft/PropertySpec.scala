@@ -85,7 +85,11 @@ class PropertySpec extends AnyFunSuite {
     forAll(legGen) { legs =>
       whenever(legs.nonEmpty) {
         val df = legs.toDF("uid", "journey", "leg_id", "start_us")
-          .withColumn("region", concat(lit("r"), $"uid" % 3))
+          // uid%3==0 regions are NULL: a genuine NULL group must stay
+          // distinct from the rollup row (grouping(), not coalesce)
+          .withColumn("region",
+            when($"uid" % 3 === 0, lit(null: String))
+              .otherwise(concat(lit("r"), $"uid" % 3)))
         val out = Rollups.withOverall(df, Seq($"journey"), "region", "overall",
             Seq(count(lit(1)).as("n"), sum($"leg_id").as("s")))
           .select($"journey", $"region", $"n", $"s")
