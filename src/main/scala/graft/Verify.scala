@@ -18,7 +18,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop per-query persist()s so caches don't accumulate across
-      // the 37-query session
+      // the full registry's session
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
