@@ -186,5 +186,44 @@ object SystemShapes {
            |GROUP BY 1, 2
            |ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q34, q35, q36, q37)
+  /** The explicit skew toolkit under a full oracle: a salted
+    * replicated-dim inner join (the AQE-uncoverable case — downstream
+    * co-partitioned consumers) feeding a per-type rollup, merged with a
+    * two-phase salted distinct count. Both rewrites are algebraic, so
+    * the DuckDB twin is the PLAIN join + COUNT DISTINCT — the oracle
+    * proves the salted forms equal the unsalted semantics on real data,
+    * complementing OpsSpec's property-level equality. */
+  val q53 = QueryDef(
+    "q53_skew_tools",
+    (s, dir) => {
+      import graft.ops.Skew
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("user_id"))
+      val typeDim = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+      val joined = Skew.saltedInnerJoin(ev, typeDim, Seq("event_type"),
+        saltFrom = col("event_id"), buckets = 8)
+      val counts = joined.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), min(col("n_type")).as("n_type"))
+      val dc = Skew.distinctCountSalted(ev, Seq("event_type"), "user_id", "n_users")
+      counts.join(dc, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"), col("n_type"), col("n_users"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH td AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+           |  FROM events GROUP BY 1),
+           |dc AS (
+           |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+           |  FROM events GROUP BY 1)
+           |SELECT e.event_type,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  MIN(t.n_type) AS n_type,
+           |  MIN(d.n_users) AS n_users
+           |FROM events e
+           |JOIN td t ON e.event_type = t.event_type
+           |JOIN dc d ON e.event_type = d.event_type
+           |GROUP BY e.event_type
+           |ORDER BY e.event_type""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q34, q35, q36, q37, q53)
 }

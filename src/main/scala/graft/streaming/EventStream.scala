@@ -48,6 +48,29 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Gap-based sessionization via the built-in `session_window` — the
+    * streaming form of [[graft.ops.Journeys.sessionize]] (q05), with
+    * watermark-bounded state: a session closes once the watermark
+    * passes its end, so state never grows with total users, only with
+    * concurrently-open sessions. Boundary semantics vs the batch
+    * running-sum form: `session_window` opens a NEW session at a gap of
+    * exactly `gap`; `sessionize` keeps it (strict `>`). Identical for
+    * every non-boundary gap (StreamingSpec asserts equality on data
+    * verified free of exact-boundary gaps). `session_window.end` is
+    * last-event + gap, so the emitted duration is span + gap by
+    * definition — consumers wanting the q05 max-min span subtract it. */
+  def sessionAggregates(events: DataFrame, gap: String = "30 minutes",
+                        watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("duration_us"))
+
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** ST4-style custom state: running per-user totals via

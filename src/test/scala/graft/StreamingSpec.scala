@@ -41,6 +41,47 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
 
+  test("session_window stream equals batch, and batch equals sessionize") {
+    val ev = Tables.events(spark, SparkTestBase.sf)
+      .select($"ts", $"user_id", $"event_type", $"value")
+    // boundary-semantics precondition (see sessionAggregates doc): the
+    // two forms may only differ on a gap of EXACTLY 30 minutes — verify
+    // the fixture has none, so the equalities below are meaningful
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val boundaryGaps = ev
+      .withColumn("gap_us", unix_micros($"ts") - unix_micros(lag($"ts", 1).over(wOrd)))
+      .where($"gap_us" === 1800000000L).count()
+    assert(boundaryGaps == 0L, "fixture has an exact-30min gap; pick another gap")
+
+    val dir = Files.createTempDirectory("graft_stream_sess")
+    ev.write.mode(SaveMode.Overwrite).parquet(dir.resolve("events").toString)
+    val stream = spark.readStream
+      .schema("ts timestamp, user_id long, event_type string, value double")
+      .parquet(dir.resolve("events").toString)
+    val got = EventStream.runToMemorySink(spark,
+        EventStream.sessionAggregates(stream), "q05_stream", OutputMode.Complete())
+      .select($"user_id", $"session_start", $"n_events", $"duration_us")
+      .as[(Long, Timestamp, Long, Long)].collect().toSet
+    // stream == the SAME session_window aggregation run as one batch
+    val batch = EventStream.sessionAggregates(ev)
+      .as[(Long, Timestamp, Long, Long)].collect().toSet
+    assert(got == batch,
+      s"stream vs batch: ${(got diff batch).take(3)} / ${(batch diff got).take(3)}")
+    // ...and the batch session set matches the running-sum sessionize
+    // (q05) on (n_events, duration) multisets per user
+    val viaSessionize = graft.ops.Journeys
+      .sessionize(ev, Seq($"user_id"), $"ts", 30.0, "sid")
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros($"ts")) - min(unix_micros($"ts"))).as("duration_us"))
+      .select($"user_id", $"n_events", $"duration_us")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val viaWindow = batch.toSeq.map(r => (r._1, r._3, r._4)).sorted
+    assert(viaWindow == viaSessionize)
+    assert(got.nonEmpty)
+  }
+
   test("tumblingCounts stream equals the q37 batch aggregation") {
     val ev = Tables.events(spark, SparkTestBase.sf)
       .select($"ts", $"user_id", $"event_type", $"value")
