@@ -56,9 +56,10 @@ object EventStream {
     * running-sum form: `session_window` opens a NEW session at a gap of
     * exactly `gap`; `sessionize` keeps it (strict `>`). Identical for
     * every non-boundary gap (StreamingSpec asserts equality on data
-    * verified free of exact-boundary gaps). `session_window.end` is
-    * last-event + gap, so the emitted duration is span + gap by
-    * definition — consumers wanting the q05 max-min span subtract it. */
+    * verified free of exact-boundary gaps). Note `session_window.end`
+    * is last-event + gap; the emitted `duration_us` is therefore
+    * computed as max(ts) − min(ts) — the q05 span — NOT from the
+    * window bounds. */
   def sessionAggregates(events: DataFrame, gap: String = "30 minutes",
                         watermark: String = "2 hours"): DataFrame =
     events

@@ -54,13 +54,22 @@ class StreamingSpec extends AnyFunSuite {
       .where($"gap_us" === 1800000000L).count()
     assert(boundaryGaps == 0L, "fixture has an exact-30min gap; pick another gap")
 
+    // THREE time-ordered files under maxFilesPerTrigger=1 (streamFrom)
+    // → three microbatches, so sessions spanning a file boundary are
+    // MERGED across batches — the incremental state path a
+    // single-batch run would never exercise
+    val rows = ev.orderBy($"ts")
+      .select(date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        $"user_id", $"event_type", $"value")
+      .as[(String, Long, String, Double)].collect().toSeq
     val dir = Files.createTempDirectory("graft_stream_sess")
-    ev.write.mode(SaveMode.Overwrite).parquet(dir.resolve("events").toString)
-    val stream = spark.readStream
-      .schema("ts timestamp, user_id long, event_type string, value double")
-      .parquet(dir.resolve("events").toString)
+    val chunk = (rows.length + 2) / 3
+    rows.grouped(chunk).zipWithIndex.foreach { case (part, i) =>
+      writeEventFile(dir, s"part$i.parquet", i, part)
+    }
     val got = EventStream.runToMemorySink(spark,
-        EventStream.sessionAggregates(stream), "q05_stream", OutputMode.Complete())
+        EventStream.sessionAggregates(streamFrom(dir)), "q05_stream",
+        OutputMode.Complete())
       .select($"user_id", $"session_start", $"n_events", $"duration_us")
       .as[(Long, Timestamp, Long, Long)].collect().toSet
     // stream == the SAME session_window aggregation run as one batch
