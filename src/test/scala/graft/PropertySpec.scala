@@ -164,6 +164,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sumExact2 equals the exact rational sum regardless of partitioning") {
+    // the operator's whole claim: Σ of 2-decimal values computed in
+    // integer cents equals the exact BigDecimal sum, under ANY
+    // partition layout (double sums would differ in the last bit)
+    forAll(Gen.listOfN(80, Gen.choose(-500000, 500000).map(_ / 100.0)), n = 6) { vals =>
+      whenever(vals.nonEmpty) {
+        val want = vals.map(v => BigDecimal(math.round(v * 100)))
+          .sum.toDouble / 100.0
+        Seq(1, 3, 32).foreach { parts =>
+          val got = spark.createDataset(vals)(org.apache.spark.sql.Encoders.scalaDouble)
+            .repartition(parts).toDF("v")
+            .agg(graft.ops.Cleaning.sumExact2($"v")).as[Double].head()
+          assert(got == want, s"parts=$parts: got $got want $want")
+        }
+      }
+    }
+  }
+
   test("halfUpScaledLong equals exact rational half-up at the scale, as a Long") {
     // pre-summation form: value·10^scale rounded half-up kept integer —
     // must agree with BigDecimal HALF_UP division at `scale` decimals
