@@ -37,7 +37,11 @@ object VdvX10 {
   /** Split a control/record line on ';' OUTSIDE double quotes — VDV
     * char[n] fields are quoted and may legitimately contain ';' (a
     * plain split would shift every following column and null out the
-    * typed ones). The leading tag (`rec`/`atr`/...) is dropped. */
+    * typed ones). The leading tag (`rec`/`atr`/...) is dropped, and
+    * TRAILING empty fields are too (Java's `split` semantics — a
+    * trailing ';' on an `atr;` line must not mint a phantom column
+    * that desynchronizes the cols/formats arity and silently degrades
+    * the whole table to strings). Interior empties are kept. */
   private def splitFields(line: String): Seq[String] = {
     val fields = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new java.lang.StringBuilder
@@ -48,6 +52,7 @@ object VdvX10 {
       case c => cur.append(c)
     }
     fields += cur.toString
+    while (fields.nonEmpty && fields.last.trim.isEmpty) fields.remove(fields.length - 1)
     fields.toSeq.drop(1).map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
 

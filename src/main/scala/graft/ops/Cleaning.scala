@@ -87,9 +87,12 @@ object Cleaning {
     * 2-decimal — but order-independent, where the double sum differs
     * across engines/partial-agg orders in the last bit and flips
     * round-half ties (the q47/q51 measured defect class). DuckDB twin:
-    * `CAST(SUM(CAST(round(x*100) AS BIGINT)) AS DOUBLE) / 100.0`. */
+    * `CAST(SUM(CAST(round(x*100) AS BIGINT)) AS DOUBLE) / 100.0`.
+    * Accumulates in decimal, not Long: DuckDB's SUM(BIGINT) promotes to
+    * HUGEINT while a Long sum would wrap silently near 9.2e18 cents —
+    * reachable at extreme row counts; decimal sums are exact at any. */
   def sumExact2(c: Column): Column =
-    sum(round(c * 100).cast("long")) / 100.0
+    sum(round(c * 100).cast("long").cast("decimal(20,0)")) / 100.0
 
   /** num/den as value·10^scale rounded half-up, kept as an exact Long —
     * the pre-summation form of [[roundHalfUpRatio]] for metrics that

@@ -51,7 +51,11 @@ object RouteTrips {
     * first-of-month midnight belongs to the PREVIOUS month's part 4,
     * which the reference only processes when that month is inside its
     * month list — the very first month's opening midnight therefore
-    * appears once (its own part 1), not twice. */
+    * appears once (its own part 1), not twice. The reference's list is
+    * a hardcoded CONTIGUOUS range (py:126) whose slices filter by
+    * timestamp only, so an empty mid-range month's part 4 still runs
+    * and still captures the next month's opening midnight — comparing
+    * against the global minimum month is exactly its semantics. */
   private def inQuarter(ts: Column, q: Int, minMonth: Column): Column = {
     val dom = dayofmonth(ts)
     val isMidnight = ts === date_trunc("day", ts)
@@ -94,9 +98,11 @@ object RouteTrips {
     val minMonth = broadcast(ev.agg(
       min(date_trunc("month", col("ts"))).as("__min_month")))
 
-    // per-slice partial aggregates (S2 slices → A1 counts → U2 union)
+    // per-slice partial aggregates (S2 slices → A1 counts → U2 union);
+    // only the q4 predicate reads __min_month, so only that slice
+    // carries the broadcast crossJoin
     val slices = (1 to 4).map { q =>
-      ev.crossJoin(minMonth)
+      (if (q == 4) ev.crossJoin(minMonth) else ev)
         .where(inQuarter(col("ts"), q, col("__min_month")))
         .groupBy(
           date_format(col("ts"), "yyyy-MM-dd").as("t_date"),

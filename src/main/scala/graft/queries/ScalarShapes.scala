@@ -31,7 +31,8 @@ object ScalarShapes {
     },
     Some("""SELECT p_partkey,
            |  upper(regexp_replace(trim(p_name), '[^A-Za-z0-9]', '', 'g')) AS clean_name,
-           |  CASE WHEN p_retailprice <= 1000 THEN '0-1000'
+           |  CASE WHEN p_retailprice IS NULL THEN 'NA'
+           |       WHEN p_retailprice <= 1000 THEN '0-1000'
            |       WHEN p_retailprice <= 1500 THEN '1000-1500'
            |       WHEN p_retailprice <= 2000 THEN '1500-2000'
            |       ELSE '>2000' END AS price_bin

@@ -19,11 +19,18 @@ object SystemShapes {
   /** Materialize an embedded fixture to tmp, REWRITING when the
     * embedded content changed — an exists()-only guard would keep
     * parsing a stale file from a previous build after the fixture is
-    * edited in code, with tests silently running against old bytes. */
+    * edited in code, with tests silently running against old bytes.
+    * The rewrite goes through a temp file + atomic rename so a
+    * concurrent reader in another JVM sharing the tmpdir never sees a
+    * truncated fixture. */
   private def materialize(p: java.nio.file.Path, content: String): String = {
     val bytes = content.getBytes(StandardCharsets.UTF_8)
-    if (!Files.exists(p) || !java.util.Arrays.equals(Files.readAllBytes(p), bytes))
-      Files.write(p, bytes)
+    if (!Files.exists(p) || !java.util.Arrays.equals(Files.readAllBytes(p), bytes)) {
+      val tmp = Files.createTempFile(p.getParent, p.getFileName.toString, ".tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     p.toString
   }
 
