@@ -61,9 +61,12 @@ object Bench {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val err =
+        // NonFatal only — same contract as the warmup above: timings
+        // recorded after a fatal VM error would be garbage published
+        // as valid numbers
         try { q.fn(spark, sfDir).count(); None }
         catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
       val sec = (System.nanoTime() - t0) / 1e9

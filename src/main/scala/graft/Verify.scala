@@ -12,9 +12,12 @@ object Verify {
     val spark: SparkSession = Sessions.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // NonFatal only: after an OOM or other fatal VM error the
+      // remaining queries would write results from a corrupted JVM —
+      // and a wrong-but-present result is worse than an absent one
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop per-query persist()s so caches don't accumulate across

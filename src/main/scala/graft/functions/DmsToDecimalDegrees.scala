@@ -46,8 +46,12 @@ case class DmsToDecimalDegrees(child: Expression)
 
 object DmsToDecimalDegrees {
 
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** Static kernel shared by interpreted eval and generated code.
+    * Long.MinValue (the one value `abs` cannot negate) is not a valid
+    * DMS encoding — returns NaN instead of silently decomposing a
+    * negative magnitude into garbage degrees. */
   def convert(v: Long): Double = {
+    if (v == Long.MinValue) return Double.NaN
     val sign = if (v < 0) -1.0 else 1.0
     val x = math.abs(v)
     val deg = x / 10000000L

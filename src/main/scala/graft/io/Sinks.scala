@@ -183,13 +183,24 @@ object Sinks {
           .getOrElse(throw new IllegalStateException(s"no csv part in $tmp"))
         finally listing.close()
       val target = Paths.get(targetFile)
-      val lines = Files.readAllLines(part, StandardCharsets.UTF_8).asScala
       if (!Files.exists(target)) {
         Files.createDirectories(target.toAbsolutePath.getParent)
-        Files.write(target, lines.asJava, StandardCharsets.UTF_8)
+        Files.copy(part, target)
       } else {
-        Files.write(target, lines.drop(1).asJava, StandardCharsets.UTF_8,
-          StandardOpenOption.APPEND)
+        // stream past the header line, then buffered byte copy — the
+        // slice never materializes in driver memory (readAllLines on a
+        // multi-GB slice would hold every line as a heap String)
+        val in = Files.newInputStream(part)
+        try {
+          var b = in.read()
+          while (b != -1 && b != '\n') b = in.read()
+          val out = Files.newOutputStream(target, StandardOpenOption.APPEND)
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n != -1) { out.write(buf, 0, n); n = in.read(buf) }
+          } finally out.close()
+        } finally in.close()
       }
     } finally {
       // each call writes a full copy of the slice to tmp — delete it

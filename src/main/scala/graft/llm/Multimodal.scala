@@ -122,8 +122,12 @@ object Multimodal {
       // per-partition decoder init would go here (once, not per row)
       it.map { m =>
         val (w, h, frames) = decode(m.payload)
+        // frames are meaningful for time-series media (video frame
+        // count; audio sample frames from the REAL WAV header parse —
+        // discarding those would make the one non-stub decode output
+        // unreachable); still images are single-frame by definition
         MediaFeatures(m.media_id, m.kind, m.payload.length, w, h,
-          if (m.kind == "video") frames else 1,
+          if (m.kind == "image") 1 else frames,
           featureHashStub(m.payload))
       }
     }

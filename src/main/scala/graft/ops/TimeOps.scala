@@ -42,9 +42,12 @@ object TimeOps {
     when(c < lo || c > hi, lit(default)).otherwise(c)
 
   /** F18 distance bins (km): (0,5],(5,10],(10,15],(15,20],(20,inf),
-    * include-lowest (`scripts/ads_passenger_travel_distance_di.py:210-220`). */
+    * include-lowest (`scripts/ads_passenger_travel_distance_di.py:210-220`);
+    * null → "NA" like every other binner (a null would otherwise fall
+    * through into the overflow label). */
   def distanceBin(km: Column): Column =
-    when(km <= 5, "0-5km")
+    when(km.isNull, "NA")
+      .when(km <= 5, "0-5km")
       .when(km <= 10, "5-10km")
       .when(km <= 15, "10-15km")
       .when(km <= 20, "15-20km")

@@ -32,4 +32,25 @@ object EventDims {
   def opDeptDim(s: SparkSession, dir: String): DataFrame =
     Tables.region(s, dir)
       .select(col("r_regionkey").as("op_dep_no"), col("r_name").as("region_name"))
+
+  /** The cleaned-leg prefix every AFC pipeline starts with (J1+J2+F1+
+    * F2-shape+P4): deep_clean the route key → broadcast LINE join →
+    * broadcast OP_DEPT join → region coalesce ('Unknown' for unmatched
+    * routes, the reference's flow) → day column. ONE implementation —
+    * four pipelines previously carried byte-identical private copies of
+    * this block, where a fix to the join key or region rule had to be
+    * replicated and a missed copy silently diverged. `keepUnknown`
+    * keeps the unmatched-route rows (travel-time reports them as their
+    * own region; the other pipelines filter them, `py:434-436`). */
+  def cleanedEvents(s: SparkSession, dir: String,
+                    keepUnknown: Boolean = false): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val base = ev
+      .withColumn("route_clean", Cleaning.deepClean(col("event_type")))
+      .join(broadcast(lineDim(ev)), col("route_clean") === col("line_clean"), "left")
+      .join(broadcast(opDeptDim(s, dir)), Seq("op_dep_no"), "left")
+      .withColumn("region_id", coalesce(col("region_name"), lit("Unknown")))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    if (keepUnknown) base else base.where(col("region_id") =!= "Unknown")
+  }
 }

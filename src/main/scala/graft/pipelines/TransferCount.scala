@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.core.Tables
-import graft.ops.{Cleaning, Rollups}
+import graft.ops.Rollups
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,18 +30,9 @@ object TransferCount {
   def adsTransferCountDaily(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
 
-    val line = EventDims.lineDim(ev)
-    val opDept = EventDims.opDeptDim(s, dir)
-
     val wOrd = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts"), col("event_id"))
-    val legs = ev
-      .withColumn("route_clean", Cleaning.deepClean(col("event_type")))
-      .join(broadcast(line), col("route_clean") === col("line_clean"), "left")
-      .join(broadcast(opDept), Seq("op_dep_no"), "left")
-      .withColumn("region_id", coalesce(col("region_name"), lit("Unknown")))
-      .where(col("region_id") =!= "Unknown")
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val legs = EventDims.cleanedEvents(s, dir)
       .withColumn("leg_id", row_number().over(wOrd))
 
     // A6 at (day × region ⊕ overall) in one pass

@@ -39,20 +39,11 @@ import org.apache.spark.sql.functions._
 object TravelInfo {
 
   /** Cleaned per-leg core shared by the monthly and daily variants:
-    * dims (J1: dedup right side; F1: deep_clean both keys), region
-    * filter (P4), and the per-leg derivations (F9/F10/F12/F16,
-    * integer-µs time math). NOT persisted here — each caller decides. */
+    * the shared cleaned-event prefix ([[EventDims.cleanedEvents]]) plus
+    * this pipeline's per-leg derivations (F9/F10/F12/F16, integer-µs
+    * time math). NOT persisted here — each caller decides. */
   private def cleanedLegs(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val line = EventDims.lineDim(ev)
-    val opDept = EventDims.opDeptDim(s, dir)
-    ev
-      .withColumn("route_clean", Cleaning.deepClean(col("event_type")))
-      .join(broadcast(line), col("route_clean") === col("line_clean"), "left")
-      .join(broadcast(opDept), Seq("op_dep_no"), "left")
-      .withColumn("region_id", coalesce(col("region_name"), lit("Unknown")))
-      .where(col("region_id") =!= "Unknown")
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    EventDims.cleanedEvents(s, dir)
       .withColumn("month", date_format(col("ts"), "yyyy-MM"))
       .withColumn("start_us", unix_micros(col("ts")))
       .withColumn("end_us",

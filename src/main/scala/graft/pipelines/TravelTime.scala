@@ -1,7 +1,6 @@
 package graft.pipelines
 
-import graft.core.Tables
-import graft.ops.{Cleaning, TimeOps}
+import graft.ops.TimeOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -36,20 +35,11 @@ import org.apache.spark.sql.functions._
 object TravelTime {
 
   def adsTravelTimeDaily(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-
-    // route→region mapping (J7: deduped LINE dim + region rule)
-    val line = EventDims.lineDim(ev)
-    val opDept = EventDims.opDeptDim(s, dir)
-
     val wOrd = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts"), col("event_id"))
-    val legs = ev
-      .withColumn("route_clean", Cleaning.deepClean(col("event_type")))
-      .join(broadcast(line), col("route_clean") === col("line_clean"), "left")
-      .join(broadcast(opDept), Seq("op_dep_no"), "left")
-      .withColumn("region_id", coalesce(col("region_name"), lit("Unknown")))
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    // travel-time is the one pipeline that KEEPS unmatched routes
+    // (reported under the 'Unknown' region)
+    val legs = EventDims.cleanedEvents(s, dir, keepUnknown = true)
       .withColumn("travel_us", round(col("value") * 60000000L).cast("long"))
       .withColumn("time_range_type", TimeOps.timeRangeBin(col("value")))
       .withColumn("leg_id", row_number().over(wOrd))

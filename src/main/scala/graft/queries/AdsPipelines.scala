@@ -222,7 +222,8 @@ object AdsPipelines {
            |    COALESCE(r.r_name, 'Unknown') AS region_id,
            |    strftime(e.ts, '%Y-%m-%d') AS day,
            |    CAST(round(e.value * 60000000) AS BIGINT) AS travel_us,
-           |    CASE WHEN e.value <= 10 THEN '0-10min'
+           |    CASE WHEN e.value IS NULL THEN 'NA'
+           |         WHEN e.value <= 10 THEN '0-10min'
            |         WHEN e.value <= 20 THEN '10-20min'
            |         WHEN e.value <= 30 THEN '20-30min'
            |         WHEN e.value <= 40 THEN '30-40min'
@@ -249,7 +250,8 @@ object AdsPipelines {
            |  FROM legs GROUP BY 1, 2, 3),
            |journeys AS (
            |  SELECT ope_date,
-           |    CASE WHEN journey_us <= 600000000 THEN '0-10min'
+           |    CASE WHEN journey_us IS NULL THEN 'NA'
+           |         WHEN journey_us <= 600000000 THEN '0-10min'
            |         WHEN journey_us <= 1200000000 THEN '10-20min'
            |         WHEN journey_us <= 1800000000 THEN '20-30min'
            |         WHEN journey_us <= 2400000000 THEN '30-40min'
@@ -513,7 +515,8 @@ object AdsPipelines {
            |  GROUP BY line_clean),
            |legs AS (
            |  SELECT user_id, region_id, t_date, ts,
-           |    CASE WHEN km <= 5 THEN '0-5km' WHEN km <= 10 THEN '5-10km'
+           |    CASE WHEN km IS NULL THEN 'NA'
+           |         WHEN km <= 5 THEN '0-5km' WHEN km <= 10 THEN '5-10km'
            |         WHEN km <= 15 THEN '10-15km' WHEN km <= 20 THEN '15-20km'
            |         ELSE '>20km' END AS distance_type,
            |    row_number() OVER (PARTITION BY user_id, t_date

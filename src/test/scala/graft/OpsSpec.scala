@@ -58,11 +58,13 @@ class OpsSpec extends AnyFunSuite {
 
   test("DmsToDecimalDegrees converts per the reference formula") {
     // 54°12'34.567" = 54 + 12/60 + 34.567/3600 = 54.209602 (6dp)
-    val got = Seq(541234567L, -541234567L, 0L).toDF("dms")
+    val got = Seq(541234567L, -541234567L, 0L, Long.MinValue).toDF("dms")
       .select(DmsToDecimalDegrees.dmsToDecimalDegrees($"dms")).as[Double].collect()
     assert(got(0) == 54.209602)
     assert(got(1) == -54.209602)
     assert(got(2) == 0.0)
+    // the one Long that abs() can't negate: NaN, not garbage degrees
+    assert(got(3).isNaN)
   }
 
   test("DmsToDecimalDegrees interpreted eval equals codegen result") {
