@@ -91,10 +91,15 @@ object Sinks {
     }
   }
 
-  /** S15 — JDBC atomic-swap DDL (staging table + transactional rename),
-    * the exact statement sequence of the reference's publish step
-    * (`data_ingestion/pg_import.R:302-313`) in PostgreSQL dialect.
-    * [[jdbcPublish]] executes the same sequence dialect-aware. */
+  /** S15 — JDBC atomic-swap DDL (staging table + transactional rename)
+    * matching the reference's publish step
+    * (`data_ingestion/pg_import.R:302-313`), with one deliberate
+    * upgrade: the reference DROPs the live table inside the transaction
+    * before renaming staging over it (safe only where DDL is fully
+    * transactional, as in PostgreSQL); this sequence renames live →
+    * `__old` first, so the previous version stays recoverable on any
+    * engine even if the swap dies mid-way. [[jdbcPublish]] executes the
+    * same sequence dialect-aware. */
   def jdbcSwapStatements(table: String): Seq[String] = {
     val staging = s"${table}__staging"
     Seq(

@@ -65,9 +65,10 @@ class SinksSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(out + ".__staging")), "staging dir cleaned")
   }
 
-  test("jdbcSwapStatements pins the reference's PostgreSQL swap sequence") {
-    // the documented dialect twin of jdbcPublish's executed swap
-    // (data_ingestion/pg_import.R:302-313)
+  test("jdbcSwapStatements pins the publish swap sequence") {
+    // the documented dialect twin of jdbcPublish's executed swap —
+    // the reference's transactional swap (pg_import.R:302-313) with
+    // the rename-to-__old safety upgrade (see the scaladoc)
     assert(Sinks.jdbcSwapStatements("ads_x") == Seq(
       "BEGIN",
       "DROP TABLE IF EXISTS ads_x__old",
