@@ -61,12 +61,14 @@ object Bench {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val err =
-        // NonFatal only — same contract as the warmup above: timings
-        // recorded after a fatal VM error would be garbage published
-        // as valid numbers
+        // NonFatal + LinkageError continue (a missing optional class
+        // leaves the JVM healthy; aborting would also lose
+        // BENCH_OUT.json for every other query); VirtualMachineErrors
+        // propagate — timings recorded after one would be garbage
+        // published as valid numbers
         try { q.fn(spark, sfDir).count(); None }
         catch {
-          case scala.util.control.NonFatal(e) =>
+          case e @ (scala.util.control.NonFatal(_) | _: LinkageError) =>
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
       val sec = (System.nanoTime() - t0) / 1e9

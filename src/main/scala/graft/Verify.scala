@@ -12,13 +12,17 @@ object Verify {
     val spark: SparkSession = Sessions.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      // NonFatal only: after an OOM or other fatal VM error the
-      // remaining queries would write results from a corrupted JVM —
-      // and a wrong-but-present result is worse than an absent one
+      // Continue on NonFatal AND LinkageError (a missing optional class
+      // leaves the JVM healthy, and aborting here would skip the
+      // remaining queries AND oracle_sql.json — zeroing the whole
+      // round); after an OOM or other VirtualMachineError the remaining
+      // results would come from a corrupted JVM, so those propagate —
+      // a wrong-but-present result is worse than an absent one.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch {
+        case e @ (scala.util.control.NonFatal(_) | _: LinkageError) =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop per-query persist()s so caches don't accumulate across
       // the full registry's session

@@ -122,13 +122,17 @@ object Multimodal {
       // per-partition decoder init would go here (once, not per row)
       it.map { m =>
         val (w, h, frames) = decode(m.payload)
-        // frames are meaningful for time-series media (video frame
-        // count; audio sample frames from the REAL WAV header parse —
-        // discarding those would make the one non-stub decode output
-        // unreachable); still images are single-frame by definition
+        // frames are meaningful for video (stub or real) and for audio
+        // whose WAV header REALLY parsed — discarding the latter would
+        // make the one non-stub decode output unreachable. Audio that
+        // fell through to the stub (non-RIFF payloads) reports 1: a
+        // hash-derived frame count would be noise presented as signal.
+        val nFrames =
+          if (m.kind == "video") frames
+          else if (m.kind == "audio" && decodeWav(m.payload).isDefined) frames
+          else 1
         MediaFeatures(m.media_id, m.kind, m.payload.length, w, h,
-          if (m.kind == "image") 1 else frames,
-          featureHashStub(m.payload))
+          nFrames, featureHashStub(m.payload))
       }
     }
   }

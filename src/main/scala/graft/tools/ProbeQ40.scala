@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.core.{Sessions, Tables}
-import graft.ops.{Cleaning, TimeOps}
+import graft.ops.TimeOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,19 +18,12 @@ object ProbeQ40 {
     t("warmup")(ev.count())
     for (rnd <- 1 to 2) {
       s.catalog.clearCache()
-      // the SAME dim builders the pipeline uses — an inlined copy of an
-      // older shape (pre-distinct + groupBy) would time an extra
-      // shuffle the real query no longer executes
-      val line = graft.pipelines.EventDims.lineDim(ev)
-      val opDept = graft.pipelines.EventDims.opDeptDim(s, dir)
+      // the SAME cleaned-leg prefix the pipeline uses (an inlined copy
+      // would silently time a stale plan shape after the next change)
       val wOrd = Window.partitionBy(col("user_id"), col("day"))
         .orderBy(col("ts"), col("event_id"))
-      val legsPlain = ev
-        .withColumn("route_clean", Cleaning.deepClean(col("event_type")))
-        .join(broadcast(line), col("route_clean") === col("line_clean"), "left")
-        .join(broadcast(opDept), Seq("op_dep_no"), "left")
-        .withColumn("region_id", coalesce(col("region_name"), lit("Unknown")))
-        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val legsPlain = graft.pipelines.EventDims
+        .cleanedEvents(s, dir, keepUnknown = true)
         .withColumn("travel_us", round(col("value") * 60000000L).cast("long"))
         .withColumn("time_range_type", TimeOps.timeRangeBin(col("value")))
       t(s"r$rnd no-window count")(legsPlain.count())

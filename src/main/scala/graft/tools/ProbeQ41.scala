@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.core.{Sessions, Tables}
-import graft.ops.{Cleaning, Rollups}
+import graft.ops.Rollups
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,20 +18,11 @@ object ProbeQ41 {
     t("warmup")(ev.count())
     for (round <- 1 to 3) {
       s.catalog.clearCache()
-      // the SAME dim builders the pipeline uses — an inlined copy of an
-      // older shape (pre-distinct + groupBy) would time an extra
-      // shuffle the real query no longer executes
-      val line = graft.pipelines.EventDims.lineDim(ev)
-      val opDept = graft.pipelines.EventDims.opDeptDim(s, dir)
+      // the SAME cleaned-leg prefix the pipeline uses (an inlined copy
+      // would silently time a stale plan shape after the next change)
       val wOrd = Window.partitionBy(col("user_id"), col("day"))
         .orderBy(col("ts"), col("event_id"))
-      val legs = ev
-        .withColumn("route_clean", Cleaning.deepClean(col("event_type")))
-        .join(broadcast(line), col("route_clean") === col("line_clean"), "left")
-        .join(broadcast(opDept), Seq("op_dep_no"), "left")
-        .withColumn("region_id", coalesce(col("region_name"), lit("Unknown")))
-        .where(col("region_id") =!= "Unknown")
-        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val legs = graft.pipelines.EventDims.cleanedEvents(s, dir)
         .withColumn("leg_id", row_number().over(wOrd))
       val hist = t(s"r$round hist eager") {
         Rollups.withOverall(legs.withColumnRenamed("day", "t_date"),

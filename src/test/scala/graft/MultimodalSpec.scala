@@ -50,7 +50,8 @@ class MultimodalSpec extends AnyFunSuite {
     // identical payloads → identical decoded dims + feature hash
     assert(feats(0).width == feats(2).width &&
       feats(0).feature_hash == feats(2).feature_hash)
-    // non-video rows report a single frame
+    // images are single-frame; audio keeps frames only from a REAL WAV
+    // header parse (these text-byte payloads are not RIFF, so 1)
     assert(feats(0).n_frames == 1 && feats(1).n_frames >= 1)
   }
 

@@ -34,10 +34,12 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("Abu Dhabi", "Al Ain", "Al Dhafra", "Unknown"))
   }
 
-  test("distance bins are include-lowest right-closed") {
-    val got = Seq(0.0, 5.0, 5.1, 20.0, 20.5).toDF("km")
+  test("distance bins are include-lowest right-closed, null -> NA") {
+    val got = Seq[Option[Double]](Some(0.0), Some(5.0), Some(5.1),
+        Some(20.0), Some(20.5), None).toDF("km")
       .select(TimeOps.distanceBin($"km")).as[String].collect()
-    assert(got.toSeq == Seq("0-5km", "0-5km", "5-10km", "15-20km", ">20km"))
+    assert(got.toSeq ==
+      Seq("0-5km", "0-5km", "5-10km", "15-20km", ">20km", "NA"))
   }
 
   test("time bins match the reference's nine ranges + NA fallback") {
