@@ -85,6 +85,37 @@ object TextStats {
       .otherwise("und")
   }
 
+  /** Char-trigram profiles for [[langIdTrigram]] — a handful of
+    * high-frequency trigrams per language, ASCII-only (the fixture
+    * contract) and each EXACTLY 3 chars so occurrence counts divide by
+    * a constant. Cross-language collisions ("nd " fires on German
+    * "und" too) are fine: scoring is per-profile voting, and real text
+    * hits its own profile far more often. */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " an", "ing", " of", "nd "),
+    "fr" -> Seq(" le", " la", " et", "une", "ais"),
+    "es" -> Seq(" el", "los", " y ", "cio", "ado"),
+    "de" -> Seq("der", "ein", "und", "sch", "ich"))
+
+  /** Language-ID, n-gram form: count each profile's trigram occurrences
+    * (`(len(t) - len(replace(t, tri))) / 3` — pure string expressions,
+    * no regex, no UDF), argmax with the deterministic tie order en >
+    * fr > es > de and "und" when every profile scores zero. The
+    * statistically-real sibling of [[langIdHeuristic]]'s marker-word
+    * voting; both are deterministic and SQL-twin-expressible. */
+  def langIdTrigram(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    def score(tris: Seq[String]): Column =
+      tris.map(tri => (length(t) - length(replace(t, lit(tri), lit("")))) / lit(3))
+        .reduce(_ + _)
+    val Seq(en, fr, es, de) = trigramProfiles.map(p => score(p._2))
+    when(en + fr + es + de === 0, "und")
+      .when(en >= fr && en >= es && en >= de, "en")
+      .when(fr >= es && fr >= de, "fr")
+      .when(es >= de, "es")
+      .otherwise("de")
+  }
+
   /** Canonical-form document fingerprint: md5 of lowercased,
     * whitespace-collapsed text. Exact-dup detection key. */
   def fingerprint(text: Column): Column =

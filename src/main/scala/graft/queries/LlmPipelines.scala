@@ -113,6 +113,47 @@ object LlmPipelines {
            |FROM g GROUP BY lang, lang_guess
            |ORDER BY lang, lang_guess""".stripMargin))
 
+  /** Language-ID, n-gram form: char-trigram profile voting (see
+    * [[TextStats.langIdTrigram]]) as a confusion matrix against the
+    * labeled lang. The oracle SQL is GENERATED from the same
+    * `trigramProfiles` constant the Spark expression reads, so the two
+    * sides cannot drift. */
+  val q54 = {
+    def scoreSql(tris: Seq[String]): String =
+      tris.map(t => s"(length(t) - length(replace(t, '$t', ''))) / 3")
+        .mkString(" + ")
+    val Seq(en, fr, es, de) = TextStats.trigramProfiles.map(p => scoreSql(p._2))
+    QueryDef(
+      "q54_lang_trigram_confusion",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.withColumn("lang_guess", TextStats.langIdTrigram(col("text")))
+          .groupBy(col("lang"), col("lang_guess"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("lang_guess"))
+      },
+      Some(s"""WITH g AS (
+              |  SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents),
+              |sc AS (
+              |  SELECT lang,
+              |    $en AS s_en,
+              |    $fr AS s_fr,
+              |    $es AS s_es,
+              |    $de AS s_de
+              |  FROM g),
+              |c AS (
+              |  SELECT lang,
+              |    CASE WHEN s_en + s_fr + s_es + s_de = 0 THEN 'und'
+              |         WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+              |         WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+              |         WHEN s_es >= s_de THEN 'es'
+              |         ELSE 'de' END AS lang_guess
+              |  FROM sc)
+              |SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+              |FROM c GROUP BY lang, lang_guess
+              |ORDER BY lang, lang_guess""".stripMargin))
+  }
+
   /** Exact dedup: canonical md5 fingerprint groups per source with
     * duplicate-rate rollup (one hash aggregation — the 100 TB exact
     * -dedup shape). */
@@ -415,5 +456,5 @@ object LlmPipelines {
            |ORDER BY doc_id""".stripMargin))
 
   val all: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52)
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54)
 }

@@ -74,6 +74,22 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Seq(2, 3, 3, 3, 4, 1, 0), s"got $got")
   }
 
+  test("langIdTrigram classifies real multilingual sentences") {
+    import graft.llm.TextStats
+    val got = Seq(
+      ("en", "the cat and the dog are running in the garden of the old house"),
+      ("fr", "le chat et la maison sont dans une rue et le jardin est grand mais frais"),
+      ("es", "los gatos y el perro caminan por el mercado de la ciudad y los campos"),
+      ("de", "der hund und die katze sind schnell und ich gehe durch einen wald"),
+      ("und", "zzz qqq xxx")
+    ).toDF("want", "text")
+      .select($"want", TextStats.langIdTrigram($"text").as("got"))
+      .as[(String, String)].collect()
+    got.foreach { case (want, guess) =>
+      assert(guess == want, s"expected $want got $guess")
+    }
+  }
+
   test("minhashSignature: order-free, deterministic, agreement tracks jaccard") {
     val sigs = Seq(
       Seq("a b", "b c", "c d", "d e"), // base bag
