@@ -99,8 +99,12 @@ object TextStats {
 
   /** Language-ID, n-gram form: count each profile's trigram occurrences
     * (`(len(t) - len(replace(t, tri))) / 3` — pure string expressions,
-    * no regex, no UDF), argmax with the deterministic tie order en >
-    * fr > es > de and "und" when every profile scores zero. The
+    * no regex, no UDF), argmax with ties breaking toward earlier
+    * profile order, and "und" for null text or when every profile
+    * scores zero. The argmax chain is FOLDED over [[trigramProfiles]]
+    * (labels and tie order come from the constant, never hardcoded —
+    * q54's generated SQL twin folds the same way, so adding or
+    * reordering a language updates both sides together). The
     * statistically-real sibling of [[langIdHeuristic]]'s marker-word
     * voting; both are deterministic and SQL-twin-expressible. */
   def langIdTrigram(text: Column): Column = {
@@ -108,12 +112,15 @@ object TextStats {
     def score(tris: Seq[String]): Column =
       tris.map(tri => (length(t) - length(replace(t, lit(tri), lit("")))) / lit(3))
         .reduce(_ + _)
-    val Seq(en, fr, es, de) = trigramProfiles.map(p => score(p._2))
-    when(en + fr + es + de === 0, "und")
-      .when(en >= fr && en >= es && en >= de, "en")
-      .when(fr >= es && fr >= de, "fr")
-      .when(es >= de, "es")
-      .otherwise("de")
+    val scores = trigramProfiles.map { case (lang, tris) => lang -> score(tris) }
+    val total = scores.map(_._2).reduce(_ + _)
+    val argmax = scores.zipWithIndex.foldRight(lit(scores.last._1): Column) {
+      case (((lang, s), i), acc) =>
+        val later = scores.drop(i + 1).map(_._2)
+        if (later.isEmpty) acc
+        else when(later.map(s >= _).reduce(_ && _), lang).otherwise(acc)
+    }
+    when(text.isNull || total === 0, "und").otherwise(argmax)
   }
 
   /** Canonical-form document fingerprint: md5 of lowercased,

@@ -115,14 +115,29 @@ object LlmPipelines {
 
   /** Language-ID, n-gram form: char-trigram profile voting (see
     * [[TextStats.langIdTrigram]]) as a confusion matrix against the
-    * labeled lang. The oracle SQL is GENERATED from the same
-    * `trigramProfiles` constant the Spark expression reads, so the two
-    * sides cannot drift. */
+    * labeled lang. The oracle's score columns AND its argmax CASE chain
+    * are GENERATED from the same `trigramProfiles` constant the Spark
+    * expression folds over, so profiles, labels, and tie order cannot
+    * drift between the twins (the padding and the replace-count score
+    * formula remain hand-mirrored — the one drift surface left). */
   val q54 = {
+    val profiles = TextStats.trigramProfiles
     def scoreSql(tris: Seq[String]): String =
-      tris.map(t => s"(length(t) - length(replace(t, '$t', ''))) / 3")
-        .mkString(" + ")
-    val Seq(en, fr, es, de) = TextStats.trigramProfiles.map(p => scoreSql(p._2))
+      tris.map { t =>
+        val esc = t.replace("'", "''") // SQL literal escape
+        s"(length(t) - length(replace(t, '$esc', ''))) / 3"
+      }.mkString(" + ")
+    val scoreCols = profiles
+      .map { case (lang, tris) => s"    ${scoreSql(tris)} AS s_$lang" }
+      .mkString(",\n")
+    val totalSql = profiles.map { case (lang, _) => s"s_$lang" }.mkString(" + ")
+    // same fold as langIdTrigram: a language wins when its score >=
+    // every LATER profile's score; ties break toward earlier order
+    val argmaxSql = profiles.zipWithIndex.init.map { case ((lang, _), i) =>
+      val conds = profiles.drop(i + 1)
+        .map { case (l2, _) => s"s_$lang >= s_$l2" }.mkString(" AND ")
+      s"         WHEN $conds THEN '$lang'"
+    }.mkString("\n")
     QueryDef(
       "q54_lang_trigram_confusion",
       (s, dir) => {
@@ -135,19 +150,14 @@ object LlmPipelines {
       Some(s"""WITH g AS (
               |  SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents),
               |sc AS (
-              |  SELECT lang,
-              |    $en AS s_en,
-              |    $fr AS s_fr,
-              |    $es AS s_es,
-              |    $de AS s_de
+              |  SELECT lang, t,
+              |$scoreCols
               |  FROM g),
               |c AS (
               |  SELECT lang,
-              |    CASE WHEN s_en + s_fr + s_es + s_de = 0 THEN 'und'
-              |         WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
-              |         WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
-              |         WHEN s_es >= s_de THEN 'es'
-              |         ELSE 'de' END AS lang_guess
+              |    CASE WHEN t IS NULL OR $totalSql = 0 THEN 'und'
+              |$argmaxSql
+              |         ELSE '${profiles.last._1}' END AS lang_guess
               |  FROM sc)
               |SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
               |FROM c GROUP BY lang, lang_guess

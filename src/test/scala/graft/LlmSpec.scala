@@ -77,11 +77,12 @@ class LlmSpec extends AnyFunSuite {
   test("langIdTrigram classifies real multilingual sentences") {
     import graft.llm.TextStats
     val got = Seq(
-      ("en", "the cat and the dog are running in the garden of the old house"),
-      ("fr", "le chat et la maison sont dans une rue et le jardin est grand mais frais"),
-      ("es", "los gatos y el perro caminan por el mercado de la ciudad y los campos"),
-      ("de", "der hund und die katze sind schnell und ich gehe durch einen wald"),
-      ("und", "zzz qqq xxx")
+      ("en", Some("the cat and the dog are running in the garden of the old house")),
+      ("fr", Some("le chat et la maison sont dans une rue et le jardin est grand mais frais")),
+      ("es", Some("los gatos y el perro caminan por el mercado de la ciudad y los campos")),
+      ("de", Some("der hund und die katze sind schnell und ich gehe durch einen wald")),
+      ("und", Some("zzz qqq xxx")),
+      ("und", None) // null text must not fall through to the last label
     ).toDF("want", "text")
       .select($"want", TextStats.langIdTrigram($"text").as("got"))
       .as[(String, String)].collect()
