@@ -37,7 +37,11 @@ object VdvX10 {
   /** Split a control/record line on ';' OUTSIDE double quotes — VDV
     * char[n] fields are quoted and may legitimately contain ';' (a
     * plain split would shift every following column and null out the
-    * typed ones). The leading tag (`rec`/`atr`/...) is dropped, and
+    * typed ones). A doubled `""` inside a quoted field is the escaped
+    * literal quote (CSV-style, the convention VDV exports follow); an
+    * UNTERMINATED quote fails loudly instead of silently merging the
+    * rest of the line into one field and nulling the remaining typed
+    * columns. The leading tag (`rec`/`atr`/...) is dropped, and
     * TRAILING empty fields are too (Java's `split` semantics — a
     * trailing ';' on an `atr;` line must not mint a phantom column
     * that desynchronizes the cols/formats arity and silently degrades
@@ -46,11 +50,19 @@ object VdvX10 {
     val fields = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new java.lang.StringBuilder
     var inQuotes = false
-    line.foreach {
-      case '"' => inQuotes = !inQuotes; cur.append('"')
-      case ';' if !inQuotes => fields += cur.toString; cur.setLength(0)
-      case c => cur.append(c)
+    var i = 0
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '"' if inQuotes && i + 1 < line.length && line.charAt(i + 1) == '"' =>
+          cur.append('"'); i += 1 // escaped literal quote, stays inQuotes
+        case '"' => inQuotes = !inQuotes; cur.append('"')
+        case ';' if !inQuotes => fields += cur.toString; cur.setLength(0)
+        case c => cur.append(c)
+      }
+      i += 1
     }
+    require(!inQuotes,
+      s"unterminated quote in .x10 line (field would swallow the rest): $line")
     fields += cur.toString
     while (fields.nonEmpty && fields.last.trim.isEmpty) fields.remove(fields.length - 1)
     fields.toSeq.drop(1).map(_.trim.stripPrefix("\"").stripSuffix("\""))

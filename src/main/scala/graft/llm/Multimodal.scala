@@ -96,13 +96,24 @@ object Multimodal {
     (w, ht, frames)
   }
 
+  /** One decode outcome: dims plus WHICH kernel produced them, so
+    * callers on the hot path never re-parse the header just to learn
+    * whether the parse was real (the flag is the single source of
+    * truth for the audio frame-count policy below). */
+  private[graft] final case class Decoded(width: Int, height: Int,
+                                          frames: Int, wavParsed: Boolean)
+
   /** Dispatch: real header parse when the payload is self-describing,
-    * stub otherwise. (width, height, frames). */
-  private[graft] def decode(payload: Array[Byte]): (Int, Int, Int) =
-    decodeBmp(payload).map { case (w, h) => (w, h, 1) }
+    * stub otherwise. width=channels, height=sampleRate for WAV by
+    * convention. */
+  private[graft] def decode(payload: Array[Byte]): Decoded =
+    decodeBmp(payload).map { case (w, h) => Decoded(w, h, 1, wavParsed = false) }
       .orElse(decodeWav(payload).map { case (ch, rate, frames) =>
-        (ch, rate, frames) }) // width=channels, height=sampleRate by convention
-      .getOrElse(decodeStub(payload))
+        Decoded(ch, rate, frames, wavParsed = true) })
+      .getOrElse {
+        val (w, h, f) = decodeStub(payload)
+        Decoded(w, h, f, wavParsed = false)
+      }
 
   /** STUB feature hash: stands in for an embedding/perceptual hash. */
   private def featureHashStub(payload: Array[Byte]): Long = {
@@ -121,17 +132,17 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       // per-partition decoder init would go here (once, not per row)
       it.map { m =>
-        val (w, h, frames) = decode(m.payload)
+        val d = decode(m.payload)
         // frames are meaningful for video (stub or real) and for audio
         // whose WAV header REALLY parsed — discarding the latter would
         // make the one non-stub decode output unreachable. Audio that
         // fell through to the stub (non-RIFF payloads) reports 1: a
         // hash-derived frame count would be noise presented as signal.
         val nFrames =
-          if (m.kind == "video") frames
-          else if (m.kind == "audio" && decodeWav(m.payload).isDefined) frames
+          if (m.kind == "video") d.frames
+          else if (m.kind == "audio" && d.wavParsed) d.frames
           else 1
-        MediaFeatures(m.media_id, m.kind, m.payload.length, w, h,
+        MediaFeatures(m.media_id, m.kind, m.payload.length, d.width, d.height,
           nFrames, featureHashStub(m.payload))
       }
     }

@@ -169,16 +169,17 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               sampleSize: Int = 2048): DataFrame = {
-    val n = corpus.count() // one column-pruned pass; centroid build is setup cost
-    val keepOneIn = math.max(1L, n / sampleSize)
-    // orderBy BEFORE limit: the hash filter passes ~sampleSize rows, so
-    // the sort is tiny, and the sampled set no longer depends on
-    // partition completion order (a bare limit() takes whatever arrives
-    // first — nondeterministic on a real cluster).
+    // Uniform pseudo-random sample in ONE pass: order by a seeded hash
+    // of the id and take the first sampleSize rows. Spark plans
+    // orderBy+limit as TakeOrderedAndProject — a per-partition top-k
+    // heap merged on the driver, NO full sort and NO prior count()
+    // (the previous form spent a whole extra corpus scan just to size
+    // a hash-modulus filter). Hash ordering keeps the sample both
+    // deterministic across runs/cluster layouts and independent of id
+    // assignment order.
     val sample = corpus
-      .where(pmod(xxhash64(col(idCol)), lit(keepOneIn)) === 0)
       .select(col(idCol), col(vecCol))
-      .orderBy(col(idCol))
+      .orderBy(xxhash64(lit("ivf-sample"), col(idCol)), col(idCol))
       .limit(sampleSize)
       .select(col(vecCol))
       .collect()

@@ -100,9 +100,20 @@ object Cleaning {
     * make the sum order-dependent in the last bit, while these scaled
     * longs add associatively, so partial aggregation order can never
     * flip a downstream rounding tie. Same caller contract; DuckDB twin
-    * `(2*10^scale*num + den) // (2*den)`. */
-  def halfUpScaledLong(num: Column, den: Column, scale: Int): Column =
+    * `(2*10^scale*num + den) // (2*den)`.
+    *
+    * The 2·10^scale·num + den intermediate is formed in decimal(38,0)
+    * (like [[sumExact2]]): at scale=6 a Long intermediate wraps
+    * silently above num ≈ 4.6e12, producing a wrong-but-plausible
+    * value — the exact failure class this toolkit exists to prevent.
+    * IntegralDivide on decimals still returns Long, so the output
+    * type (and all downstream sums) are unchanged; a quotient outside
+    * Long range surfaces as an error/null instead of wrapped garbage. */
+  def halfUpScaledLong(num: Column, den: Column, scale: Int): Column = {
+    val dec = "decimal(38,0)"
     GraftSqlBridge.column(new IntegralDivide(
-        GraftSqlBridge.expression(num * (2L * math.pow(10, scale).toLong) + den),
-        GraftSqlBridge.expression(den * 2)))
+        GraftSqlBridge.expression(
+          num.cast(dec) * (2L * math.pow(10, scale).toLong) + den.cast(dec)),
+        GraftSqlBridge.expression(den.cast(dec) * 2)))
+  }
 }

@@ -21,6 +21,16 @@ object Rollups {
     */
   def withOverall(df: DataFrame, keepCols: Seq[Column], overallCol: String,
                   overallLabel: String, aggs: Seq[Column]): DataFrame = {
+    // the discriminator column name is reserved — a caller column or
+    // agg alias with the same name would be silently consumed by the
+    // relabel/drop below (same guard shape as Skew.saltedInnerJoin)
+    require(!df.columns.contains("__is_overall"),
+      "withOverall reserves the column name __is_overall; rename the input column")
+    require(!aggs.exists(a => org.apache.spark.sql.GraftSqlBridge.expression(a) match {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias => al.name == "__is_overall"
+        case _ => false
+      }),
+      "withOverall reserves the agg alias __is_overall; use a different alias")
     val grouped = df.groupingSets(
       Seq(keepCols :+ col(overallCol), keepCols),
       (keepCols :+ col(overallCol)): _*)

@@ -30,10 +30,12 @@ class MultimodalSpec extends AnyFunSuite {
     "RIFF".getBytes.copyToArray(wav, 0); "WAVE".getBytes.copyToArray(wav, 8)
     wav(22) = 2; putLe(wav, 24, 44100); wav(32) = 4
     assert(Multimodal.decodeWav(wav).contains((2, 44100, 100)))
-    // dispatch: real parse for magic payloads, stub fallback otherwise
-    assert(Multimodal.decode(bmp) == (640, 480, 1))
-    assert(Multimodal.decode(wav) == (2, 44100, 100))
-    assert(Multimodal.decode("zzz".getBytes)._1 >= 64) // stub range
+    // dispatch: real parse for magic payloads, stub fallback otherwise;
+    // the wavParsed flag is how the hot path learns which kernel ran
+    assert(Multimodal.decode(bmp) == Multimodal.Decoded(640, 480, 1, wavParsed = false))
+    assert(Multimodal.decode(wav) == Multimodal.Decoded(2, 44100, 100, wavParsed = true))
+    val stubbed = Multimodal.decode("zzz".getBytes)
+    assert(stubbed.width >= 64 && !stubbed.wavParsed) // stub range
   }
 
   test("decodeAndExtract is deterministic and byte_len is exact") {
