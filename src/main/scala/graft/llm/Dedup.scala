@@ -2,7 +2,6 @@ package graft.llm
 
 import graft.functions.SimHash64.simhash64
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for corpus curation: exact, MinHash+LSH,
@@ -104,37 +103,67 @@ object Dedup {
   private[graft] def candidatesFromShingles(sh: DataFrame, bands: Int, rows: Int,
                                           maxBucketSize: Int): DataFrame = {
     val numHashes = bands * rows
-    // Signature via explode → 64 codegen'd xxhash64 columns → hash-agg
-    // of 64 min()s (partial agg map-side, one shuffle on id). This
-    // stays inside WholeStageCodegen end to end; the natural
+    require(numHashes <= 64,
+      s"rotation-derived hash family supports <= 64 hashes, got $numHashes")
+    // Signature via explode → TWO codegen'd xxhash64 base hashes → 64
+    // derived hashes h_j = h1 XOR rotl(h2, j) → hash-agg of 64 min()s
+    // (partial agg map-side, one shuffle on id). This stays inside
+    // WholeStageCodegen end to end; the natural
     // `array_min(transform(sh, xxhash64))` × 64 form runs interpreted
     // per element (HOFs don't codegen) and measured ~10× slower.
+    //
+    // The derived family is the Kirsch-Mitzenmacher two-hash
+    // construction with XOR-rotate instead of h1 + j·h2: each of the
+    // original 64 independent xxhash64 calls re-read the WHOLE shingle
+    // string (64 passes over every byte); two base hashes + 64
+    // three-instruction long ops compute the same-quality seeded
+    // family at ~1/30 the per-shingle cost. XOR/shift rather than
+    // +/× because Spark 4 runs
+    // ANSI mode: a wrapped Long multiply would throw where a bitwise
+    // rotation is well-defined. Collision probability per derived hash
+    // stays ~2^-64 (h1 ⊕ rotl(h2,j) is uniform for independent h1,h2),
+    // and the b·r S-curve analysis above is unchanged; the q30/q52
+    // oracles re-verify exact output equality under this family.
+    def rotl(c: Column, j: Int): Column =
+      if (j == 0) c
+      else shiftleft(c, j).bitwiseOR(shiftrightunsigned(c, 64 - j))
     val sig = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"),
+        xxhash64(lit(0), col("s")).as("h1"), xxhash64(lit(1), col("s")).as("h2"))
       .groupBy(col("id"))
-      .agg(min(xxhash64(lit(0), col("s"))).as("mh0"),
+      .agg(min(col("h1").bitwiseXOR(col("h2"))).as("mh0"),
         (1 until numHashes).map(j =>
-          min(xxhash64(lit(j), col("s"))).as(s"mh$j")): _*)
+          min(col("h1").bitwiseXOR(rotl(col("h2"), j))).as(s"mh$j")): _*)
     val banded = sig.select(col("id"), posexplode(
         array((0 until bands).map { b =>
           xxhash64((lit(b) +: (0 until rows).map(r =>
             col(s"mh${b * rows + r}"))): _*)
         }: _*)).as(Seq("band", "band_hash")))
-    // Materialize AFTER the bucket-size filter: the self-join consumes
-    // the capped table twice, so caching here runs the signature agg and
-    // the window exactly once — and eagerly, so the join's two scan
-    // stages can't race to build it (see [[graft.core.Caching]]).
-    val capped = graft.core.Caching.eager(banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("band_hash"))))
-      .where(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n"))
-    capped.as("a").join(capped.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // Bucket-collect pair generation: ONE shuffle (the bucket agg)
+    // instead of the r3 window-cap → eager-cache → self-join chain
+    // (three shuffles plus a cache-materialization job). Each bucket
+    // folds to its member-id list; the size filter IS the cap (same
+    // semantics: an oversized bucket contributed no pairs before
+    // either); pairs are generated by double-explode within the
+    // bucket — k² local rows bounded by maxBucketSize² ≈ 2 MB worst
+    // case, never a join. At 100 TB this also removes the operator's
+    // only cache, making it a pure 2-shuffle pipeline
+    // (signature agg → bucket agg) + the pair distinct.
+    bucketPairs(banded.groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("id")).as("ids")), maxBucketSize)
   }
+
+  /** Distinct (id_a < id_b) pairs from per-bucket member lists,
+    * dropping singleton and oversized buckets. Shared by the MinHash
+    * and sign-LSH candidate generators. */
+  private def bucketPairs(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    buckets
+      .where(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
 
   /** MinHash-LSH candidates verified by exact shingle Jaccard — the
     * complete at-scale near-dup pipeline (generate ∘ verify). The
@@ -158,7 +187,20 @@ object Dedup {
                          maxBucketSize: Int = 500): DataFrame = {
     val sh = graft.core.Caching.eager(df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh")))
-    candidatesFromShingles(sh, bands, rows, maxBucketSize)
+    nearDupPairsFromShingles(sh, threshold, bands, rows, maxBucketSize)
+  }
+
+  /** [[nearDupPairsUnique]] for a caller that ALREADY holds the
+    * `(id, sh: array<string>)` shingle table — e.g. a corpus-prep plan
+    * whose exact-dedup cache carries shingles instead of raw text, so
+    * the near-dup stage adds no second cache and never re-tokenizes.
+    * `sh` is consumed three times (candidate explode + both verify
+    * sides): the caller must have it persisted. */
+  def nearDupPairsFromShingles(sh: DataFrame, threshold: Double,
+                               bands: Int = 16, rows: Int = 4,
+                               maxBucketSize: Int = 500): DataFrame =
+    candidatesFromShingles(sh.select(col("id"), col("sh")),
+        bands, rows, maxBucketSize)
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id"))
       .withColumn("n_inter", size(array_intersect(col("sa.sh"), col("sb.sh"))))
@@ -166,7 +208,6 @@ object Dedup {
         (col("n_inter").cast("double") /
           (size(col("sa.sh")) + size(col("sb.sh")) - col("n_inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-  }
 
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, shingleN: Int = 2,
@@ -288,24 +329,105 @@ object Dedup {
   def cosineNearDupQuantized(emb: DataFrame, idCol: String, vecCol: String,
                              threshold: Double): DataFrame = {
     import graft.functions.VectorKernels.long_dot
-    // the integer-domain compare carries t as t·100 exactly — a
-    // sub-centi threshold would be silently rounded to the nearest
-    // 0.01, changing the selection predicate; reject it instead
+    val tScaled = checkCentiThreshold(threshold)
+    val withNorm = quantizeWithNorm(emb, idCol, vecCol)
+    withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
+      .withColumn("dot", long_dot(col("a.qv"), col("b.qv")))
+      .where(exactCosinePredicate(col("dot"), tScaled))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dot"))
+  }
+
+  /** Embedding cosine near-dup at scale: sign-LSH banded candidate
+    * generation ∘ the SAME exact integer-domain verification as
+    * [[cosineNearDupQuantized]] — generate∘verify, like the MinHash
+    * path, replacing the all-pairs `a.id < b.id` self-join (the one
+    * O(n²) shape in the toolkit) with equi-joins bounded by
+    * |same-bucket pairs|.
+    *
+    * Candidate generation: `bands`·`bandBits` random-hyperplane sign
+    * bits (Charikar 2002; deterministic seeded planes shared with
+    * [[Similarity]]), split into `bands` bands of `bandBits` bits;
+    * vectors sharing any band's bit pattern are candidates, joined on
+    * (band, bits) — one shuffle keyed by a (int, int) pair, never a
+    * cross product. Signatures are computed over the QUANTIZED vectors
+    * with quantized planes through the codegen'd `long_dot` kernel, so
+    * generation and verification read one cached (id, qv, norm2) table.
+    *
+    * Recall contract (the reason the q33 oracle can stay exact): a
+    * pair at cosine c collides in one band with p(c)^bandBits,
+    * p(c) = 1 - arccos(c)/π, and is MISSED with (1-p^bandBits)^bands —
+    * with the 16×8 default: < 1e-8 at c=0.99, 1.4e-4 at c=0.95,
+    * 4.5e-3 at c=0.90, while only 0.5^8·16 ≈ 6% of random pairs
+    * survive to verification. Near-dup thresholds (≥ ~0.9, where this
+    * operator is the right tool) sit past the S-curve knee;
+    * LOW thresholds (the 0.35 exploratory regime) are not LSH-prunable
+    * by any parameterization — P(band match) for random pairs exceeds
+    * true-pair recall — so [[cosineNearDupQuantized]] remains the
+    * honest tool there. LlmSpec asserts set-equality vs the all-pairs
+    * twin; the deterministic planes make the check reproducible. */
+  def cosineNearDupBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, dim: Int,
+                            bands: Int = 16, bandBits: Int = 8,
+                            maxBucketSize: Int = 2000): DataFrame = {
+    import graft.functions.VectorKernels.long_dot
+    require(threshold >= 0.8,
+      s"sign-LSH banding only prunes at near-dup thresholds (>= 0.8, got " +
+      s"$threshold); use cosineNearDupQuantized below that")
+    val tScaled = checkCentiThreshold(threshold)
+    val q = graft.core.Caching.eager(quantizeWithNorm(emb, idCol, vecCol))
+    // quantized hyperplanes (seed disjoint from Similarity's ANN tables)
+    val planes = Similarity.hyperplanes(bands * bandBits, dim, seed = 7L)
+      .map(_.map(f => math.round(f * 1000.0)).toSeq)
+    val bandCols = (0 until bands).map { b =>
+      (0 until bandBits).map { k =>
+        val plane = typedLit(planes(b * bandBits + k))
+        when(long_dot(col("qv"), plane) >= 0, lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val banded = q.select(col("id"), posexplode(array(bandCols: _*))
+      .as(Seq("band", "band_bits")))
+    // same bucket-collect pair generation as the MinHash path: one
+    // shuffle, no self-join. The cap is recall-safe for the same
+    // multi-band reason (a pair lost to one flooded bucket still
+    // collides in its other ~bands·p^bandBits bands).
+    val cands = bucketPairs(banded.groupBy(col("band"), col("band_bits"))
+      .agg(collect_list(col("id")).as("ids")), maxBucketSize)
+    cands
+      .join(q.as("a"), col("id_a") === col("a.id"))
+      .join(q.as("b"), col("id_b") === col("b.id"))
+      .withColumn("dot", long_dot(col("a.qv"), col("b.qv")))
+      .where(exactCosinePredicate(col("dot"), tScaled))
+      .select(col("id_a"), col("id_b"), col("dot"))
+  }
+
+  /** The integer-domain compare carries t as t·100 exactly — a
+    * sub-centi threshold would be silently rounded to the nearest
+    * 0.01, changing the selection predicate; reject it instead. */
+  private def checkCentiThreshold(threshold: Double): Long = {
     val tScaled = math.round(threshold * 100)
     require(math.abs(threshold * 100 - tScaled) < 1e-9,
       s"threshold must be a multiple of 0.01 (got $threshold); " +
       "use the float kernel scorer for finer thresholds")
-    val q = emb.select(col(idCol).as("id"),
-      transform(col(vecCol),
-        x => round(x.cast("double") * 1000).cast("long")).as("qv"))
-    val withNorm = q.withColumn("norm2", long_dot(col("qv"), col("qv")))
+    tScaled
+  }
+
+  /** 1e-3-quantized vector + its exact integer norm². */
+  private def quantizeWithNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorKernels.long_dot
+    emb.select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1000).cast("long")).as("qv"))
+      .withColumn("norm2", long_dot(col("qv"), col("qv")))
+  }
+
+  /** cosine > t restated in exact decimal(38,0) integer arithmetic:
+    * dot > 0 and 10⁴·dot² > (t·10²)²·|a|²·|b|² — free of float
+    * nondeterminism, safe past Long range for high-dim vectors. */
+  private def exactCosinePredicate(dot: Column, tScaled: Long): Column = {
     val dec = "decimal(38,0)"
-    withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
-      .withColumn("dot", long_dot(col("a.qv"), col("b.qv")))
-      .where(col("dot") > 0 &&
-        col("dot").cast(dec) * col("dot").cast(dec) * lit(10000L).cast(dec) >
-          lit(tScaled * tScaled).cast(dec) *
-            col("a.norm2").cast(dec) * col("b.norm2").cast(dec))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dot"))
+    dot > 0 &&
+      dot.cast(dec) * dot.cast(dec) * lit(10000L).cast(dec) >
+        lit(tScaled * tScaled).cast(dec) *
+          col("a.norm2").cast(dec) * col("b.norm2").cast(dec)
   }
 }

@@ -320,22 +320,46 @@ object LlmPipelines {
     },
     None)
 
-  /** Embedding cosine near-dup pairs in the exact integer domain
-    * (threshold 0.35 — the synthetic corpus has no planted vector
-    * dups, so this surfaces the top natural similarities). */
+  /** Embedding cosine near-dup pairs via the BUCKETED generate∘verify
+    * path ([[Dedup.cosineNearDupBucketed]]): sign-LSH banded candidates
+    * + exact integer-domain verification, over the whole embeddings
+    * table (no row cap — the r3 all-pairs form needed one) UNIONed
+    * with planted near-duplicate twins.
+    *
+    * The twins (every 20th vector, rescaled ×1.5 through double
+    * arithmetic — exact in IEEE, so both engines derive bit-identical
+    * floats) exist because the synthetic corpus's natural pair cosines
+    * top out at ~0.6: real near-dup thresholds (0.9 here) are the
+    * regime this operator is FOR, and the regime where banding prunes
+    * (the measured 0.35 exploratory threshold is not LSH-prunable by
+    * any parameterization — see the operator's Scaladoc). The DuckDB
+    * oracle is the ALL-PAIRS twin over the same union, so a recall
+    * miss in candidate generation would fail the hash gate, not hide. */
   val q33 = QueryDef(
     "q33_cosine_neardup",
     (s, dir) => {
-      Dedup.cosineNearDupQuantized(
-          Tables.embeddings(s, dir).where(col("vec_id") < 300),
-          "vec_id", "embedding", threshold = 0.35)
+      val emb = Tables.embeddings(s, dir)
+      val twins = emb.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * 1.5).cast("float")).as("embedding"))
+      Dedup.cosineNearDupBucketed(
+          emb.select(col("vec_id"), col("embedding")).unionAll(twins),
+          "vec_id", "embedding", threshold = 0.9, dim = 64)
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some("""WITH q AS (
+    Some("""WITH corpus AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000,
+           |    list_transform(embedding,
+           |      x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT))
+           |  FROM embeddings WHERE vec_id % 20 = 0),
+           |q AS (
            |  SELECT vec_id AS id,
            |    list_transform(embedding,
            |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-           |  FROM embeddings WHERE vec_id < 300),
+           |  FROM corpus),
            |n AS (
            |  SELECT id, qv,
            |    CAST(list_inner_product(qv, qv) AS BIGINT) AS norm2
@@ -348,7 +372,7 @@ object LlmPipelines {
            |SELECT id_a, id_b, dot
            |FROM p
            |WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000
-           |                  > 1225 * CAST(na AS HUGEINT) * nb
+           |                  > 8100 * CAST(na AS HUGEINT) * nb
            |ORDER BY id_a, id_b""".stripMargin))
 
   /** End-to-end corpus preparation — the training-data analog of the
@@ -381,22 +405,29 @@ object LlmPipelines {
           TextStats.qualityScore(col("text")).as("quality_score"),
           TextStats.fingerprint(col("text")).as("fp"))
         .where(col("quality_score") >= 0.7 && col("lang_guess") === "en")
-      // exact dedup: one shuffle on fp; eager-cached because both the
-      // near-dup generator and the final anti-join consume it
+      // exact dedup: one shuffle on fp. The ONE eager cache carries the
+      // near-dup stage's shingle arrays instead of raw text — shingles
+      // are computed map-side AFTER the window filter (survivors only;
+      // the fp shuffle never carries arrays), the near-dup stage then
+      // adds no second cache and never re-tokenizes, and the cached
+      // rows are exactly the columns the two consumers (candidate
+      // generation + verify, final anti-join projection) read.
       val exact = gated
         .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
         .where(col("doc_id") === col("keep_id"))
-        .drop("keep_id")
+        .select(col("doc_id").as("id"), col("source"), col("lang_guess"),
+          col("n_tokens"), col("quality_score"),
+          Dedup.shingles(col("text"), 2).as("sh"))
         .transform(graft.core.Caching.eager)
-      // nearDupPairsUnique, not minhashNearDupPairs: `exact` is already
-      // one row per fingerprint, so the full operator's pre-grouping +
-      // member expansion would be no-op scaffolding (a text shuffle and
-      // three joins for nothing)
-      val drops = Dedup.nearDupPairsUnique(exact, "doc_id", "text",
-          threshold = 0.8, shingleN = 2, bands = 16, rows = 4)
-        .select(col("id_b").as("doc_id")).distinct()
-      exact.join(drops, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("source"), col("lang_guess"),
+      // nearDupPairsFromShingles, not minhashNearDupPairs: `exact` is
+      // already one row per fingerprint, so the full operator's
+      // pre-grouping + member expansion would be no-op scaffolding (a
+      // text shuffle and three joins for nothing)
+      val drops = Dedup.nearDupPairsFromShingles(exact,
+          threshold = 0.8, bands = 16, rows = 4)
+        .select(col("id_b").as("id")).distinct()
+      exact.join(drops, Seq("id"), "left_anti")
+        .select(col("id").as("doc_id"), col("source"), col("lang_guess"),
           col("n_tokens"), col("quality_score"))
         .orderBy(col("doc_id"))
     },

@@ -259,6 +259,31 @@ class LlmSpec extends AnyFunSuite {
     assert(wrong.isEmpty, s"cos mismatch vs brute force: ${wrong.take(3).toSeq}")
   }
 
+  test("bucketed cosine near-dup equals the all-pairs exact twin, pair for pair") {
+    // q33's corpus shape: embeddings plus ×1.5-rescaled twins (cosine
+    // ≈ 1 vs their originals; every natural pair tops out near 0.6)
+    val twins = emb.where($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding",
+          x => (x.cast("double") * 1.5).cast("float")).as("embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").unionAll(twins)
+    val exact = Dedup.cosineNearDupQuantized(corpus, "vec_id", "embedding", 0.9)
+      .select($"id_a", $"id_b", $"dot").as[(Long, Long, Long)].collect().toSet
+    val bucketed = Dedup.cosineNearDupBucketed(corpus, "vec_id", "embedding",
+        0.9, dim = 64)
+      .select($"id_a", $"id_b", $"dot").as[(Long, Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "planted twins must surface as near-dup pairs")
+    assert(bucketed == exact,
+      s"missed=${(exact -- bucketed).take(3)} extra=${(bucketed -- exact).take(3)}")
+    spark.catalog.clearCache()
+  }
+
+  test("bucketed cosine near-dup rejects non-prunable low thresholds") {
+    intercept[IllegalArgumentException] {
+      Dedup.cosineNearDupBucketed(emb, "vec_id", "embedding", 0.35, dim = 64)
+    }
+  }
+
   test("IVF with sampled k-means centroids: recall >= 0.8 vs brute force") {
     val queries = emb.where($"vec_id" < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)

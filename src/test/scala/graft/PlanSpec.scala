@@ -50,6 +50,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q33: bucketed near-dup joins on bands, never an all-pairs loop") {
+    // the r3 form self-joined on a.id < b.id alone — a
+    // BroadcastNestedLoopJoin scanning |n²| pairs; the bucketed
+    // rewrite must plan only equi-joins
+    val q = SparkEntry.registry.find(_.name == "q33_cosine_neardup").get
+    val p = q.fn(spark, SparkTestBase.sf).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q33 must not plan an all-pairs join:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("ads pipelines broadcast their dims") {
     Seq("q39_ads_travel_info_pipeline", "q40_ads_travel_time_pipeline",
         "q45_ads_travel_distance_pipeline", "q47_ads_fare_revenue_pipeline")
