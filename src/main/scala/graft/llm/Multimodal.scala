@@ -115,6 +115,57 @@ object Multimodal {
         Decoded(w, h, f, wavParsed = false)
       }
 
+  /** Deterministic self-describing payload: a REAL BMP or WAV byte
+    * stream whose header fields are arithmetic functions of the id —
+    * so a decode of the bytes is independently recomputable from the
+    * id alone (the property q36's SQL oracle checks end-to-end).
+    * Video uses a WAV container as its frame-indexed stand-in: the
+    * real header parse then yields a real frame count without a codec. */
+  private[graft] def syntheticPayload(id: Long, kind: String): Array[Byte] = {
+    def putLeInt(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def putLeShort(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def wav(channels: Int, rate: Int, blockAlign: Int, dataLen: Int): Array[Byte] = {
+      val b = new Array[Byte](44 + dataLen)
+      "RIFF".getBytes.copyToArray(b, 0); "WAVE".getBytes.copyToArray(b, 8)
+      putLeShort(b, 22, channels); putLeInt(b, 24, rate); putLeShort(b, 32, blockAlign)
+      b
+    }
+    kind match {
+      case "image" =>
+        val b = new Array[Byte]((26 + id % 7).toInt)
+        b(0) = 'B'; b(1) = 'M'
+        putLeInt(b, 18, (16 + (id % 32) * 4).toInt) // width
+        putLeInt(b, 22, (8 + id % 24).toInt)        // height
+        b
+      case "audio" =>
+        val ch = (1 + id % 2).toInt
+        wav(ch, (8000 + (id % 4) * 1000).toInt, 2 * ch, ((id % 50) * 4).toInt)
+      case _ => // video: blockAlign 4 => frames = dataBytes/4 = id % 40
+        wav(2, 24, 4, ((id % 40) * 4).toInt)
+    }
+  }
+
+  /** Media fixture table over any id-bearing input: kind round-robins
+    * image/audio/video on id % 3, payload from [[syntheticPayload]].
+    * Built in the batched `mapPartitions` shape like the decode side. */
+  def syntheticMediaTable(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(sourceCol).as("src"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video" }
+        MediaRow(id, kind, syntheticPayload(id, kind), src)
+      })
+      .toDF()
+  }
+
   /** STUB feature hash: stands in for an embedding/perceptual hash. */
   private def featureHashStub(payload: Array[Byte]): Long = {
     var h = 0xCBF29CE484222325L

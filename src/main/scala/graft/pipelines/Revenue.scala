@@ -1,0 +1,229 @@
+package graft.pipelines
+
+import graft.core.Tables
+import graft.ops.Cleaning
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Revenue family — the three cataloged tables with no reference script
+  * body, built (like q47's `ads_fare_revenue_region_mi`) from their
+  * documented schemas alone: `docs/ads_revenue.xls` rows 34-47
+  * (`ads_fare_revenue_service_type_mi`), rows 48-58
+  * (`ads_revenue_proportion_product_type_mi`), and rows 59-75
+  * (`ads_revenue_route_mi`). Column names, types, and grain come from
+  * the catalog; the fixture mapping mirrors the conventions the q44/q47
+  * siblings already established (orders = fare transactions, region =
+  * o_custkey % 5 → region dim, exact integer-cents money arithmetic,
+  * literal audit columns per the family's hardcoded author+timestamp
+  * style, `ads_fare_revenue_region_mi.R:129-132`).
+  *
+  * Scale notes shared by all three: one projected+cached scan of the
+  * fact feeds every grain; dims and post-aggregation merge sides are
+  * broadcast; every aggregate is partial-aggregable (plain sums/counts
+  * over codegen'd expressions — no distinct, no window on the fact);
+  * money stays in exact integer cents so partial-agg merge order can
+  * never flip a rounding tie (the measured q47/q51 defect class).
+  */
+object Revenue {
+
+  /** Exact integer division (both-engine-deterministic): Spark
+    * IntegralDivide ≡ DuckDB `//` on non-negative operands. */
+  private def intDiv(num: Column, den: Column): Column =
+    GraftSqlBridge.column(new IntegralDivide(
+      GraftSqlBridge.expression(num), GraftSqlBridge.expression(den)))
+
+  private def ratio4(num: Column, den: Column): Column =
+    when(den > 0, Cleaning.roundHalfUpRatio(num * 10000L, den, 4))
+      .otherwise(0.0)
+
+  private val auditCols = Seq(
+    lit("system").as("create_by"), lit("system").as("update_by"),
+    lit("2025-09-01 11:07:58").as("create_time"),
+    lit("2025-09-01 11:07:58").as("update_time"))
+
+  /** `ads_fare_revenue_service_type_mi` (`docs/ads_revenue.xls` rows
+    * 34-47): month × region × service_type grain with fare revenue,
+    * fines-issued count/amount, evasion count, passengers, and the
+    * guarded 4-decimal evasion ratio. No Overall row — unlike the
+    * region_mi sibling, the catalog comment for this table's region_id
+    * does not request one.
+    *
+    * Fixture: fares = orders (q47's mapping) with service_type from the
+    * F21 composite dispatch (region × priority class, the
+    * `ads_ridership...py:129-148` label style); fines/evasion = lineitem
+    * legs via their order — a leg with returnflag R is a detected
+    * evader, one with R+F is a written-up fine at 10.00 per unit
+    * quantity (exact integer cents by construction).
+    */
+  def adsFareRevenueServiceTypeMonthly(s: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(Tables.region(s, dir)
+      .select(col("r_regionkey"), col("r_name").as("region_id")))
+
+    // ONE projected orders scan feeds both grains (fares and the
+    // fines join) — eagerly cached per the shared-subplan rule.
+    val orders = graft.core.Caching.eager(Tables.orders(s, dir)
+      .join(region, col("o_custkey") % 5 === col("r_regionkey"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("t_date"),
+        col("region_id"),
+        Cleaning.serviceType(col("region_id"),
+          when(col("o_orderpriority") === "1-URGENT", "Link")
+            .when(col("o_orderpriority") === "2-HIGH", "Regional")
+            .otherwise("Local")).as("service_type"),
+        round(col("o_totalprice") * 100).cast("long").as("fare_cents")))
+
+    val fareAgg = orders
+      .groupBy(col("t_date"), col("region_id"), col("service_type"))
+      .agg(sum(col("fare_cents")).as("fare_cents"),
+           count(lit(1)).as("passenger_num"))
+
+    val finesAgg = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity")).cast("long").as("qty"))
+      .join(orders.select(col("o_orderkey"), col("t_date"),
+          col("region_id"), col("service_type")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("t_date"), col("region_id"), col("service_type"))
+      .agg(
+        sum(when(col("l_returnflag") === "R" && col("l_linestatus") === "F", 1L)
+          .otherwise(0L)).as("passenger_fines_issued_num"),
+        sum(when(col("l_returnflag") === "R" && col("l_linestatus") === "F",
+          col("qty") * 1000L).otherwise(0L)).as("fine_cents"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("fare_evasion_passenger_num"))
+
+    // post-aggregation smalls (months × regions × 3 labels): hint the
+    // broadcast — the static planner has no stats here
+    fareAgg.join(broadcast(finesAgg),
+        Seq("t_date", "region_id", "service_type"), "left")
+      .select(Seq(
+        col("t_date"), lit("month").as("date_type"),
+        col("region_id"), col("service_type"),
+        round(col("fare_cents").cast("double") / 100.0, 2).as("fare_revenue"),
+        coalesce(col("passenger_fines_issued_num"), lit(0L))
+          .as("passenger_fines_issued_num"),
+        round(coalesce(col("fine_cents"), lit(0L)).cast("double") / 100.0, 2)
+          .as("fines_issued_amount"),
+        coalesce(col("fare_evasion_passenger_num"), lit(0L))
+          .as("fare_evasion_passenger_num"),
+        col("passenger_num"),
+        ratio4(coalesce(col("fare_evasion_passenger_num"), lit(0L)),
+          col("passenger_num")).as("fare_evasion_ratio")) ++ auditCols: _*)
+      .orderBy(col("t_date"), col("region_id"), col("service_type"))
+  }
+
+  /** `ads_revenue_proportion_product_type_mi` (`docs/ads_revenue.xls`
+    * rows 48-58): month × region × product_type grain over the catalog's
+    * enumerated seven products, with net fare revenue, cards sold, and
+    * gross sales revenue.
+    *
+    * Fixture: sales legs = lineitem via its order (month/region from the
+    * order, q47's mapping); product_type = the catalog's seven labels
+    * keyed by l_partkey mod 7 (deterministic, no dim join needed — the
+    * key is already on the fact); fare_revenue = discounted net in exact
+    * cents, ext_cents·(100−disc_pct) div 100, computed per leg BEFORE
+    * the sum so the truncation point is identical on both engines.
+    */
+  def adsRevenueProportionProductTypeMonthly(s: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(Tables.region(s, dir)
+      .select(col("r_regionkey"), col("r_name").as("region_id")))
+
+    val productNames = array(
+      lit("T-Purse Personalised"), lit("Disabled"), lit("Senior"),
+      lit("Student"), lit("T-Purse Annonymous"), lit("Monthly Pass"),
+      lit("Weekly Pass"))
+
+    val ord = Tables.orders(s, dir)
+      .join(region, col("o_custkey") % 5 === col("r_regionkey"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("t_date"),
+        col("region_id"))
+
+    val legs = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        element_at(productNames, (col("l_partkey") % 7 + 1).cast("int"))
+          .as("product_type"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("ext_cents"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+
+    legs
+      .withColumn("net_cents",
+        intDiv(col("ext_cents") * (lit(100L) - col("disc_pct")), lit(100L)))
+      .groupBy(col("t_date"), col("region_id"), col("product_type"))
+      .agg(sum(col("net_cents")).as("net_cents"),
+           sum(col("qty")).as("product_sold_num"),
+           sum(col("ext_cents")).as("gross_cents"))
+      .select(Seq(
+        col("t_date"), lit("month").as("date_type"),
+        col("region_id"), col("product_type"),
+        round(col("net_cents").cast("double") / 100.0, 2).as("fare_revenue"),
+        col("product_sold_num"),
+        round(col("gross_cents").cast("double") / 100.0, 2)
+          .as("product_sold_revenue")) ++ auditCols: _*)
+      .orderBy(col("t_date"), col("region_id"), col("product_type"))
+  }
+
+  /** `ads_revenue_route_mi` (`docs/ads_revenue.xls` rows 59-75): month ×
+    * line × route-option × direction grain with fare revenue, per-day
+    * and per-trip averages, a cost breakdown (operation/fuel/
+    * maintenance), and integer profitability.
+    *
+    * Fixture: events as AFC taps (q46's mapping — route = event_type,
+    * direction = event_id % 2 + 1 per the catalog's 1-forward/2-reverse
+    * coding, line_no = dense_rank over route text); fare per tap =
+    * (event_id mod 491) + 10 cents — deterministic from the key, spread
+    * across fare classes; meters per tap = |round(value)| (the q45 km
+    * convention). Costs are exact-integer functions of the group:
+    * operation 1.50/trip, fuel 0.012/meter (integer div), maintenance
+    * 25.00/line·month; profitability = fare − total cost in cents
+    * (bigint per the catalog).
+    */
+  def adsRevenueRouteMonthly(s: SparkSession, dir: String): DataFrame = {
+    // one projected scan; the dim derives from the same cache
+    val ev = graft.core.Caching.eager(Tables.events(s, dir).select(
+      date_format(col("ts"), "yyyy-MM").as("t_date"),
+      col("event_type").as("route"),
+      (col("event_id") % 2 + 1).cast("int").as("direction"),
+      (col("event_id") % 491 + 10L).as("fare_cents"),
+      abs(coalesce(round(col("value")), lit(0.0))).cast("long").as("meters"),
+      dayofmonth(last_day(col("ts"))).as("dim")))
+
+    // tiny dim (distinct routes): the single-partition window is
+    // deliberate and bounded, same as q46's line_no derivation
+    val lineDim = broadcast(ev.select(col("route")).distinct()
+      .withColumn("line_no", dense_rank().over(Window.orderBy(col("route"))))
+      .withColumn("route_no", (length(col("route")) % 5 + 1).cast("int")))
+
+    ev.groupBy(col("t_date"), col("route"), col("direction"))
+      .agg(sum(col("fare_cents")).as("cents"),
+           count(lit(1)).as("trips"),
+           sum(col("meters")).as("meters"),
+           max(col("dim")).as("dim"))
+      .join(lineDim, Seq("route"))
+      .withColumn("operation_cents", col("trips") * 150L)
+      .withColumn("fuel_cents", intDiv(col("meters") * 12L, lit(1000L)))
+      .withColumn("maintenance_cents", col("line_no").cast("long") * 2500L)
+      .withColumn("total_cents",
+        col("operation_cents") + col("fuel_cents") + col("maintenance_cents"))
+      .select(Seq(
+        col("t_date"), lit("month").as("date_type"),
+        col("line_no"), col("route_no"), col("direction"),
+        round(col("cents").cast("double") / 100.0, 2).as("fare_revenue"),
+        Cleaning.roundHalfUpRatio(col("cents"), col("dim").cast("long"), 2)
+          .as("avg_daily_fare_revenue"),
+        (col("cents") - col("total_cents")).as("profitability"),
+        Cleaning.roundHalfUpRatio(col("cents"), col("trips"), 2)
+          .as("avg_fare_per_trip"),
+        round(col("total_cents").cast("double") / 100.0, 2).as("total_cost"),
+        round(col("operation_cents").cast("double") / 100.0, 2)
+          .as("operation_cost"),
+        round(col("fuel_cents").cast("double") / 100.0, 2).as("fuel_cost"),
+        round(col("maintenance_cents").cast("double") / 100.0, 2)
+          .as("maintenance_cost")) ++ auditCols: _*)
+      .orderBy(col("t_date"), col("line_no"), col("direction"))
+  }
+}

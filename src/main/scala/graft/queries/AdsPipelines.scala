@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.pipelines.{DimDate, FareRevenue, Ridership, RouteInfo, RouteTrips, StopDims, StopTrips, TransferCount, TravelDistance, TravelInfo, TravelTime}
+import graft.pipelines.{DimDate, FareRevenue, Revenue, Ridership, RouteInfo, RouteTrips, StopDims, StopTrips, TransferCount, TravelDistance, TravelInfo, TravelTime}
 import org.apache.spark.sql.functions._
 
 /** End-to-end ads-table pipelines (SURVEY.md §3 entry points composed
@@ -877,6 +877,144 @@ object AdsPipelines {
            |CROSS JOIN audit au
            |ORDER BY 1, 3""".stripMargin))
 
+  /** Revenue family `ads_fare_revenue_service_type_mi` (documented
+    * schema, `docs/ads_revenue.xls` rows 34-47) — see
+    * [[graft.pipelines.Revenue.adsFareRevenueServiceTypeMonthly]]. */
+  val q55 = QueryDef(
+    "q55_ads_fare_revenue_service_type",
+    (s, dir) => Revenue.adsFareRevenueServiceTypeMonthly(s, dir),
+    Some("""WITH region_d AS (
+           |  SELECT r_regionkey, r_name AS region_id FROM region),
+           |fares AS (
+           |  SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m') AS t_date,
+           |    r.region_id,
+           |    r.region_id || CASE WHEN o.o_orderpriority = '1-URGENT' THEN ' Link'
+           |                        WHEN o.o_orderpriority = '2-HIGH' THEN ' Regional'
+           |                        ELSE ' Local' END AS service_type,
+           |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS fare_cents
+           |  FROM orders o JOIN region_d r ON o.o_custkey % 5 = r.r_regionkey),
+           |fare_agg AS (
+           |  SELECT t_date, region_id, service_type,
+           |    CAST(SUM(fare_cents) AS BIGINT) AS fare_cents,
+           |    CAST(count(*) AS BIGINT) AS passenger_num
+           |  FROM fares GROUP BY 1, 2, 3),
+           |fines AS (
+           |  SELECT f.t_date, f.region_id, f.service_type,
+           |    CAST(SUM(CASE WHEN l.l_returnflag = 'R' AND l.l_linestatus = 'F'
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS passenger_fines_issued_num,
+           |    CAST(SUM(CASE WHEN l.l_returnflag = 'R' AND l.l_linestatus = 'F'
+           |      THEN CAST(round(l.l_quantity) AS BIGINT) * 1000 ELSE 0 END)
+           |      AS BIGINT) AS fine_cents,
+           |    CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS fare_evasion_passenger_num
+           |  FROM lineitem l JOIN fares f ON l.l_orderkey = f.o_orderkey
+           |  GROUP BY 1, 2, 3)
+           |SELECT f.t_date, 'month' AS date_type, f.region_id, f.service_type,
+           |  ROUND(CAST(f.fare_cents AS DOUBLE) / 100.0, 2) AS fare_revenue,
+           |  COALESCE(n.passenger_fines_issued_num, 0) AS passenger_fines_issued_num,
+           |  ROUND(CAST(COALESCE(n.fine_cents, 0) AS DOUBLE) / 100.0, 2)
+           |    AS fines_issued_amount,
+           |  COALESCE(n.fare_evasion_passenger_num, 0) AS fare_evasion_passenger_num,
+           |  f.passenger_num,
+           |  CASE WHEN f.passenger_num > 0
+           |    THEN CAST((2*COALESCE(n.fare_evasion_passenger_num, 0)*10000
+           |               + f.passenger_num) // (2*f.passenger_num) AS DOUBLE) / 10000.0
+           |    ELSE 0 END AS fare_evasion_ratio,
+           |  'system' AS create_by, 'system' AS update_by,
+           |  '2025-09-01 11:07:58' AS create_time,
+           |  '2025-09-01 11:07:58' AS update_time
+           |FROM fare_agg f
+           |LEFT JOIN fines n ON f.t_date = n.t_date AND f.region_id = n.region_id
+           |  AND f.service_type = n.service_type
+           |ORDER BY 1, 3, 4""".stripMargin))
+
+  /** Revenue family `ads_revenue_proportion_product_type_mi` (documented
+    * schema, `docs/ads_revenue.xls` rows 48-58) — see
+    * [[graft.pipelines.Revenue.adsRevenueProportionProductTypeMonthly]]. */
+  val q56 = QueryDef(
+    "q56_ads_revenue_proportion_product_type",
+    (s, dir) => Revenue.adsRevenueProportionProductTypeMonthly(s, dir),
+    Some("""WITH region_d AS (
+           |  SELECT r_regionkey, r_name AS region_id FROM region),
+           |ord AS (
+           |  SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m') AS t_date,
+           |    r.region_id
+           |  FROM orders o JOIN region_d r ON o.o_custkey % 5 = r.r_regionkey),
+           |legs AS (
+           |  SELECT ord.t_date, ord.region_id,
+           |    CASE l.l_partkey % 7
+           |      WHEN 0 THEN 'T-Purse Personalised' WHEN 1 THEN 'Disabled'
+           |      WHEN 2 THEN 'Senior' WHEN 3 THEN 'Student'
+           |      WHEN 4 THEN 'T-Purse Annonymous' WHEN 5 THEN 'Monthly Pass'
+           |      ELSE 'Weekly Pass' END AS product_type,
+           |    CAST(round(l.l_quantity) AS BIGINT) AS qty,
+           |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS ext_cents,
+           |    CAST(round(l.l_discount * 100) AS BIGINT) AS disc_pct
+           |  FROM lineitem l JOIN ord ON l.l_orderkey = ord.o_orderkey)
+           |SELECT t_date, 'month' AS date_type, region_id, product_type,
+           |  ROUND(CAST(SUM((ext_cents * (100 - disc_pct)) // 100) AS DOUBLE)
+           |    / 100.0, 2) AS fare_revenue,
+           |  CAST(SUM(qty) AS BIGINT) AS product_sold_num,
+           |  ROUND(CAST(SUM(ext_cents) AS DOUBLE) / 100.0, 2)
+           |    AS product_sold_revenue,
+           |  'system' AS create_by, 'system' AS update_by,
+           |  '2025-09-01 11:07:58' AS create_time,
+           |  '2025-09-01 11:07:58' AS update_time
+           |FROM legs
+           |GROUP BY 1, 3, 4
+           |ORDER BY 1, 3, 4""".stripMargin))
+
+  /** Revenue family `ads_revenue_route_mi` (documented schema,
+    * `docs/ads_revenue.xls` rows 59-75) — see
+    * [[graft.pipelines.Revenue.adsRevenueRouteMonthly]]. */
+  val q57 = QueryDef(
+    "q57_ads_revenue_route",
+    (s, dir) => Revenue.adsRevenueRouteMonthly(s, dir),
+    Some("""WITH ev AS (
+           |  SELECT strftime(ts, '%Y-%m') AS t_date, event_type AS route,
+           |    CAST(event_id % 2 + 1 AS INTEGER) AS direction,
+           |    event_id % 491 + 10 AS fare_cents,
+           |    CAST(abs(COALESCE(round(value), 0)) AS BIGINT) AS meters,
+           |    EXTRACT(day FROM last_day(ts)) AS dim
+           |  FROM events),
+           |line AS (
+           |  SELECT route,
+           |    CAST(dense_rank() OVER (ORDER BY route) AS INTEGER) AS line_no,
+           |    CAST(length(route) % 5 + 1 AS INTEGER) AS route_no
+           |  FROM (SELECT DISTINCT route FROM ev)),
+           |g AS (
+           |  SELECT t_date, route, direction,
+           |    CAST(SUM(fare_cents) AS BIGINT) AS cents,
+           |    CAST(count(*) AS BIGINT) AS trips,
+           |    CAST(SUM(meters) AS BIGINT) AS meters,
+           |    CAST(max(dim) AS BIGINT) AS dim
+           |  FROM ev GROUP BY 1, 2, 3),
+           |c AS (
+           |  SELECT g.*, l.line_no, l.route_no,
+           |    trips * 150 AS operation_cents,
+           |    (meters * 12) // 1000 AS fuel_cents,
+           |    l.line_no * 2500 AS maintenance_cents
+           |  FROM g JOIN line l ON g.route = l.route)
+           |SELECT t_date, 'month' AS date_type, line_no, route_no, direction,
+           |  ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS fare_revenue,
+           |  CAST((2*cents + dim) // (2*dim) AS DOUBLE) / 100.0
+           |    AS avg_daily_fare_revenue,
+           |  CAST(cents - (operation_cents + fuel_cents + maintenance_cents)
+           |    AS BIGINT) AS profitability,
+           |  CAST((2*cents + trips) // (2*trips) AS DOUBLE) / 100.0
+           |    AS avg_fare_per_trip,
+           |  ROUND(CAST(operation_cents + fuel_cents + maintenance_cents
+           |    AS DOUBLE) / 100.0, 2) AS total_cost,
+           |  ROUND(CAST(operation_cents AS DOUBLE) / 100.0, 2) AS operation_cost,
+           |  ROUND(CAST(fuel_cents AS DOUBLE) / 100.0, 2) AS fuel_cost,
+           |  ROUND(CAST(maintenance_cents AS DOUBLE) / 100.0, 2) AS maintenance_cost,
+           |  'system' AS create_by, 'system' AS update_by,
+           |  '2025-09-01 11:07:58' AS create_time,
+           |  '2025-09-01 11:07:58' AS update_time
+           |FROM c
+           |ORDER BY 1, 3, 5""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+    Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
+      q55, q56, q57)
 }

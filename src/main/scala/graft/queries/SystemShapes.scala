@@ -62,14 +62,46 @@ object SystemShapes {
     materialize(p, content)
   }
 
+  /** CSV twins of the .x10 fixture's records, HAND-WRITTEN (not
+    * derived through VdvX10 — that would make the oracle circular):
+    * DuckDB `read_csv`s these and replays the dedup/clean/join/prefix
+    * flow, so a VdvX10 parsing defect diverges the two sides. */
+  private lazy val vdvLineCsvTwinPath: String =
+    materialize(
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft_vdv_line_twin.csv"),
+      """BASE_VERSION,LINE_NO,LINE_ABBR,OP_DEP_NO,LINE_DESC
+        |1,101,A1,11,Airport Express
+        |1,102,B-2,12,Corniche Loop
+        |1,103,C3,21,Al Ain Shuttle
+        |1,104,D4,31,Dhafra Link
+        |1,104,D4,31,Dhafra Link duplicate
+        |1,105,E5,99,Orphan Route
+        |""".stripMargin)
+
+  private lazy val vdvOpDepCsvTwinPath: String =
+    materialize(
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft_vdv_opdep_twin.csv"),
+      """BASE_VERSION,OP_DEP_NO,OP_DEP_ABBR,OP_DEP_DESC
+        |1,11,AD1,Abu Dhabi Central
+        |1,12,AD2,Abu Dhabi West
+        |1,21,ER1,Al Ain Main
+        |1,31,WR1,Al Dhafra Main
+        |""".stripMargin)
+
   /** S9-S11 — the VdvX10 multi-table source + the reference's
     * LINE×OPERATING_DEPARTMENT region flow (J1+J2+F1+F2): dedup the dim,
     * deep_clean the join key, broadcast join, prefix-dispatch regions.
-    * Rows-only (fixture lives outside sfDir so DuckDB can't see it);
-    * VdvX10Spec asserts exact parsed contents. */
+    * Oracle: DuckDB re-runs the flow from hand-written CSV twins of the
+    * same records (the fixture lives outside sfDir, so the twins are
+    * the oracle's readable container — parsing divergence in VdvX10
+    * fails the hash gate). VdvX10Spec additionally asserts exact parsed
+    * contents field by field. */
   val q34 = QueryDef(
     "q34_vdv_x10_source",
     (s, dir) => {
+      // twins are materialized during the Spark pass so the oracle's
+      // read_csv can never see a missing file
+      vdvLineCsvTwinPath; vdvOpDepCsvTwinPath
       val line = VdvX10.readTable(s, vdvFixturePath, "LINE")
         .dropDuplicates("LINE_ABBR")
       val opDep = VdvX10.readTable(s, vdvFixturePath, "OPERATING_DEPARTMENT")
@@ -82,7 +114,28 @@ object SystemShapes {
              concat_ws(",", sort_array(collect_list(col("line_clean")))).as("lines"))
         .orderBy(col("region_id"))
     },
-    None, bench = false)
+    Some(s"""WITH line AS (
+            |  SELECT * FROM read_csv('${Paths.get(System.getProperty("java.io.tmpdir"), "graft_vdv_line_twin.csv")}',
+            |    header=true, columns={'BASE_VERSION':'BIGINT','LINE_NO':'BIGINT',
+            |      'LINE_ABBR':'VARCHAR','OP_DEP_NO':'BIGINT','LINE_DESC':'VARCHAR'})),
+            |dep AS (
+            |  SELECT * FROM read_csv('${Paths.get(System.getProperty("java.io.tmpdir"), "graft_vdv_opdep_twin.csv")}',
+            |    header=true, columns={'BASE_VERSION':'BIGINT','OP_DEP_NO':'BIGINT',
+            |      'OP_DEP_ABBR':'VARCHAR','OP_DEP_DESC':'VARCHAR'})),
+            |dl AS (
+            |  SELECT * FROM line
+            |  QUALIFY row_number() OVER (PARTITION BY LINE_ABBR ORDER BY LINE_NO) = 1),
+            |j AS (
+            |  SELECT
+            |    upper(regexp_replace(trim(l.LINE_ABBR), '[^A-Za-z0-9]', '', 'g')) AS line_clean,
+            |    CASE WHEN d.OP_DEP_ABBR LIKE 'AD%' THEN 'Abu Dhabi'
+            |         WHEN d.OP_DEP_ABBR LIKE 'ER%' THEN 'Al Ain'
+            |         WHEN d.OP_DEP_ABBR LIKE 'WR%' THEN 'Al Dhafra'
+            |         ELSE 'Unknown' END AS region_id
+            |  FROM dl l LEFT JOIN dep d USING (OP_DEP_NO))
+            |SELECT region_id, CAST(count(*) AS BIGINT) AS n_lines,
+            |  string_agg(line_clean, ',' ORDER BY line_clean) AS lines
+            |FROM j GROUP BY region_id ORDER BY region_id""".stripMargin))
 
   /** S13 — deterministic GeoJSON FeatureCollection fixture (the three
     * region polygons as Polygon features), materialized to tmp on
@@ -122,36 +175,76 @@ object SystemShapes {
   /** J12+F23+F24+S13 — point-in-polygon region assignment over
     * synthetic stop coordinates: region polygons loaded from the
     * GeoJSON fixture (S13 scan path), points derived deterministically
-    * from customer keys. Rows-only; GeoSpec holds the exact
-    * containment oracle. */
+    * from customer keys IN INTEGER DECIDEGREES (lon_e1/lat_e1), so the
+    * aggregation stays in the exact integer domain while the ray-cast
+    * itself runs on the derived doubles (the real geo path).
+    *
+    * Oracle legitimacy: the fixture polygons are axis-aligned
+    * rectangles, and even-odd ray casting on a rectangle reduces to
+    * the half-open box x1 <= lon < x2 AND y1 <= lat < y2 (the left
+    * edge toggles only when lon < x1, the right when lon < x2; a
+    * bottom-edge lat counts, a top-edge lat doesn't) — which IS
+    * ANSI-expressible as integer bound checks. Decidegree-to-double
+    * conversion is monotonic and collision-free at 0.1 granularity,
+    * so the double comparisons in the UDF and the integer comparisons
+    * in the oracle decide identically, including points exactly ON
+    * shared boundaries (lat=24.0 rows: AbuDhabi's bottom edge is IN,
+    * AlDhafra's top edge is OUT). GeoSpec keeps the non-rectangular
+    * edge cases. */
   val q35 = QueryDef(
     "q35_geo_region_assign",
     (s, dir) => {
       val polys = graft.io.GeoJson.polygonDim(s, geoJsonFixturePath, "region_id")
       val pts = Tables.customer(s, dir).select(
-        col("c_custkey"),
-        (lit(52.6) + (col("c_custkey") % 35) * 0.1).as("lon"),
-        (lit(23.1) + (col("c_custkey") % 15) * 0.1).as("lat"))
+          col("c_custkey"),
+          (lit(526L) + col("c_custkey") % 35).as("lon_e1"),
+          (lit(231L) + col("c_custkey") % 15).as("lat_e1"))
+        .withColumn("lon", col("lon_e1") / 10.0)
+        .withColumn("lat", col("lat_e1") / 10.0)
       Geo.assignRegion(pts, "lon", "lat", polys)
+        .withColumn("region_id", coalesce(col("region_id"), lit("Unassigned")))
         .groupBy(col("region_id"))
         .agg(count(lit(1)).as("n_stops"),
-             round(avg(col("lon")), 4).as("mean_lon"),
-             round(avg(col("lat")), 4).as("mean_lat"))
+             Cleaning.roundHalfUpRatio(
+               sum(col("lon_e1")) * 1000L, count(lit(1)), 4).as("mean_lon"),
+             Cleaning.roundHalfUpRatio(
+               sum(col("lat_e1")) * 1000L, count(lit(1)), 4).as("mean_lat"))
         .orderBy(col("region_id"))
     },
-    None, bench = false)
+    Some("""WITH pts AS (
+           |  SELECT 526 + (c_custkey % 35) AS lon_e1,
+           |         231 + (c_custkey % 15) AS lat_e1
+           |  FROM customer),
+           |r AS (
+           |  SELECT lon_e1, lat_e1,
+           |    CASE WHEN lon_e1 >= 540 AND lon_e1 < 545
+           |          AND lat_e1 >= 240 AND lat_e1 < 246 THEN 'AbuDhabi'
+           |         WHEN lon_e1 >= 555 AND lon_e1 < 560
+           |          AND lat_e1 >= 240 AND lat_e1 < 245 THEN 'AlAin'
+           |         WHEN lon_e1 >= 525 AND lon_e1 < 540
+           |          AND lat_e1 >= 230 AND lat_e1 < 240 THEN 'AlDhafra'
+           |         ELSE 'Unassigned' END AS region_id
+           |  FROM pts)
+           |SELECT region_id, CAST(count(*) AS BIGINT) AS n_stops,
+           |  CAST((2 * (SUM(lon_e1) * 1000) + count(*)) // (2 * count(*)) AS DOUBLE)
+           |    / 10000 AS mean_lon,
+           |  CAST((2 * (SUM(lat_e1) * 1000) + count(*)) // (2 * count(*)) AS DOUBLE)
+           |    / 10000 AS mean_lat
+           |FROM r GROUP BY region_id ORDER BY region_id""".stripMargin))
 
   /** Multimodal plumbing — binary payload columns, batched decode via
-    * mapPartitions (stubbed codecs, real schema/partitioning/batch
-    * shape), per-kind feature rollup + video frame sampling. */
+    * mapPartitions, per-kind feature rollup + video frame sampling.
+    * Payloads are REAL BMP/WAV byte streams whose header fields are
+    * arithmetic functions of the id ([[Multimodal.syntheticPayload]]),
+    * so the whole build→decode→sample→aggregate path has a DuckDB
+    * oracle that recomputes every decoded dimension from doc_id alone:
+    * a byte-offset error anywhere in the encode or decode kernels
+    * shifts a width/frame count and fails the hash gate. */
   val q36 = QueryDef(
     "q36_multimodal_features",
     (s, dir) => {
-      val media = Multimodal.asMediaTable(
-        Tables.documents(s, dir), "doc_id", "text",
-        kindCol = element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")),
-        sourceCol = "source")
+      val media = Multimodal.syntheticMediaTable(
+        Tables.documents(s, dir), "doc_id", "source")
       val feats = Multimodal.decodeAndExtract(media)
       val frames = Multimodal.sampleFrames(feats, stride = 4)
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
@@ -163,7 +256,27 @@ object SystemShapes {
              sum(coalesce(col("n_sampled"), lit(0L))).as("frames_sampled"))
         .orderBy(col("kind"))
     },
-    None, bench = false)
+    // every decoded field recomputed from doc_id: image width/byte_len
+    // from the BMP header arithmetic, audio width = channels, video
+    // frames = dataBytes/blockAlign with ceil(n/4) sampled at stride 4
+    Some("""WITH f AS (
+           |  SELECT
+           |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           |         ELSE 'video' END AS kind,
+           |    CASE doc_id % 3 WHEN 0 THEN 26 + doc_id % 7
+           |         WHEN 1 THEN 44 + (doc_id % 50) * 4
+           |         ELSE 44 + (doc_id % 40) * 4 END AS byte_len,
+           |    CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id % 32) * 4
+           |         WHEN 1 THEN 1 + doc_id % 2
+           |         ELSE 2 END AS width,
+           |    CASE WHEN doc_id % 3 = 2 THEN ((doc_id % 40) + 3) // 4
+           |         ELSE 0 END AS n_sampled
+           |  FROM documents)
+           |SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+           |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+           |  avg(width) AS avg_width,
+           |  CAST(SUM(n_sampled) AS BIGINT) AS frames_sampled
+           |FROM f GROUP BY kind ORDER BY kind""".stripMargin))
 
   /** ST batch-equivalent of EventStream.tumblingCounts: hourly tumbling
     * event-time windows (same plan Structured Streaming runs

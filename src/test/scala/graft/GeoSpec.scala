@@ -81,20 +81,22 @@ class GeoSpec extends AnyFunSuite {
     val keys = Tables.customer(spark, SparkTestBase.sf)
       .select($"c_custkey").as[Long].collect()
     val assigned = keys.map { k =>
-      val lon = 52.6 + (k % 35) * 0.1
-      val lat = 23.1 + (k % 15) * 0.1
+      val lonE1 = 526L + k % 35
+      val latE1 = 231L + k % 15
       val r = polys.collectFirst {
-        case (rid, xs, ys) if Geo.pointInRing(lon, lat, xs, ys) => rid
-      }.orNull
-      (r, lon, lat)
+        case (rid, xs, ys) if Geo.pointInRing(lonE1 / 10.0, latE1 / 10.0, xs, ys) => rid
+      }.getOrElse("Unassigned")
+      (r, lonE1, latE1)
     }
+    // means recomputed with q35's exact half-up integer arithmetic
+    // (sum(e1)*1000 / n at scale 4), not double rounding
+    def halfUp4(sumE1: Long, n: Long): Double =
+      ((2 * sumE1 * 1000 + n) / (2 * n)).toDouble / 10000.0
     val want = assigned.groupBy(_._1).map { case (r, g) =>
       (r, g.length.toLong,
-        math.rint(g.map(_._2).sum / g.length * 10000) / 10000,
-        math.rint(g.map(_._3).sum / g.length * 10000) / 10000)
-    }.toSeq.sortBy(r => Option(r._1).getOrElse(""))
-    // q35 orders by region_id with nulls first (Spark default asc_nulls_first)
-    val gotSorted = got.sortBy(r => Option(r._1).getOrElse(""))
-    assert(gotSorted == want, s"got=$gotSorted want=$want")
+        halfUp4(g.map(_._2).sum, g.length),
+        halfUp4(g.map(_._3).sum, g.length))
+    }.toSeq.sortBy(_._1)
+    assert(got == want, s"got=$got want=$want")
   }
 }

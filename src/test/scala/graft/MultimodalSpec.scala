@@ -73,10 +73,7 @@ class MultimodalSpec extends AnyFunSuite {
     val got = graft.SparkEntry.queries("q36_multimodal_features")(spark, SparkTestBase.sf)
       .as[(String, Long, Long, Double, Long)].collect().toSeq
     val docs = graft.core.Tables.documents(spark, SparkTestBase.sf)
-    val media = Multimodal.asMediaTable(docs, "doc_id", "text",
-      kindCol = element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")),
-      sourceCol = "source")
+    val media = Multimodal.syntheticMediaTable(docs, "doc_id", "source")
     val feats = Multimodal.decodeAndExtract(media).collect()
     val want = feats.groupBy(_.kind).map { case (k, g) =>
       val sampled = g.filter(_.kind == "video")

@@ -171,6 +171,45 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("AQE splits a skewed sort-merge join partition (runtime twin of saltedInnerJoin)") {
+    // The toolkit's third leg: Sessions enables adaptive skew-join, and
+    // this pins that it actually FIRES — a generated hot key whose
+    // shuffle partition dwarfs the others must come out of AQE as a
+    // split sort-merge join (`skew=true` on the finalized plan), with
+    // the same rows as the logical join. Complements the manual salting
+    // paths above, which cover the shapes AQE cannot split.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      // 40k rows on key 0 with a fat payload vs 1 row each on 1..99:
+      // key 0's partition is orders of magnitude past factor × median
+      val pad = "x" * 64
+      val left = spark.range(0, 40000)
+        .select(lit(0L).as("k"), concat(lit(pad), $"id").as("payload"))
+        .union(spark.range(1, 100).select($"id".as("k"), lit(pad).as("payload")))
+      val right = spark.range(0, 100).select($"id".as("k"), ($"id" * 10).as("v"))
+      val joined = left.join(right, Seq("k"))
+      // collect() (not count()) so the adaptive plan inspected below is
+      // the one that actually ran — count() builds its own QueryExecution
+      assert(joined.collect().length === 40000 + 99)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split SMJ in the finalized adaptive plan:\n${finalPlan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("GraftFunctions: SQL surface matches the Column API kernels") {
     graft.functions.GraftFunctions.register(spark)
     val row = spark.sql(

@@ -172,6 +172,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(runOnce() == 3L, "resume processes only the new file")
   }
 
+  test("kill mid-run, resumed output identical to an uninterrupted run (ST3 e2e)") {
+    // The continuous twin of the batch folder-import resume
+    // (`data_ingestion/folder_import.R:68-91`): a file-sink query is
+    // STOPPED while AvailableNow is still draining its 8 one-row
+    // microbatches, then restarted on the same checkpoint. Exactly-once
+    // requires the resumed run to (a) emit every input row exactly once
+    // — no loss before the kill point, no replay after it — and (b)
+    // produce the same row set as a never-interrupted control run on a
+    // fresh sink+checkpoint.
+    val src = Files.createTempDirectory("graft_stream_kill")
+    val rows = (0 until 8).map { i =>
+      (f"2025-01-01 ${10 + i}%02d:00:00", (i + 1).toLong, s"t$i", i * 1.5)
+    }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      writeEventFile(src, s"f$i.parquet", i, Seq(r))
+    }
+    def drain(out: String, ckpt: String, killEarly: Boolean): Unit = {
+      val q = streamFrom(src)
+        .select($"ts", $"user_id", $"event_type", $"value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (killEarly) {
+        // stop as soon as at least one microbatch has committed — the
+        // stop lands between/inside later microbatches, which is the
+        // point: the checkpoint must make the cut position irrelevant
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (q.recentProgress.map(_.numInputRows).sum < 1 &&
+               q.isActive && System.nanoTime() < deadline) Thread.sleep(10)
+        q.stop()
+        q.awaitTermination()
+      } else q.awaitTermination()
+    }
+    def collectOut(out: String) =
+      spark.read.parquet(out)
+        .select(date_format($"ts", "HH:mm").as("h"), $"user_id", $"event_type", $"value")
+        .as[(String, Long, String, Double)].collect().sorted.toSeq
+
+    val outA = Files.createTempDirectory("graft_stream_kill_outA").toString
+    val ckptA = Files.createTempDirectory("graft_stream_kill_ckptA").toString
+    drain(outA, ckptA, killEarly = true)  // interrupted...
+    drain(outA, ckptA, killEarly = false) // ...then resumed to completion
+
+    val outB = Files.createTempDirectory("graft_stream_kill_outB").toString
+    val ckptB = Files.createTempDirectory("graft_stream_kill_ckptB").toString
+    drain(outB, ckptB, killEarly = false) // uninterrupted control
+
+    val resumed = collectOut(outA)
+    assert(resumed.map(_._2).distinct.size == 8, s"exactly-once violated: $resumed")
+    assert(resumed == collectOut(outB),
+      "resumed output must equal the uninterrupted run")
+  }
+
   test("runningUserTotals evicts idle state at the event-time timeout") {
     val dir = Files.createTempDirectory("graft_stream_evict")
     // u1 active early with two events...
