@@ -23,8 +23,10 @@ object SystemShapes {
     * The rewrite goes through a temp file + atomic rename so a
     * concurrent reader in another JVM sharing the tmpdir never sees a
     * truncated fixture. */
-  private def materialize(p: java.nio.file.Path, content: String): String = {
-    val bytes = content.getBytes(StandardCharsets.UTF_8)
+  private def materialize(p: java.nio.file.Path, content: String): String =
+    materializeBytes(p, content.getBytes(StandardCharsets.UTF_8))
+
+  private def materializeBytes(p: java.nio.file.Path, bytes: Array[Byte]): String = {
     if (!Files.exists(p) || !java.util.Arrays.equals(Files.readAllBytes(p), bytes)) {
       val tmp = Files.createTempFile(p.getParent, p.getFileName.toString, ".tmp")
       Files.write(tmp, bytes)
@@ -345,5 +347,134 @@ object SystemShapes {
            |GROUP BY e.event_type
            |ORDER BY e.event_type""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q34, q35, q36, q37, q53)
+  /** Deterministic embedded xlsx fixture (a service-type dimension
+    * workbook in the style of the reference's Excel dim sheets,
+    * `scripts/ads_ridership...py:19`): built byte-for-byte reproducibly
+    * (fixed zip entry timestamps) so [[materializeBytes]]'s
+    * content-compare guard works. Exercises every cell form the reader
+    * handles: shared strings, inline strings, numbers, booleans, and a
+    * sparse row with a missing cell. */
+  private def xlsxCell(ref: String, t: String, v: String): String = t match {
+    case "inlineStr" => s"""<c r="$ref" t="inlineStr"><is><t>$v</t></is></c>"""
+    case ""          => s"""<c r="$ref"><v>$v</v></c>"""
+    case _           => s"""<c r="$ref" t="$t"><v>$v</v></c>"""
+  }
+
+  private[graft] lazy val xlsxFixturePath: String = {
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="service_types" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin
+    // header names + the three recurring labels go through the shared
+    // string table; everything else is inline — both paths exercised
+    val sst =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="7" uniqueCount="7">
+        |<si><t>SERVICE_TYPE_NO</t></si><si><t>SERVICE_TYPE</t></si>
+        |<si><t>REGION_PREFIX</t></si><si><t>ACTIVE</t></si>
+        |<si><t>Local</t></si><si><t>Regional</t></si><si><t>Link</t></si>
+        |</sst>""".stripMargin
+    val sheet = {
+      val hdr = Seq("A1" -> "0", "B1" -> "1", "C1" -> "2", "D1" -> "3")
+        .map { case (r, i) => xlsxCell(r, "s", i) }.mkString
+      val rows = Seq(
+        // (row, no, type cell, prefix, active)
+        s"""<row r="2">${xlsxCell("A2", "", "1")}${xlsxCell("B2", "s", "4")}${xlsxCell("C2", "inlineStr", "AD")}${xlsxCell("D2", "b", "1")}</row>""",
+        s"""<row r="3">${xlsxCell("A3", "", "2")}${xlsxCell("B3", "s", "5")}${xlsxCell("C3", "inlineStr", "ER")}${xlsxCell("D3", "b", "1")}</row>""",
+        s"""<row r="4">${xlsxCell("A4", "", "3")}${xlsxCell("B4", "s", "6")}${xlsxCell("C4", "inlineStr", "WR")}${xlsxCell("D4", "b", "0")}</row>""",
+        s"""<row r="5">${xlsxCell("A5", "", "4")}${xlsxCell("B5", "inlineStr", "Express")}${xlsxCell("C5", "inlineStr", "AD")}${xlsxCell("D5", "b", "1")}</row>""",
+        // sparse: SERVICE_TYPE cell absent entirely → NULL
+        s"""<row r="6">${xlsxCell("A6", "", "5")}${xlsxCell("C6", "inlineStr", "AD")}${xlsxCell("D6", "b", "1")}</row>""")
+        .mkString
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<sheetData><row r="1">$hdr</row>$rows</sheetData>
+         |</worksheet>""".stripMargin
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    Seq("xl/workbook.xml" -> workbook, "xl/_rels/workbook.xml.rels" -> rels,
+        "xl/sharedStrings.xml" -> sst, "xl/worksheets/sheet1.xml" -> sheet)
+      .foreach { case (name, content) =>
+        val e = new java.util.zip.ZipEntry(name)
+        e.setTime(0L) // deterministic bytes
+        zip.putNextEntry(e)
+        zip.write(content.getBytes(StandardCharsets.UTF_8))
+        zip.closeEntry()
+      }
+    zip.close()
+    materializeBytes(
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft_dim_service.xlsx"),
+      bos.toByteArray)
+  }
+
+  /** Hand-written CSV twin of the xlsx records for the DuckDB oracle
+    * (NOT derived through Xlsx — that would make the oracle circular). */
+  private lazy val xlsxCsvTwinPath: String =
+    materialize(
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft_dim_service_twin.csv"),
+      """SERVICE_TYPE_NO,SERVICE_TYPE,REGION_PREFIX,ACTIVE
+        |1,Local,AD,true
+        |2,Regional,ER,true
+        |3,Link,WR,false
+        |4,Express,AD,true
+        |5,,AD,true
+        |""".stripMargin)
+
+  /** S12 — NATIVE xlsx dimension scan (`graft.io.Xlsx`, pure
+    * java.util.zip + JDK XML, no preconversion step) feeding the
+    * standard dim flow: cast + active filter + prefix region dispatch
+    * (F2) + broadcast join against the orders fact + money rollup.
+    * Oracle: DuckDB replays the flow from a hand-written CSV twin of
+    * the workbook's records, so a cell-decode defect anywhere in the
+    * zip/XML/sharedStrings path diverges the two sides. XlsxSpec
+    * asserts the parsed cells field by field. */
+  val q58 = QueryDef(
+    "q58_xlsx_dim_source",
+    (s, dir) => {
+      xlsxCsvTwinPath // materialized with the Spark pass for the oracle
+      val dim = broadcast(graft.io.Xlsx.readSheet(s, xlsxFixturePath)
+        .where(col("ACTIVE") === "true")
+        .select(col("SERVICE_TYPE_NO").cast("long").as("service_no"),
+          coalesce(col("SERVICE_TYPE"), lit("Unknown")).as("service_type"),
+          Cleaning.regionFromPrefix(col("REGION_PREFIX")).as("region_id")))
+      Tables.orders(s, dir)
+        .select((col("o_custkey") % 5 + 1).as("service_no"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(dim, Seq("service_no"))
+        .groupBy(col("service_type"), col("region_id"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("cents")).cast("double") / 100.0, 2).as("fare_revenue"))
+        .orderBy(col("service_type"), col("region_id"))
+    },
+    Some(s"""WITH dim AS (
+            |  SELECT * FROM read_csv('${Paths.get(System.getProperty("java.io.tmpdir"), "graft_dim_service_twin.csv")}',
+            |    header=true, columns={'SERVICE_TYPE_NO':'BIGINT','SERVICE_TYPE':'VARCHAR',
+            |      'REGION_PREFIX':'VARCHAR','ACTIVE':'VARCHAR'})),
+            |d AS (
+            |  SELECT SERVICE_TYPE_NO AS service_no,
+            |    COALESCE(SERVICE_TYPE, 'Unknown') AS service_type,
+            |    CASE WHEN REGION_PREFIX LIKE 'AD%' THEN 'Abu Dhabi'
+            |         WHEN REGION_PREFIX LIKE 'ER%' THEN 'Al Ain'
+            |         WHEN REGION_PREFIX LIKE 'WR%' THEN 'Al Dhafra'
+            |         ELSE 'Unknown' END AS region_id
+            |  FROM dim WHERE ACTIVE = 'true'),
+            |f AS (
+            |  SELECT o_custkey % 5 + 1 AS service_no,
+            |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            |  FROM orders)
+            |SELECT d.service_type, d.region_id,
+            |  CAST(count(*) AS BIGINT) AS n_orders,
+            |  ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS fare_revenue
+            |FROM f JOIN d USING (service_no)
+            |GROUP BY 1, 2
+            |ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q34, q35, q36, q37, q53, q58)
 }

@@ -63,7 +63,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("ads pipelines broadcast their dims") {
     Seq("q39_ads_travel_info_pipeline", "q40_ads_travel_time_pipeline",
-        "q45_ads_travel_distance_pipeline", "q47_ads_fare_revenue_pipeline")
+        "q45_ads_travel_distance_pipeline", "q47_ads_fare_revenue_pipeline",
+        "q55_ads_fare_revenue_service_type", "q57_ads_revenue_route")
       .foreach { name =>
         val p = planOf(name)
         assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
