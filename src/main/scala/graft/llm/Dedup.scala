@@ -400,6 +400,77 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dot"))
   }
 
+  /** Connected components over an undirected edge list — the cluster
+    * step that turns pairwise near-dup PAIRS (minhash/simhash/cosine
+    * outputs above) into dedup GROUPS with one canonical representative
+    * each; without it a triangle A~B, B~C, A~C dedups to two survivors
+    * instead of one.
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING —
+    * each round every node adopts the smallest label among itself and
+    * its neighbors (one hop), then chases its label's label (doubling).
+    * Hop-only propagation needs O(diameter) rounds; the jump compresses
+    * chains so convergence is O(log diameter) — the same doubling idea
+    * as the Hash-to-Min / two-phase map-reduce CC algorithms. Each
+    * round is three well-partitioned shuffles (neighbor join + min-agg,
+    * jump join) over the edge list, all partial-aggregable — the
+    * standard at-scale shape; near-dup components are shallow (dup
+    * variants of one document), so rounds stay single-digit.
+    *
+    * Returns (id, cluster_id) for every node THAT APPEARS IN AN EDGE;
+    * cluster_id is the component's minimum id. Isolated nodes are the
+    * caller's to keep (left-join + coalesce to own id). The loop runs
+    * at most `maxIter` rounds and STOPS EARLY at the fixpoint; it
+    * requires convergence rather than returning a partial labeling —
+    * a silently-unconverged result would merge nothing visibly wrong.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(edges.columns.length == 2, "edges must be a 2-column (src, dst) frame")
+    val e = edges.toDF("src", "dst")
+    val bidir = graft.core.Caching.eager(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst")).distinct())
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // (1) min label among self + neighbors
+      val nmin = bidir
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
+      val hop = labels
+        .join(nmin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // (2) pointer jump: label := label(label) — labels are min-monotone,
+      // so the jump only ever lowers them.
+      // localCheckpoint (eager) instead of cache: the jump references
+      // `hop` twice, so an un-truncated lineage DOUBLES every round —
+      // exponential plan strings OOM the driver before the data is ever
+      // large. Checkpointing materializes AND cuts the plan, the
+      // standard driver-side discipline for iterative dataflows (on a
+      // cluster job, reliable checkpoints to the checkpoint dir).
+      val next = hop.as("a")
+        .join(hop.select(col("id").as("jid"), col("label").as("jl")).as("b"),
+          col("a.label") === col("b.jid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("jl"), col("a.label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+      "raise maxIter (component diameter exceeds 2^rounds)")
+    bidir.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** The integer-domain compare carries t as t·100 exactly — a
     * sub-centi threshold would be silently rounded to the nearest
     * 0.01, changing the selection predicate; reject it instead. */

@@ -496,6 +496,49 @@ object LlmPipelines {
            |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Dedup-group canonicalization: connected components over an
+    * undirected pair list ([[graft.llm.Dedup.connectedComponents]],
+    * min-label propagation + pointer jumping), the step that collapses
+    * transitive near-dup PAIRS into one representative per GROUP.
+    *
+    * Oracle legitimacy: the edge set must be derivable identically on
+    * both engines, so it is arithmetic in doc_id — (i, i div 2) for
+    * every third id — which builds deep binary-tree-shaped components
+    * (depth ~log₂ n, the worst case for propagation rounds, unlike the
+    * shallow stars real dup groups form). DuckDB computes the same
+    * components by recursive-CTE transitive closure; LlmSpec covers
+    * the operator over REAL minhash near-dup pairs against a
+    * driver-side union-find. */
+  val q59 = QueryDef(
+    "q59_dedup_clusters",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val edges = docs
+        .where(col("doc_id") % 3 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst"))
+      val labels = Dedup.connectedComponents(edges)
+      docs
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("cluster_id"))
+    },
+    Some("""WITH RECURSIVE
+           |e0 AS (
+           |  SELECT doc_id AS a, doc_id // 2 AS b FROM documents
+           |  WHERE doc_id % 3 = 0 AND doc_id > 0),
+           |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
+           |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+           |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(max(id) AS BIGINT) AS max_doc
+           |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54)
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59)
 }

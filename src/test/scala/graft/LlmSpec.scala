@@ -141,6 +141,38 @@ class LlmSpec extends AnyFunSuite {
       s"missed=${(exact -- verified).take(3)} extra=${(verified -- exact).take(3)}")
   }
 
+  test("connectedComponents equals driver union-find on real near-dup pairs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select($"id_a", $"id_b")
+    val edges = pairs.as[(Long, Long)].collect().toSeq
+    assert(edges.nonEmpty, "fixture must contain near-dup pairs")
+    // driver-side union-find with path compression as the oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.map(n => n -> find(n)).toMap
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want,
+      s"diff=${(want.toSet -- got.toSet).take(3)} / ${(got.toSet -- want.toSet).take(3)}")
+  }
+
+  test("connectedComponents converges on a deep chain within the jump bound") {
+    // a 64-node path graph: diameter 63, so hop-only propagation would
+    // need >20 rounds — pointer jumping must close it inside maxIter
+    val chain = (1L until 64L).map(i => (i - 1, i)).toDF("src", "dst")
+    val labels = Dedup.connectedComponents(chain, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 64 && labels.values.forall(_ == 0L))
+  }
+
   test("nearDupPairsUnique equals minhashNearDupPairs on fingerprint-deduped input") {
     // one representative per canonical fingerprint = the precondition
     // the lean variant documents; both paths must emit identical pairs
