@@ -423,27 +423,63 @@ object Dedup {
     * at most `maxIter` rounds and STOPS EARLY at the fixpoint; it
     * requires convergence rather than returning a partial labeling —
     * a silently-unconverged result would merge nothing visibly wrong.
+    *
+    * Adaptive small-side short-circuit (the broadcast-join idea applied
+    * to iteration): an edge list at or under `driverThreshold` rows
+    * with Long ids is collected and union-found on the driver — one job
+    * instead of rounds × joins, because each distributed round costs
+    * scheduling floor regardless of data size. Real dedup workloads sit
+    * on both sides: a per-batch dup scan is dim-sized, a full-corpus
+    * pass is not, and the threshold (like autoBroadcastJoinThreshold)
+    * picks per input. Pass driverThreshold = 0 to force the distributed
+    * path (the spec does, to test it at any size).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          driverThreshold: Long = 250000): DataFrame = {
     require(edges.columns.length == 2, "edges must be a 2-column (src, dst) frame")
     val e = edges.toDF("src", "dst")
+    val isLongIds = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (isLongIds && driverThreshold > 0 &&
+        e.limit((driverThreshold + 1).toInt).count() <= driverThreshold) {
+      import e.sparkSession.implicits._
+      val pairs = e.where(col("src") =!= col("dst"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+      return nodes.map(n => (n, find(n))).toDF("id", "cluster_id")
+    }
+    // cached PRE-PARTITIONED on the neighbor-join key: a cached
+    // DataFrame advertises its outputPartitioning, so every round's
+    // join reuses this layout instead of re-shuffling the edge side
     val bidir = graft.core.Caching.eager(
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .where(col("src") =!= col("dst")).distinct())
+        .where(col("src") =!= col("dst")).distinct()
+        .repartition(col("dst")))
     var labels = bidir.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // (1) min label among self + neighbors
+      // (1) min label among self + neighbors; the previous label rides
+      // along as `old` so the fixpoint test needs no extra join later
       val nmin = bidir
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
       val hop = labels
         .join(nmin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("old"))
       // (2) pointer jump: label := label(label) — labels are min-monotone,
       // so the jump only ever lowers them.
       // localCheckpoint (eager) instead of cache: the jump references
@@ -456,12 +492,12 @@ object Dedup {
         .join(hop.select(col("id").as("jid"), col("label").as("jl")).as("b"),
           col("a.label") === col("b.jid"), "left")
         .select(col("a.id").as("id"),
-          coalesce(col("jl"), col("a.label")).as("label"))
+          coalesce(col("jl"), col("a.label")).as("label"),
+          col("a.old").as("old"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .where(col("label") =!= col("old")).isEmpty
-      labels = next
+      // one narrow scan of the checkpointed round, no join
+      converged = next.where(col("label") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     require(converged,

@@ -158,17 +158,23 @@ class LlmSpec extends AnyFunSuite {
     }
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
     val want = nodes.map(n => n -> find(n)).toMap
-    val got = Dedup.connectedComponents(pairs)
+    // distributed iterative path forced (threshold 0) AND the default
+    // driver short-circuit — both must match the reference union-find
+    val gotDist = Dedup.connectedComponents(pairs, driverThreshold = 0)
       .as[(Long, Long)].collect().toMap
-    assert(got == want,
-      s"diff=${(want.toSet -- got.toSet).take(3)} / ${(got.toSet -- want.toSet).take(3)}")
+    assert(gotDist == want,
+      s"diff=${(want.toSet -- gotDist.toSet).take(3)} / ${(gotDist.toSet -- want.toSet).take(3)}")
+    val gotDriver = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(gotDriver == want)
   }
 
   test("connectedComponents converges on a deep chain within the jump bound") {
     // a 64-node path graph: diameter 63, so hop-only propagation would
-    // need >20 rounds — pointer jumping must close it inside maxIter
+    // need >20 rounds — pointer jumping must close it inside maxIter;
+    // threshold 0 forces the distributed path under test
     val chain = (1L until 64L).map(i => (i - 1, i)).toDF("src", "dst")
-    val labels = Dedup.connectedComponents(chain, maxIter = 10)
+    val labels = Dedup.connectedComponents(chain, maxIter = 10, driverThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(labels.size == 64 && labels.values.forall(_ == 0L))
   }
