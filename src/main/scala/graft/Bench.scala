@@ -63,19 +63,29 @@ object Bench {
         // JVM would record garbage instead of the real failure)
         spark.catalog.clearCache()
       }
-      val t0 = System.nanoTime()
-      val err =
+      // min of TWO timed runs (the floor sampler's discipline applied
+      // per query): a single observation inherits ambient-load and GC
+      // jitter comparable to the quantity being measured — on this box
+      // the same commit benched 30.2 s and 36.7 s total purely by
+      // machine noise. Min-of-N is the steady-state estimator; caches
+      // are dropped between runs so each still does its full work.
+      var err: Option[String] = None
+      val sec = (1 to 2).map { i =>
+        val t0 = System.nanoTime()
         // NonFatal + LinkageError continue (a missing optional class
         // leaves the JVM healthy; aborting would also lose
         // BENCH_OUT.json for every other query); VirtualMachineErrors
         // propagate — timings recorded after one would be garbage
         // published as valid numbers
-        try { q.fn(spark, sfDir).count(); None }
+        try q.fn(spark, sfDir).count()
         catch {
           case e @ (scala.util.control.NonFatal(_) | _: LinkageError) =>
-            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+            err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
-      val sec = (System.nanoTime() - t0) / 1e9
+        val s0 = (System.nanoTime() - t0) / 1e9
+        if (i == 1) spark.catalog.clearCache()
+        s0
+      }.min
       // Each query is timed standalone, including building its own
       // caches; dropping them afterwards keeps the long session from
       // degrading (executor memory pressure compounds across 30+
