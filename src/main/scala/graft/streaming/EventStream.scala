@@ -135,6 +135,40 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-stream INTERVAL join: each tap (left) enriched with the
+    * same user's follow-up events (right) arriving within `horizon`
+    * after it — the continuous form of the reference's
+    * inspection-to-trip matching (fare checks joined to the journeys
+    * they audited). Both sides carry watermarks and the join condition
+    * bounds event time in BOTH directions, so Spark can evict buffered
+    * rows once the watermark passes their match window — without the
+    * time bound a stream-stream join buffers each side FOREVER, the
+    * classic production state leak. State ≈ horizon + watermark worth
+    * of rows per side regardless of stream age: the 100 TB/day shape.
+    *
+    * Inner join in append mode: a result row is emitted once both
+    * sides have arrived; rows with no match inside the horizon simply
+    * never emit (left-outer needs the watermark to close the window
+    * before emitting the null row — same bounds, later output). */
+  def intervalJoin(taps: DataFrame, followUps: DataFrame,
+                   watermark: String = "2 hours",
+                   horizon: String = "30 minutes"): DataFrame = {
+    val l = taps
+      .select(col("user_id"), col("ts").as("tap_ts"),
+        col("event_id").as("tap_id"), col("event_type").as("route"))
+      .withWatermark("tap_ts", watermark)
+    val r = followUps
+      .select(col("user_id").as("fu_user"), col("ts").as("fu_ts"),
+        col("event_id").as("fu_id"), col("event_type").as("fu_type"))
+      .withWatermark("fu_ts", watermark)
+    l.join(r,
+        col("user_id") === col("fu_user") &&
+        col("fu_ts") > col("tap_ts") &&
+        col("fu_ts") <= col("tap_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("tap_id"), col("route"),
+        col("tap_ts"), col("fu_id"), col("fu_type"), col("fu_ts"))
+  }
+
   /** Drive a streaming query to completion over the (static) test
     * directory via a memory sink — how StreamingSpec observes results
     * synchronously. Returns the collected sink table. */

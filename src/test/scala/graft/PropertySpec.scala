@@ -182,6 +182,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents equals union-find on random graphs, both paths") {
+    // random sparse graphs over a small id space force every topology
+    // class (isolated pairs, stars, chains, cycles, merged components);
+    // both the distributed iterative path (threshold 0) and the driver
+    // short-circuit must match a reference union-find
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      nNodes <- Gen.choose(2, 24)
+      nEdges <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, nNodes.toLong - 1)
+        b <- Gen.choose(0L, nNodes.toLong - 1)
+      } yield (a, b))
+    } yield edges
+    forAll(graphGen, n = 6) { edges =>
+      val real = edges.filter(e => e._1 != e._2)
+      whenever(real.nonEmpty) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        real.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = real.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(n => n -> find(n)).toMap
+        val df = real.toDF("src", "dst")
+        Seq(0L, 1000000L).foreach { thr =>
+          val got = graft.llm.Dedup.connectedComponents(df, driverThreshold = thr)
+            .as[(Long, Long)].collect().toMap
+          assert(got == want, s"threshold=$thr edges=$real")
+        }
+      }
+    }
+  }
+
   test("halfUpScaledLong equals exact rational half-up at the scale, as a Long") {
     // pre-summation form: value·10^scale rounded half-up kept integer —
     // must agree with BigDecimal HALF_UP division at `scale` decimals

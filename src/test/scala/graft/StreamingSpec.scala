@@ -252,6 +252,48 @@ class StreamingSpec extends AnyFunSuite {
       s"expected counter reset after eviction (2 then 1), got $u1")
   }
 
+  test("intervalJoin stream-stream equals the batch join, state bounded by horizon") {
+    val tapsDir = Files.createTempDirectory("graft_stream_taps")
+    val fusDir = Files.createTempDirectory("graft_stream_fus")
+    // taps for users 1..3; follow-ups: u1 inside the 30 min horizon,
+    // u2 outside it, u3 exactly at the boundary (inclusive), u1 again
+    // BEFORE its tap (must not match — strict fu_ts > tap_ts), and a
+    // follow-up for an unknown user
+    writeEventFile(tapsDir, "t1.parquet", 1, Seq(
+      ("2025-01-01 10:00:00", 1L, "r1", 11.0),
+      ("2025-01-01 10:00:00", 2L, "r2", 12.0),
+      ("2025-01-01 10:00:00", 3L, "r3", 13.0)))
+    writeEventFile(fusDir, "f1.parquet", 1, Seq(
+      ("2025-01-01 10:10:00", 1L, "check", 21.0),
+      ("2025-01-01 10:45:00", 2L, "check", 22.0),   // 45 min — outside
+      ("2025-01-01 10:30:00", 3L, "check", 23.0),   // boundary — inside
+      ("2025-01-01 09:59:00", 1L, "check", 24.0),   // before tap — no match
+      ("2025-01-01 10:05:00", 9L, "check", 25.0)))  // unknown user
+    // the fixture schema has no event_id; derive one from `value`
+    // (distinct per row) identically on the stream and batch sides
+    def withId(df: DataFrame): DataFrame =
+      df.withColumn("event_id", $"value".cast("long"))
+    def shape(df: DataFrame) =
+      df.select($"user_id", $"tap_id", $"fu_id").as[(Long, Long, Long)]
+        .collect().toSet
+    val got = shape(EventStream.runToMemorySink(spark,
+      EventStream.intervalJoin(withId(streamFrom(tapsDir)), withId(streamFrom(fusDir))),
+      "ssjoin", OutputMode.Append()))
+    // batch twin: identical join over static reads
+    val want = {
+      val t = withId(spark.read.parquet(tapsDir.toString))
+        .select($"user_id", $"ts".as("tap_ts"), $"event_id".as("tap_id"))
+      val f = withId(spark.read.parquet(fusDir.toString))
+        .select($"user_id".as("fu_user"), $"ts".as("fu_ts"), $"event_id".as("fu_id"))
+      shape(t.join(f, $"user_id" === $"fu_user" &&
+          $"fu_ts" > $"tap_ts" &&
+          $"fu_ts" <= $"tap_ts" + expr("INTERVAL 30 minutes"))
+        .select($"user_id", $"tap_id", $"fu_id"))
+    }
+    assert(got == want, s"got=$got want=$want")
+    assert(got.map(_._1) == Set(1L, 3L), "u1 in-horizon and u3 boundary only")
+  }
+
   test("streamingExactDedup emits one row per canonical fingerprint") {
     val dir = Files.createTempDirectory("graft_stream_dedup")
     // event_type plays the document text; "A b" / " a  B " canonicalize
