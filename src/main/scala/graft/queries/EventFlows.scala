@@ -350,5 +350,48 @@ object EventFlows {
            |GROUP BY substr(day, 1, 7)
            |ORDER BY month""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
+  /** As-of join ([[graft.ops.AsOf.asOfJoin]]): every tap priced by the
+    * fare-policy version in force when it happened. The versioned dim
+    * derives identically on both engines (three versions per route ×
+    * month at days 1/10/20, fee arithmetic in the key and date), so the
+    * oracle can use DuckDB's NATIVE `ASOF JOIN` — the two radically
+    * different implementations (union + running last() window vs
+    * DuckDB's sorted merge) must produce identical matches, ties and
+    * all. Events on a version boundary (day 1/10/20 at 00:00) take that
+    * version on both sides. */
+  val q60 = QueryDef(
+    "q60_asof_fare_version",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("event_id"))
+      val dimFee = ev.select(col("event_type"),
+          date_trunc("month", col("ts")).as("m")).distinct()
+        .select(col("event_type"), col("m"),
+          explode(array(lit(0), lit(9), lit(19))).as("d"))
+        .select(col("event_type"),
+          (col("m") + make_dt_interval(col("d"))).as("valid_from"))
+        .withColumn("fee",
+          (length(col("event_type")) * 100 + dayofmonth(col("valid_from"))
+            + month(col("valid_from"))).cast("long"))
+      graft.ops.AsOf.asOfJoin(ev, dimFee, keys = Seq("event_type"),
+          leftTime = "ts", rightTime = "valid_from")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("fee")).as("fee_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH dim AS (
+           |  SELECT event_type, valid_from,
+           |    length(event_type)*100 + EXTRACT(day FROM valid_from)
+           |      + EXTRACT(month FROM valid_from) AS fee
+           |  FROM (SELECT DISTINCT event_type,
+           |          date_trunc('month', ts) + INTERVAL (d) DAY AS valid_from
+           |        FROM events, (VALUES (0), (9), (19)) v(d)))
+           |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(SUM(d.fee) AS BIGINT) AS fee_sum
+           |FROM events e ASOF JOIN dim d
+           |  ON e.event_type = d.event_type AND e.ts >= d.valid_from
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q60)
 }

@@ -171,6 +171,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("asOfJoin: most recent version at or before, ties, nulls, left mode") {
+    import graft.ops.AsOf
+    val events = Seq(
+      ("r1", 100L, 1L), ("r1", 50L, 2L), ("r1", 10L, 3L),
+      ("r1", 5L, 4L),                       // before any version
+      ("r2", 100L, 5L)                      // key with one version
+    ).toDF("route", "ts", "eid")
+    val versions = Seq(
+      ("r1", 10L, Some("a")),               // tie with eid=3 — applies
+      ("r1", 60L, None),                    // NULL payload FIELD kept
+      ("r2", 40L, Some("c"))
+    ).toDF("route", "valid_from", "fare")
+    val inner = AsOf.asOfJoin(events, versions, Seq("route"), "ts", "valid_from")
+      .select($"eid", $"fare").as[(Long, Option[String])].collect().toMap
+    assert(inner == Map(
+      1L -> None,        // v@60 wins over v@10; its null FIELD survives
+      2L -> Some("a"), 3L -> Some("a"), 5L -> Some("c")))
+    assert(!inner.contains(4L), "no version at or before ts=5 → dropped (inner)")
+    val leftKept = AsOf.asOfJoin(events, versions, Seq("route"), "ts", "valid_from",
+        how = "left")
+      .select($"eid").as[Long].collect().toSet
+    assert(leftKept.contains(4L), "left mode keeps unmatched rows")
+  }
+
   test("AQE splits a skewed sort-merge join partition (runtime twin of saltedInnerJoin)") {
     // The toolkit's third leg: Sessions enables adaptive skew-join, and
     // this pins that it actually FIRES — a generated hot key whose
