@@ -23,6 +23,13 @@ import org.apache.spark.sql.types.StructType
   * version rows. Ties (a version timestamped exactly at the event)
   * apply to that event: version rows order before event rows at equal
   * time.
+  *
+  * Parallelism = key cardinality: the window sorts per key, so a
+  * low-cardinality key set (a handful of routes) caps the sort at that
+  * many tasks. That is the honest cost of any per-key ordered
+  * operator; for genuinely hot single keys, pre-bucket the left side
+  * by time range and replicate only the bracketing versions per bucket
+  * (the salting idea from [[Skew]]) before calling this.
   */
 object AsOf {
 

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for corpus curation —
+  * train/validation/test partitioning and rate-limited subsampling
+  * that is (a) STABLE: a document's split never changes when the
+  * corpus is re-partitioned, re-ordered, or appended to, because the
+  * decision is a pure function of the id; (b) PORTABLE: the hash is
+  * plain integer arithmetic (Knuth multiplicative hashing), so any
+  * engine — or the DuckDB oracle — reproduces the exact assignment,
+  * where `rand(seed)` and engine-native hash functions do not
+  * cross-reproduce; (c) map-side only: no shuffle, no state, scales
+  * linearly.
+  *
+  * `sample(df, id, 0.1)` keeps ~10% exactly reproducibly;
+  * `splitColumn(id, Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))`
+  * labels every row. Buckets are half-open ranges over h(id) mod 10^6,
+  * so the same id lands in the same split under any fraction refinement
+  * that preserves prefix sums.
+  */
+object Sampling {
+
+  /** 2654435761 = floor(2^32 / φ), Knuth's multiplicative constant;
+    * the multiply decorrelates sequential ids, the mod folds to the
+    * bucket domain. Arithmetic is exact in Long for any 32-bit-ish id
+    * times the constant; wider ids fold through pmod first. */
+  private val Knuth = 2654435761L
+  private val Buckets = 1000000L
+
+  /** Bucket in [0, 10^6) as a pure arithmetic function of the id —
+    * `(id * K) mod 2^32 mod 10^6`, expressible identically in ANSI SQL:
+    * `(id * 2654435761) % 4294967296 % 1000000` (pmod for negatives). */
+  def bucket(id: Column): Column =
+    pmod(pmod(id.cast("long") * Knuth, lit(4294967296L)), lit(Buckets))
+
+  /** Keep rows whose bucket falls under `fraction` (exact half-open
+    * range, reproducible everywhere). */
+  def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    df.where(bucket(col(idCol)) < (fraction * Buckets).toLong)
+  }
+
+  /** Split label by consecutive half-open bucket ranges; fractions must
+    * sum to <= 1, remainder labeled null (caller filters or maps). */
+  def splitColumn(id: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to <= 1")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + (f * Buckets).toLong
+    }.tail
+    val b = bucket(id)
+    splits.zip(bounds).foldRight(lit(null).cast("string")) {
+      case (((name, _), hi), otherwise) => when(b < hi, name).otherwise(otherwise)
+    }
+  }
+}

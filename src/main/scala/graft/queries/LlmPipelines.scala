@@ -539,6 +539,35 @@ object LlmPipelines {
            |  CAST(max(id) AS BIGINT) AS max_doc
            |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Deterministic train/val/test split assignment
+    * ([[graft.ops.Sampling]]): portable multiplicative-hash buckets, so
+    * the oracle reproduces the EXACT assignment arithmetically —
+    * engine-native hashes and rand(seed) cannot cross-reproduce, which
+    * is precisely why a curation pipeline needs this op. */
+  val q61 = QueryDef(
+    "q61_deterministic_splits",
+    (s, dir) => {
+      val labeled = Tables.documents(s, dir).withColumn("split",
+        graft.ops.Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      labeled.groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("source"), col("split"))
+    },
+    Some("""WITH b AS (
+           |  SELECT source, n_chars,
+           |    ((doc_id * 2654435761) % 4294967296) % 1000000 AS bkt
+           |  FROM documents),
+           |l AS (
+           |  SELECT source, n_chars,
+           |    CASE WHEN bkt < 800000 THEN 'train'
+           |         WHEN bkt < 900000 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM b)
+           |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59)
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61)
 }

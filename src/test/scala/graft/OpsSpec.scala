@@ -171,6 +171,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("Sampling: stable under repartition, nested fractions, full coverage") {
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, SparkTestBase.sf).select($"doc_id")
+    val s10 = Sampling.sample(docs, "doc_id", 0.1).as[Long].collect().toSet
+    val s20 = Sampling.sample(docs, "doc_id", 0.2).as[Long].collect().toSet
+    assert(s10.subsetOf(s20), "smaller fraction must nest inside larger")
+    // stability: the same ids survive regardless of physical layout
+    val s10b = Sampling.sample(docs.repartition(7), "doc_id", 0.1)
+      .as[Long].collect().toSet
+    assert(s10b == s10)
+    assert(s10.nonEmpty && s20.size > s10.size)
+    // splits summing to 1 label every row, and are disjoint by construction
+    val labeled = docs.withColumn("split", Sampling.splitColumn($"doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    assert(labeled.where($"split".isNull).isEmpty)
+    val byLabel = labeled.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    val total = byLabel.values.sum
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    assert(total == docs.count())
+  }
+
   test("asOfJoin: most recent version at or before, ties, nulls, left mode") {
     import graft.ops.AsOf
     val events = Seq(
