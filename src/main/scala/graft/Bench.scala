@@ -69,23 +69,30 @@ object Bench {
       // the same commit benched 30.2 s and 36.7 s total purely by
       // machine noise. Min-of-N is the steady-state estimator; caches
       // are dropped between runs so each still does its full work.
-      var err: Option[String] = None
-      val sec = (1 to 2).map { i =>
+      val runs = (1 to 2).map { i =>
         val t0 = System.nanoTime()
         // NonFatal + LinkageError continue (a missing optional class
         // leaves the JVM healthy; aborting would also lose
         // BENCH_OUT.json for every other query); VirtualMachineErrors
         // propagate — timings recorded after one would be garbage
         // published as valid numbers
-        try q.fn(spark, sfDir).count()
-        catch {
-          case e @ (scala.util.control.NonFatal(_) | _: LinkageError) =>
-            err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
-        }
+        val runErr =
+          try { q.fn(spark, sfDir).count(); None }
+          catch {
+            case e @ (scala.util.control.NonFatal(_) | _: LinkageError) =>
+              Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+          }
         val s0 = (System.nanoTime() - t0) / 1e9
         if (i == 1) spark.catalog.clearCache()
-        s0
-      }.min
+        (s0, runErr)
+      }
+      // a query that succeeds on EITHER sample is measurable: report the
+      // min over successful runs and no error (a transient first-run
+      // failure must not erase a valid second-run timing); only a query
+      // that failed both times is an error row
+      val okRuns = runs.filter(_._2.isEmpty)
+      val err = if (okRuns.nonEmpty) None else runs.last._2
+      val sec = (if (okRuns.nonEmpty) okRuns else runs).map(_._1).min
       // Each query is timed standalone, including building its own
       // caches; dropping them afterwards keeps the long session from
       // degrading (executor memory pressure compounds across 30+

@@ -46,13 +46,21 @@ object Xlsx {
     f.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
   }
 
+  /** Tag match tolerant of namespace prefixes: legal OOXML may write
+    * `<x:row>` for the same element (namespaceAware is off, so the
+    * prefix stays in the tag name); match the local part. */
+  private def tagMatches(name: String, tag: String): Boolean =
+    name == tag || name.endsWith(":" + tag)
+
   private def elems(doc: Document, tag: String): Seq[Element] = {
-    val nl = doc.getElementsByTagName(tag)
+    val nl = doc.getElementsByTagName("*")
     (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+      .filter(e => tagMatches(e.getTagName, tag))
   }
   private def childElems(e: Element, tag: String): Seq[Element] = {
-    val nl = e.getElementsByTagName(tag)
+    val nl = e.getElementsByTagName("*")
     (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+      .filter(c => tagMatches(c.getTagName, tag))
   }
 
   /** "BC12" → 0-based column index of the letter prefix (A=0, Z=25, AA=26). */

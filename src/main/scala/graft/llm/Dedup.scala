@@ -333,7 +333,8 @@ object Dedup {
     val withNorm = quantizeWithNorm(emb, idCol, vecCol)
     withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
       .withColumn("dot", long_dot(col("a.qv"), col("b.qv")))
-      .where(exactCosinePredicate(col("dot"), tScaled))
+      .where(exactCosinePredicate(col("dot"), tScaled,
+        col("a.norm2"), col("b.norm2")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dot"))
   }
 
@@ -396,7 +397,8 @@ object Dedup {
       .join(q.as("a"), col("id_a") === col("a.id"))
       .join(q.as("b"), col("id_b") === col("b.id"))
       .withColumn("dot", long_dot(col("a.qv"), col("b.qv")))
-      .where(exactCosinePredicate(col("dot"), tScaled))
+      .where(exactCosinePredicate(col("dot"), tScaled,
+        col("a.norm2"), col("b.norm2")))
       .select(col("id_a"), col("id_b"), col("dot"))
   }
 
@@ -440,15 +442,23 @@ object Dedup {
     val e = edges.toDF("src", "dst")
     val isLongIds = e.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (isLongIds && driverThreshold > 0 &&
-        e.limit((driverThreshold + 1).toInt).count() <= driverThreshold) {
+    val probeLimit = math.min(driverThreshold, Int.MaxValue.toLong - 1) + 1
+    if (isLongIds && driverThreshold > 0 && driverThreshold < Int.MaxValue &&
+        e.limit(probeLimit.toInt).count() <= driverThreshold) {
       import e.sparkSession.implicits._
       val pairs = e.where(col("src") =!= col("dst"))
         .as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find with path compression: a recursive find on a
+      // long union chain (adversarial edge order builds O(n) parent
+      // chains) overflows the JVM stack at exactly the edge counts
+      // this path exists for
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
       pairs.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
@@ -530,11 +540,12 @@ object Dedup {
   /** cosine > t restated in exact decimal(38,0) integer arithmetic:
     * dot > 0 and 10⁴·dot² > (t·10²)²·|a|²·|b|² — free of float
     * nondeterminism, safe past Long range for high-dim vectors. */
-  private def exactCosinePredicate(dot: Column, tScaled: Long): Column = {
+  private def exactCosinePredicate(dot: Column, tScaled: Long,
+                                   normA: Column, normB: Column): Column = {
     val dec = "decimal(38,0)"
     dot > 0 &&
       dot.cast(dec) * dot.cast(dec) * lit(10000L).cast(dec) >
         lit(tScaled * tScaled).cast(dec) *
-          col("a.norm2").cast(dec) * col("b.norm2").cast(dec)
+          normA.cast(dec) * normB.cast(dec)
   }
 }

@@ -43,7 +43,11 @@ object AsOf {
     val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == leftTime)
     val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
     require(payload.nonEmpty, "right side has no payload columns")
-    val clash = leftOnly.toSet intersect payload.toSet
+    // the OUTPUT emits keys ++ leftTime ++ leftOnly ++ payload, so the
+    // payload may not collide with ANY of the left-side output names —
+    // including leftTime itself (a right column named like the event
+    // time would silently duplicate the output column)
+    val clash = (leftOnly.toSet + leftTime) intersect payload.toSet
     require(clash.isEmpty,
       s"rename columns present on both sides before asOfJoin: ${clash.mkString(", ")}")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
@@ -54,11 +58,18 @@ object AsOf {
       keys.map(col) ++ Seq(col(leftTime).as("__t")) ++ leftOnly.map(col) ++
         Seq(lit(null).cast(payloadType).as("__payload"),
             lit(0).as("__is_right")): _*)
-    val r2 = right.select(
-      keys.map(col) ++ Seq(col(rightTime).as("__t")) ++
-        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(struct(payload.map(col): _*).as("__payload"),
-            lit(1).as("__is_right")): _*)
+    // join semantics: a NULL never matches — a version with NULL
+    // valid_from or a NULL key would otherwise sort NULLS FIRST into
+    // "in force since forever" / pair up with NULL-key events, where
+    // the equivalent join (and DuckDB's native ASOF) matches neither
+    val r2 = right
+      .where((keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull)
+        .reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(col(rightTime).as("__t")) ++
+          leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          Seq(struct(payload.map(col): _*).as("__payload"),
+              lit(1).as("__is_right")): _*)
 
     // at equal __t the version row (is_right=1) sorts FIRST so the
     // event row's running last() already sees it

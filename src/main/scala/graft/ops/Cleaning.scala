@@ -57,6 +57,12 @@ object Cleaning {
   def safeDiv(num: Column, den: Column): Column =
     when(den > 0, num / den).otherwise(lit(0.0))
 
+  /** Exact integer division (truncating): Spark IntegralDivide ≡
+    * DuckDB `//` on non-negative operands. */
+  def intDiv(num: Column, den: Column): Column =
+    GraftSqlBridge.column(new IntegralDivide(
+      GraftSqlBridge.expression(num), GraftSqlBridge.expression(den)))
+
   /** Half-up rounding of a NON-NEGATIVE integer ratio to `scale`
     * decimals, decided in EXACT integer arithmetic: the caller
     * pre-scales so that numScaled/den equals value·10^scale; the result
@@ -71,14 +77,21 @@ object Cleaning {
     * 442952.5 exactly). Both engines computing the same integer then
     * performing one identical division is bit-deterministic.
     *
-    * Caller contract: numScaled, den ≥ 0 integers with 2·numScaled + den
-    * inside Long; den > 0 (guard with `when` outside). DuckDB twin:
+    * Caller contract: numScaled, den ≥ 0 integers; den > 0 (guard with
+    * `when` outside). The 2·numScaled + den intermediate is formed in
+    * decimal(38,0) like [[halfUpScaledLong]]'s — a Long intermediate
+    * wraps silently once numScaled grows past ~4.6e18/2 (row-count-
+    * proportional sums reach that at the design scale); the quotient
+    * itself is back in Long range whenever the VALUE is. DuckDB twin
+    * unchanged (`//` on its side is already HUGEINT-safe):
     * `CAST((2*num + den) // (2*den) AS DOUBLE) / 10^scale`. */
-  def roundHalfUpRatio(numScaled: Column, den: Column, scale: Int): Column =
+  def roundHalfUpRatio(numScaled: Column, den: Column, scale: Int): Column = {
+    val dec = "decimal(38,0)"
     GraftSqlBridge.column(new IntegralDivide(
-        GraftSqlBridge.expression(numScaled * 2 + den),
-        GraftSqlBridge.expression(den * 2)))
+        GraftSqlBridge.expression(numScaled.cast(dec) * 2 + den.cast(dec)),
+        GraftSqlBridge.expression(den.cast(dec) * 2)))
       .cast("double") / math.pow(10, scale)
+  }
 
   /** Σx for a column whose values are EXACTLY 2-decimal (the money/
     * measure contract of every fixture column this is applied to,

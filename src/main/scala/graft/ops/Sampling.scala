@@ -24,16 +24,28 @@ object Sampling {
 
   /** 2654435761 = floor(2^32 / φ), Knuth's multiplicative constant;
     * the multiply decorrelates sequential ids, the mod folds to the
-    * bucket domain. Arithmetic is exact in Long for any 32-bit-ish id
-    * times the constant; wider ids fold through pmod first. */
+    * bucket domain. */
   private val Knuth = 2654435761L
   private val Buckets = 1000000L
+  /** 2^31 − 1 (Mersenne prime): the id folds into two limbs below it so
+    * every product stays under Long.MaxValue — limb·Knuth < 2^31·2^32 ≈
+    * 5.7e18. A single `id * Knuth` overflows Long (ANSI: throws) for
+    * snowflake-style ids ≥ ~3.5e9. */
+  private val Limb = 2147483647L
 
-  /** Bucket in [0, 10^6) as a pure arithmetic function of the id —
-    * `(id * K) mod 2^32 mod 10^6`, expressible identically in ANSI SQL:
-    * `(id * 2654435761) % 4294967296 % 1000000` (pmod for negatives). */
-  def bucket(id: Column): Column =
-    pmod(pmod(id.cast("long") * Knuth, lit(4294967296L)), lit(Buckets))
+  /** Bucket in [0, 10^6) as a pure overflow-safe arithmetic function of
+    * the id: the id splits into limbs lo = id mod (2^31−1) and
+    * hi = (id div (2^31−1)) mod (2^31−1), each limb multiplies a mixing
+    * constant, and the sum folds mod 2^32 mod 10^6. Every intermediate
+    * fits Long for the FULL 64-bit id range. ANSI-SQL twin (ids ≥ 0):
+    * `((id % 2147483647) * 2654435761
+    *   + ((id // 2147483647) % 2147483647) * 40503) % 4294967296 % 1000000`. */
+  def bucket(id: Column): Column = {
+    val idL = id.cast("long")
+    val lo = pmod(idL, lit(Limb))
+    val hi = pmod(Cleaning.intDiv(idL, lit(Limb)), lit(Limb))
+    pmod(pmod(lo * Knuth + hi * 40503L, lit(4294967296L)), lit(Buckets))
+  }
 
   /** Keep rows whose bucket falls under `fraction` (exact half-open
     * range, reproducible everywhere). */

@@ -2,8 +2,7 @@ package graft.pipelines
 
 import graft.core.Tables
 import graft.ops.Cleaning
-import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,11 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object Revenue {
 
-  /** Exact integer division (both-engine-deterministic): Spark
-    * IntegralDivide ≡ DuckDB `//` on non-negative operands. */
   private def intDiv(num: Column, den: Column): Column =
-    GraftSqlBridge.column(new IntegralDivide(
-      GraftSqlBridge.expression(num), GraftSqlBridge.expression(den)))
+    Cleaning.intDiv(num, den)
 
   private def ratio4(num: Column, den: Column): Column =
     when(den > 0, Cleaning.roundHalfUpRatio(num * 10000L, den, 4))

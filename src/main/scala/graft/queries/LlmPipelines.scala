@@ -556,7 +556,9 @@ object LlmPipelines {
     },
     Some("""WITH b AS (
            |  SELECT source, n_chars,
-           |    ((doc_id * 2654435761) % 4294967296) % 1000000 AS bkt
+           |    ((doc_id % 2147483647) * 2654435761
+           |     + ((doc_id // 2147483647) % 2147483647) * 40503)
+           |      % 4294967296 % 1000000 AS bkt
            |  FROM documents),
            |l AS (
            |  SELECT source, n_chars,

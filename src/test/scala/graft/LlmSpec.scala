@@ -169,6 +169,17 @@ class LlmSpec extends AnyFunSuite {
     assert(gotDriver == want)
   }
 
+  test("connectedComponents driver path survives a 60k adversarial chain") {
+    // edges (k, k+1) in DESCENDING k order build a parent chain of
+    // depth n in the union loop; the final find() pass must walk it
+    // iteratively — a recursive find overflows the JVM stack here
+    val n = 60000L
+    val chain = (0L until n).reverse.map(k => (k, k + 1)).toDF("src", "dst")
+    val labels = graft.llm.Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect()
+    assert(labels.length == (n + 1).toInt && labels.forall(_._2 == 0L))
+  }
+
   test("connectedComponents converges on a deep chain within the jump bound") {
     // a 64-node path graph: diameter 63, so hop-only propagation would
     // need >20 rounds — pointer jumping must close it inside maxIter;

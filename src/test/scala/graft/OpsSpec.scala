@@ -191,6 +191,11 @@ class OpsSpec extends AnyFunSuite {
     val total = byLabel.values.sum
     assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
     assert(total == docs.count())
+    // snowflake-scale 64-bit ids must hash without Long overflow (ANSI
+    // would throw): the two-limb fold keeps every product in range
+    val big = Seq(1400000000000000000L, Long.MaxValue, 3470000000L).toDF("id")
+    val buckets = big.select(Sampling.bucket($"id")).as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 1000000L), buckets.toSeq)
   }
 
   test("asOfJoin: most recent version at or before, ties, nulls, left mode") {
@@ -215,6 +220,22 @@ class OpsSpec extends AnyFunSuite {
         how = "left")
       .select($"eid").as[Long].collect().toSet
     assert(leftKept.contains(4L), "left mode keeps unmatched rows")
+    // a version with NULL valid_from (or NULL key) must match NOTHING —
+    // join semantics, and what DuckDB's native ASOF does — not become
+    // an in-force-since-forever version via NULLS FIRST ordering
+    val nullVersions = Seq(
+      (Some("r1"), None, Some("x")),
+      (None, Some(1L), Some("y"))
+    ).toDF("route", "valid_from", "fare")
+    val nulls = AsOf.asOfJoin(events, nullVersions, Seq("route"), "ts", "valid_from")
+      .collect()
+    assert(nulls.isEmpty, s"NULL version rows matched: ${nulls.toSeq}")
+    // payload colliding with leftTime must be rejected, not duplicated
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(events, versions.withColumn("ts", lit(1L)),
+        Seq("route"), "ts", "valid_from")
+    }
+    assert(e2.getMessage.contains("rename"))
   }
 
   test("AQE splits a skewed sort-merge join partition (runtime twin of saltedInnerJoin)") {
