@@ -234,4 +234,29 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("dot"), col("rank"))
   }
+
+  /** Per-label centroid of an embedding column in the quantized integer
+    * domain: every component floors to micro-units
+    * (`floor(double(x)·10^6)` — the float→double widening and the
+    * multiply are the same IEEE ops in any engine), then sums and
+    * counts per (label, position) are EXACT Longs; the mean divides
+    * once at the end. This is the cluster-summary / class-prototype
+    * aggregation of a curation pipeline (IVF centroid refresh, per-label
+    * drift monitoring), expressed as a plain posexplode + hash
+    * aggregate: map-side partial sums do the heavy lifting, the shuffle
+    * is |labels|·dim rows regardless of corpus size — the right 100 TB
+    * shape. Float summation order would NOT be reproducible across
+    * partitionings; the quantized-Long domain is order-independent,
+    * which is what makes the result oracle-checkable at all.
+    *
+    * Output: (label, pos, n, sum_q, mu) with `pos` 1-based (SQL array
+    * subscript convention) and `mu = double(sum_q)/n` in micro-units.
+    */
+  def labelCentroidsQ(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos0", "x")))
+      .select(col("label"), (col("pos0") + 1).as("pos"),
+        floor(col("x").cast("double") * 1000000L).cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+      .withColumn("mu", col("sum_q").cast("double") / col("n"))
 }

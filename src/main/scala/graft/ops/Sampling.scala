@@ -54,6 +54,25 @@ object Sampling {
     df.where(bucket(col(idCol)) < (fraction * Buckets).toLong)
   }
 
+  /** Per-stratum deterministic sampling: each row keeps or drops by the
+    * SAME id-hash bucket as [[sample]], but the threshold comes from its
+    * stratum (corpus curation's "downsample web crawl to 5%, keep books
+    * at 100%"). Map-side only like `sample`; because the bucket is a
+    * pure id function, RAISING a stratum's rate strictly grows its kept
+    * set (half-open prefix ranges), so curation runs are comparable
+    * across rate tweaks. Strata absent from `rates` use `defaultRate`. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      s"rates out of range: $rates default=$defaultRate")
+    val threshold = rates.foldLeft(lit((defaultRate * Buckets).toLong)) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit((r * Buckets).toLong)).otherwise(acc)
+    }
+    df.where(bucket(col(idCol)) < threshold)
+  }
+
   /** Split label by consecutive half-open bucket ranges; fractions must
     * sum to <= 1, remainder labeled null (caller filters or maps). */
   def splitColumn(id: Column, splits: Seq[(String, Double)]): Column = {

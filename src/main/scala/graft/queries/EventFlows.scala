@@ -392,6 +392,45 @@ object EventFlows {
            |  ON e.event_type = d.event_type AND e.ts >= d.valid_from
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Bucketed range join ([[graft.ops.RangeJoin.pointInInterval]]):
+    * every lineitem shipment matched to the URGENT orders whose 7-day
+    * window contains its ship date — a pure inequality join that Spark
+    * would otherwise plan as a nested loop. The oracle states the SAME
+    * semantics as the naive inequality join (DuckDB plans it as its
+    * native IEJoin), so the bucketed rewrite is proven equivalent on
+    * real data; `PlanSpec` pins that the Spark plan contains no
+    * CartesianProduct / BroadcastNestedLoopJoin. Day arithmetic stays
+    * in integer epoch days on both sides. */
+  val q62 = QueryDef(
+    "q62_range_join_windows",
+    (s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        datediff(to_date(col("l_shipdate")), epoch).cast("long").as("ship_day"))
+      val win = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), epoch).cast("long").as("win_start"))
+        .withColumn("win_end", col("win_start") + 6)
+      graft.ops.RangeJoin
+        .pointInInterval(li, "ship_day", win, "win_start", "win_end", bucketWidth = 7)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+           |FROM lineitem l JOIN orders o
+           |  ON o.o_orderpriority = '1-URGENT'
+           | AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+           | AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + INTERVAL 6 DAY
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q60)
+    Seq(q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q60, q62)
 }

@@ -570,6 +570,64 @@ object LlmPipelines {
            |  CAST(SUM(n_chars) AS BIGINT) AS chars
            |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Stratified deterministic sampling
+    * ([[graft.ops.Sampling.stratifiedSample]]): per-stratum keep rates
+    * over the same portable id-hash bucket as q61 — "downsample clicks
+    * to 50%, views to 5%, keep every purchase". The oracle recomputes
+    * the exact arithmetic assignment, so the kept SET (not just its
+    * size) is verified via the id checksum. */
+  val q65 = QueryDef(
+    "q65_stratified_sample",
+    (s, dir) => {
+      graft.ops.Sampling.stratifiedSample(Tables.events(s, dir),
+          "event_id", "event_type",
+          Map("click" -> 0.5, "view" -> 0.05, "purchase" -> 1.0),
+          defaultRate = 0.2)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("event_id")).as("id_checksum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type, event_id,
+           |    ((event_id % 2147483647) * 2654435761
+           |     + ((event_id // 2147483647) % 2147483647) * 40503)
+           |      % 4294967296 % 1000000 AS bkt
+           |  FROM events),
+           |k AS (
+           |  SELECT * FROM b WHERE bkt <
+           |    CASE event_type WHEN 'click' THEN 500000
+           |                    WHEN 'view' THEN 50000
+           |                    WHEN 'purchase' THEN 1000000
+           |                    ELSE 200000 END)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+           |  CAST(SUM(event_id) AS BIGINT) AS id_checksum
+           |FROM k GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Per-label embedding centroids in the quantized integer domain
+    * ([[graft.llm.Similarity.labelCentroidsQ]]): class prototypes /
+    * cluster summaries as an exact, order-independent aggregation —
+    * float summation order would differ per partitioning; micro-unit
+    * Longs make the centroid itself hash-checkable. */
+  val q66 = QueryDef(
+    "q66_embedding_centroids",
+    (s, dir) => {
+      graft.llm.Similarity
+        .labelCentroidsQ(Tables.embeddings(s, dir), "label", "embedding")
+        .select(col("label").cast("long").as("label"),
+          col("pos").cast("long").as("pos"),
+          col("n"), col("sum_q"), col("mu"))
+        .orderBy(col("label"), col("pos"))
+    },
+    Some("""WITH e AS (
+           |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+           |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+           |  FROM embeddings)
+           |SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+           |  CAST(count(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS sum_q,
+           |  CAST(SUM(q) AS DOUBLE) / count(*) AS mu
+           |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61)
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
+      q65, q66)
 }

@@ -280,5 +280,72 @@ object ScalarShapes {
            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
            |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24)
+  /** Rolling 7-day revenue per customer via a RANGE window frame —
+    * value-based, not row-based: gaps in the day sequence shrink the
+    * frame and same-day orders are peers on BOTH engines (a ROWS frame
+    * would be nondeterministic under same-day ties; RANGE is the only
+    * correct rolling-window form when the order key has duplicates).
+    * One shuffle on the partition key, integer cents domain. */
+  val q63 = QueryDef(
+    "q63_rolling_range_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      o.withColumn("roll_cents_7d", sum(col("cents")).over(w))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"), col("roll_cents_7d"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, day,
+           |  CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day
+           |       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS roll_cents_7d
+           |FROM (SELECT o_orderkey, o_custkey,
+           |        CAST(datediff('day', DATE '1970-01-01',
+           |             CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+           |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |      FROM orders)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** Exact discrete percentiles per group
+    * ([[graft.ops.Distributions.discPercentiles]]): the
+    * travel-time-distribution summary shape in a reproducible integer
+    * domain. Both engines pick the value at 1-based rank
+    * `(n·p + 99) div 100` of the cents-sorted group — no float ceil, no
+    * interpolation, tie-proof (rank permutations among equal values
+    * pick the same value). */
+  val q64 = QueryDef(
+    "q64_percentile_disc",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      graft.ops.Distributions
+        .discPercentiles(li, Seq("l_returnflag", "l_linestatus"), col("cents"),
+          Seq(50, 90, 99))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""WITH v AS (
+           |  SELECT l_returnflag, l_linestatus,
+           |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           |  FROM lineitem),
+           |r AS (
+           |  SELECT l_returnflag, l_linestatus, cents,
+           |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+           |                       ORDER BY cents) AS rn,
+           |    count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+           |  FROM v)
+           |SELECT l_returnflag, l_linestatus, CAST(MAX(n) AS BIGINT) AS n,
+           |  MAX(CASE WHEN rn = (n*50 + 99) // 100 THEN cents END) AS p50,
+           |  MAX(CASE WHEN rn = (n*90 + 99) // 100 THEN cents END) AS p90,
+           |  MAX(CASE WHEN rn = (n*99 + 99) // 100 THEN cents END) AS p99
+           |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q63, q64)
 }
