@@ -57,10 +57,13 @@ object Bench {
       // Data caches are dropped in between: the timed run still builds
       // its own persists, reads parquet, and shuffles from scratch.
       (1 to 2).foreach { _ =>
+        // same error policy as the timed runs: NonFatal AND LinkageError
+        // continue (one broken query must not lose BENCH_OUT.json for
+        // every other query — the timed run reports it); only
+        // VirtualMachineErrors propagate, since a corrupted JVM would
+        // record garbage instead of the real failure
         try q.fn(spark, sfDir).count()
-        catch { case scala.util.control.NonFatal(_) => () } // timed run reports it
-        // (fatal VM errors must propagate — a timed run in a corrupted
-        // JVM would record garbage instead of the real failure)
+        catch { case scala.util.control.NonFatal(_) | (_: LinkageError) => () }
         spark.catalog.clearCache()
       }
       // min of TWO timed runs (the floor sampler's discipline applied

@@ -63,6 +63,22 @@ object Xlsx {
       .filter(c => tagMatches(c.getTagName, tag))
   }
 
+  /** Cell text of a rich-text container (`<si>` or an inline-string
+    * `<c>`): the concat of its `<t>` runs, SKIPPING phonetic `<rPh>`
+    * subtrees — workbooks saved by East-Asian Excel locales store the
+    * furigana/pinyin reading there, and concatenating every descendant
+    * `<t>` silently appends the phonetic transcription to the value. */
+  private def richText(container: Element): String =
+    childElems(container, "t").filter { t =>
+      var p = t.getParentNode
+      var phonetic = false
+      while (p != null && (p ne container) && p.isInstanceOf[Element]) {
+        if (tagMatches(p.asInstanceOf[Element].getTagName, "rPh")) phonetic = true
+        p = p.getParentNode
+      }
+      !phonetic
+    }.map(_.getTextContent).mkString
+
   /** "BC12" → 0-based column index of the letter prefix (A=0, Z=25, AA=26). */
   private[graft] def colIndex(ref: String): Int = {
     val letters = ref.takeWhile(_.isLetter)
@@ -112,11 +128,10 @@ object Xlsx {
       val part = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
 
       // shared strings: <si> in order, each the concat of its <t> runs
+      // (phonetic <rPh> subtrees excluded — see richText)
       val shared: IndexedSeq[String] =
         readEntry(zip, "xl/sharedStrings.xml").map { b =>
-          elems(parseXml(b), "si")
-            .map(si => childElems(si, "t").map(_.getTextContent).mkString)
-            .toIndexedSeq
+          elems(parseXml(b), "si").map(richText).toIndexedSeq
         }.getOrElse(IndexedSeq.empty)
 
       val ws = parseXml(readEntry(zip, part)
@@ -131,7 +146,7 @@ object Xlsx {
           val t = c.getAttribute("t")
           val v: Option[String] = t match {
             case "inlineStr" =>
-              Some(childElems(c, "t").map(_.getTextContent).mkString)
+              Some(richText(c))
             case "s" =>
               childElems(c, "v").headOption.map(x => shared(x.getTextContent.trim.toInt))
             case "b" =>

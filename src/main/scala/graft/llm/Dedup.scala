@@ -104,36 +104,37 @@ object Dedup {
                                           maxBucketSize: Int): DataFrame = {
     val numHashes = bands * rows
     require(numHashes <= 64,
-      s"rotation-derived hash family supports <= 64 hashes, got $numHashes")
-    // Signature via explode → TWO codegen'd xxhash64 base hashes → 64
-    // derived hashes h_j = h1 XOR rotl(h2, j) → hash-agg of 64 min()s
-    // (partial agg map-side, one shuffle on id). This stays inside
-    // WholeStageCodegen end to end; the natural
+      s"signature width is capped at 64 hashes (wide-row agg cost), got $numHashes")
+    // Signature via explode → TWO codegen'd xxhash64 base hashes over
+    // the shingle string → 64 derived hashes h_j = xxhash64(j, h1, h2)
+    // → hash-agg of 64 min()s (partial agg map-side, one shuffle on
+    // id). This stays inside WholeStageCodegen end to end; the natural
     // `array_min(transform(sh, xxhash64))` × 64 form runs interpreted
     // per element (HOFs don't codegen) and measured ~10× slower.
     //
-    // The derived family is the Kirsch-Mitzenmacher two-hash
-    // construction with XOR-rotate instead of h1 + j·h2: each of the
-    // original 64 independent xxhash64 calls re-read the WHOLE shingle
-    // string (64 passes over every byte); two base hashes + 64
-    // three-instruction long ops compute the same-quality seeded
-    // family at ~1/30 the per-shingle cost. XOR/shift rather than
-    // +/× because Spark 4 runs
-    // ANSI mode: a wrapped Long multiply would throw where a bitwise
-    // rotation is well-defined. Collision probability per derived hash
-    // stays ~2^-64 (h1 ⊕ rotl(h2,j) is uniform for independent h1,h2),
-    // and the b·r S-curve analysis above is unchanged; the q30/q52
-    // oracles re-verify exact output equality under this family.
-    def rotl(c: Column, j: Int): Column =
-      if (j == 0) c
-      else shiftleft(c, j).bitwiseOR(shiftrightunsigned(c, 64 - j))
+    // The derivation is in the Kirsch-Mitzenmacher spirit (expensive
+    // variable-length hashing once, cheap fixed-width mixing per
+    // index): each of the original 64 independent xxhash64 calls
+    // re-read the WHOLE shingle string (64 passes over every byte);
+    // here the string is hashed twice and each derived hash is an
+    // xxhash64 over a fixed 16-byte (h1, h2) input seeded by j — a
+    // constant-cost mix per index regardless of shingle length. Unlike
+    // the literal h1 + j·h2 form (whose wrapped Long arithmetic would
+    // throw under Spark 4's ANSI mode) or an XOR-rotate derivation
+    // (where h_j ⊕ h_k depends only on h2, i.e. the family is
+    // pairwise-correlated and the independent-hash S-curve analysis
+    // would not strictly apply), the full avalanche of the outer
+    // xxhash64 makes the h_j behave as independent uniform draws in
+    // the random-oracle model, so the b·r S-curve recall analysis
+    // above applies as stated; the q30/q52 oracles re-verify exact
+    // output equality under this family.
     val sig = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"),
         xxhash64(lit(0), col("s")).as("h1"), xxhash64(lit(1), col("s")).as("h2"))
       .groupBy(col("id"))
-      .agg(min(col("h1").bitwiseXOR(col("h2"))).as("mh0"),
+      .agg(min(xxhash64(lit(0), col("h1"), col("h2"))).as("mh0"),
         (1 until numHashes).map(j =>
-          min(col("h1").bitwiseXOR(rotl(col("h2"), j))).as(s"mh$j")): _*)
+          min(xxhash64(lit(j), col("h1"), col("h2"))).as(s"mh$j")): _*)
     val banded = sig.select(col("id"), posexplode(
         array((0 until bands).map { b =>
           xxhash64((lit(b) +: (0 until rows).map(r =>
@@ -474,9 +475,14 @@ object Dedup {
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .where(col("src") =!= col("dst")).distinct()
         .repartition(col("dst")))
+    try {
     var labels = bidir.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // the checkpoint currently backing `labels` — released as soon as
+    // the next round materializes (each round's blocks would otherwise
+    // stay persisted on the executors for up to maxIter rounds)
+    var roundCp = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -505,17 +511,32 @@ object Dedup {
           coalesce(col("jl"), col("a.label")).as("label"),
           col("a.old").as("old"))
         .localCheckpoint(true)
+      // `next` is eagerly materialized, so the previous round's
+      // checkpoint blocks are dead — free them now, not at maxIter
+      releaseLocalCheckpoint(roundCp)
+      roundCp = next
       // one narrow scan of the checkpointed round, no join
       converged = next.where(col("label") =!= col("old")).isEmpty
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
+    if (!converged) releaseLocalCheckpoint(roundCp)
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
       "raise maxIter (component diameter exceeds 2^rounds)")
-    bidir.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
+    } finally bidir.unpersist()
   }
+
+  /** Free the executor storage behind an eager `localCheckpoint`: the
+    * checkpointed Dataset's plan is a `LogicalRDD` over the persisted
+    * RDD, so unpersist THAT RDD directly — `Dataset.unpersist` only
+    * talks to the cache manager, which never saw this data. */
+  private def releaseLocalCheckpoint(ds: DataFrame): Unit =
+    ds.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** The integer-domain compare carries t as t·100 exactly — a
     * sub-centi threshold would be silently rounded to the nearest

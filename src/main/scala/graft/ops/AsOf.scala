@@ -39,7 +39,7 @@ object AsOf {
                leftTime: String, rightTime: String,
                how: String = "inner"): DataFrame = {
     require(how == "inner" || how == "left", s"how must be inner|left, got $how")
-    val reserved = Seq("__t", "__is_right", "__payload")
+    val reserved = Seq("__t", "__is_right", "__payload", "__v")
     val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == leftTime)
     val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
     require(payload.nonEmpty, "right side has no payload columns")

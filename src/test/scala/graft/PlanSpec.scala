@@ -61,6 +61,25 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q62: point side is aggregated to day grain BELOW the range join") {
+    // the final output only needs per-(flag,status) sums + a distinct
+    // order count — feeding raw lineitem rows through the join is a
+    // ~40× larger join input for the same answer. Pin the rewrite
+    // structurally: the join's subtree must contain an Aggregate, and
+    // the plan must still contain no nested-loop shape.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = SparkEntry.queries("q62_range_join_windows")(spark, SparkTestBase.sf)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "q62 lost its range join")
+    assert(joins.exists(j => j.collectLeaves().size >= 2 &&
+        (j.left.collect { case a: Aggregate => a }.nonEmpty ||
+         j.right.collect { case a: Aggregate => a }.nonEmpty)),
+      s"q62 must pre-aggregate the point side below the join:\n${df.queryExecution.optimizedPlan}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q62 must stay an equi-join on bucket id:\n$p")
+  }
+
   test("ads pipelines broadcast their dims") {
     Seq("q39_ads_travel_info_pipeline", "q40_ads_travel_time_pipeline",
         "q45_ads_travel_distance_pipeline", "q47_ads_fare_revenue_pipeline",
