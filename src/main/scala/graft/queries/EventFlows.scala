@@ -301,19 +301,33 @@ object EventFlows {
 
   /** A4 — HyperLogLog distinct at rsd=1% (Spark HLL++ ≈ the reference's
     * `hyperloglog.HyperLogLog(0.01)`,
-    * `scripts/ads_passenger_travel_info_mi.py:266`). Rows-only driver
-    * check; accuracy asserted in LlmSpec against exact counts. At 100 TB
-    * this is THE distinct-count operator — fixed-size sketch per group,
-    * no distinct shuffle explosion. */
+    * `scripts/ads_passenger_travel_info_mi.py:266`). At 100 TB this is
+    * THE distinct-count operator — fixed-size sketch per group, no
+    * distinct shuffle explosion.
+    *
+    * The sketch VALUE can never hash-match an ANSI oracle (every HLL
+    * implementation rounds registers differently), so the registered
+    * output is the ORACLE-CHECKABLE invariant instead: the exact
+    * per-group distinct (DuckDB recomputes it) next to a boolean
+    * pinning |approx − exact| ≤ 5 %·exact (5× the configured rsd —
+    * HLL++ at 1 % rsd stays well inside). A broken sketch now fails
+    * the hash gate, not just the LlmSpec tolerance spec. */
   val q14 = QueryDef(
     "q14_hll_distinct",
     (s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("__approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("hll_within_5rsd"))
         .orderBy(col("event_type"))
     },
-    None)
+    Some("""SELECT event_type,
+           |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           |  TRUE AS hll_within_5rsd
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** A15+A16+F13+F25 — two-granularity fold: monthly avg-daily-ratio =
     * Σ_days(day_events / day_users) / days-in-month, zero-guarded
