@@ -620,6 +620,47 @@ object LlmPipelines {
            |  CAST(max(id) AS BIGINT) AS max_doc
            |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The DISTRIBUTED connected-components path under load:
+    * `driverThreshold = 0` disables the dim-sized driver union-find
+    * short-circuit, so this times the pointer-jumping loop — the shape
+    * that runs at 100 TB — over a ≥10⁵-edge graph (q59's fixture sits
+    * under the 250k default threshold, so its BENCH row times the
+    * driver path only).
+    *
+    * The graph is arithmetic in the dense o_orderkey domain — chain
+    * edges (k, k−1) except at 16-block boundaries — giving 150k nodes
+    * / ~140k edges at sf0.1 in depth-15 chains: ~4 propagation+jump
+    * rounds, the multi-round regime the operator exists for. DuckDB
+    * recomputes the same components by recursive-CTE transitive
+    * closure (independent of the chain arithmetic). */
+  val q67 = QueryDef(
+    "q67_dedup_clusters_distributed",
+    (s, dir) => {
+      val keys = Tables.orders(s, dir).select(col("o_orderkey").cast("long").as("k"))
+      val edges = keys.where(col("k") % 8 =!= 0)
+        .select(col("k").as("src"), (col("k") - 1).as("dst"))
+      Dedup.connectedComponents(edges, driverThreshold = 0)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_id"))
+        .orderBy(col("cluster_id"))
+    },
+    Some("""WITH RECURSIVE
+           |e0 AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS a,
+           |         CAST(o_orderkey AS BIGINT) - 1 AS b
+           |  FROM orders WHERE o_orderkey % 8 != 0),
+           |nodes AS (SELECT a AS id FROM e0 UNION SELECT b FROM e0),
+           |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
+           |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+           |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           |  CAST(count(*) AS BIGINT) AS n_nodes,
+           |  CAST(max(id) AS BIGINT) AS max_id
+           |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Deterministic train/val/test split assignment
     * ([[graft.ops.Sampling]]): portable multiplicative-hash buckets, so
     * the oracle reproduces the EXACT assignment arithmetically —
@@ -710,5 +751,5 @@ object LlmPipelines {
 
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
-      q65, q66)
+      q65, q66, q67)
 }
