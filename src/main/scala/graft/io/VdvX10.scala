@@ -31,8 +31,8 @@ import org.apache.spark.sql.types._
   */
 object VdvX10 {
 
-  private final case class Section(name: String, atrIdx: Long, endIdx: Long,
-                                   cols: Seq[String], formats: Seq[String])
+  private[io] final case class Section(name: String, atrIdx: Long, endIdx: Long,
+                                       cols: Seq[String], formats: Seq[String])
 
   /** Split a control/record line on ';' OUTSIDE double quotes — VDV
     * char[n] fields are quoted and may legitimately contain ';' (a
@@ -46,7 +46,7 @@ object VdvX10 {
     * trailing ';' on an `atr;` line must not mint a phantom column
     * that desynchronizes the cols/formats arity and silently degrades
     * the whole table to strings). Interior empties are kept. */
-  private def splitFields(line: String): Seq[String] = {
+  private[io] def splitFields(line: String): Seq[String] = {
     val fields = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new java.lang.StringBuilder
     var inQuotes = false
@@ -68,15 +68,23 @@ object VdvX10 {
     fields.toSeq.drop(1).map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
 
+  private[io] def isControl(t: String): Boolean =
+    t.startsWith("tbl;") || t.startsWith("atr;") ||
+    t.startsWith("frm;") || t.startsWith("end;")
+
   /** Parse the section layout by collecting only control lines. */
   private def sections(spark: SparkSession, path: String): Seq[Section] = {
     val raw = spark.sparkContext.textFile(path).zipWithIndex()
-    val ctl = raw.filter { case (l, _) =>
-      val t = l.trim
-      t.startsWith("tbl;") || t.startsWith("atr;") ||
-      t.startsWith("frm;") || t.startsWith("end;")
-    }.collect().sortBy(_._2)
+    val ctl = raw.filter { case (l, _) => isControl(l.trim) }
+      .collect().sortBy(_._2).toSeq
+    parseControl(ctl)
+  }
 
+  /** Same section parse from an in-order (line, index) control list —
+    * the driver-side path the DataSourceV2 provider
+    * ([[VdvX10Source]]) uses, where schema inference must not launch
+    * Spark jobs. */
+  private[io] def parseControl(ctl: Seq[(String, Long)]): Seq[Section] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Section]
     var name: Option[String] = None
     var cols: Seq[String] = Nil
@@ -101,9 +109,31 @@ object VdvX10 {
   def tableNames(spark: SparkSession, path: String): Seq[String] =
     sections(spark, path).map(_.name)
 
+  /** Driver-side section parse via the Hadoop FS API (no Spark jobs) —
+    * used by [[VdvX10Source]] schema inference and scan planning. Same
+    * UTF-8 line semantics as `sc.textFile`. */
+  private[io] def sectionsLocal(conf: org.apache.hadoop.conf.Configuration,
+                                path: String): Seq[Section] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      val ctl = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var idx = 0L
+      var line = reader.readLine()
+      while (line != null) {
+        if (isControl(line.trim)) ctl += ((line, idx))
+        idx += 1
+        line = reader.readLine()
+      }
+      parseControl(ctl.toSeq)
+    } finally in.close()
+  }
+
   /** Spark type from a `frm;` format token: `num[p.0]` → LONG,
     * `num[p.s]` (s>0) → DOUBLE, anything else → STRING. */
-  private def frmType(fmt: String): DataType = {
+  private[io] def frmType(fmt: String): DataType = {
     val Num = """num\[(\d+)\.(\d+)\]""".r
     fmt.trim match {
       case Num(_, s) if s.toInt == 0 => LongType

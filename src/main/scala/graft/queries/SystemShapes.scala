@@ -104,9 +104,14 @@ object SystemShapes {
       // twins are materialized during the Spark pass so the oracle's
       // read_csv can never see a missing file
       vdvLineCsvTwinPath; vdvOpDepCsvTwinPath
-      val line = VdvX10.readTable(s, vdvFixturePath, "LINE")
+      // reads go through the registered DataSourceV2 format (SURVEY §4
+      // item 1) — the same parser, reachable by pure-SQL sessions too;
+      // VdvX10Spec pins format≡function-API row equality
+      val line = s.read.format("vdvx10").option("table", "LINE")
+        .load(vdvFixturePath)
         .dropDuplicates("LINE_ABBR")
-      val opDep = VdvX10.readTable(s, vdvFixturePath, "OPERATING_DEPARTMENT")
+      val opDep = s.read.format("vdvx10")
+        .option("table", "OPERATING_DEPARTMENT").load(vdvFixturePath)
       val joined = line
         .withColumn("line_clean", Cleaning.deepClean(col("LINE_ABBR")))
         .join(broadcast(opDep), Seq("OP_DEP_NO"), "left")

@@ -123,6 +123,61 @@ class VdvX10Spec extends AnyFunSuite {
       Set(301L, 302L, 303L))
   }
 
+  test("DataSourceV2 format('vdvx10') reads the same rows as the function API") {
+    val viaFormat = spark.read.format("vdvx10").option("table", "LINE")
+      .load(fixture)
+    val viaApi = VdvX10.readTable(spark, fixture, "LINE")
+    assert(viaFormat.schema == viaApi.schema)
+    assert(viaFormat.collect().toSet == viaApi.collect().toSet)
+    // missing table lists what the file has, like the function API
+    val e = intercept[Exception] {
+      spark.read.format("vdvx10").option("table", "NOPE").load(fixture).collect()
+    }
+    assert(e.getMessage.contains("LINE"))
+  }
+
+  test("vdvx10 format prunes columns at the scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read.format("vdvx10").option("table", "LINE")
+      .load(fixture).select($"LINE_ABBR")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema() }
+    assert(scans.nonEmpty, "expected a BatchScanExec")
+    assert(scans.head.fieldNames.toSeq == Seq("LINE_ABBR"),
+      s"scan must read only the projected column, got ${scans.head}")
+    assert(df.as[String].collect().toSet == Set("A1", "B-2", "C3", "D4", "E5"))
+  }
+
+  test("pure SQL reaches .x10 data via CREATE TEMPORARY VIEW ... USING vdvx10") {
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW vdv_line
+         |USING vdvx10 OPTIONS (path '$fixture', `table` 'LINE')""".stripMargin)
+    val n = spark.sql(
+      "SELECT count(*) FROM vdv_line WHERE OP_DEP_NO = 31").as[Long].head()
+    assert(n == 2L)
+  }
+
+  test("vdvx10 format reads a folder, merging multi-batch schemas by name") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_vdv_dsv2_folder")
+    Files.copy(Paths.get(fixture), dir.resolve("a.x10"))
+    Files.write(dir.resolve("b.x10"),
+      """tbl; LINE
+        |atr; BASE_VERSION; LINE_NO; LINE_ABBR; OP_DEP_NO; LINE_DESC; EXTRA
+        |frm; num[9.0]; num[9.0]; char[6]; num[9.0]; char[40]; num[9.0]
+        |rec; 2; 201; "F6"; 11; "Island Express"; 7
+        |end;
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val df = spark.read.format("vdvx10").option("table", "LINE")
+      .load(dir.toString)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("BASE_VERSION", "LINE_NO", "LINE_ABBR", "OP_DEP_NO", "LINE_DESC", "EXTRA"))
+    assert(df.count() == 7)
+    assert(df.where($"EXTRA".isNotNull).select("LINE_NO")
+      .as[Long].collect().toSeq == Seq(201L))
+  }
+
   test("q34 output matches the hand-computed oracle") {
     // LINE deduped on LINE_ABBR keeps the first D4; joins to
     // OPERATING_DEPARTMENT; AD*->Abu Dhabi, ER*->Al Ain, WR*->Al
