@@ -156,7 +156,8 @@ object SystemShapes {
       s"""{"type": "FeatureCollection", "features": [
          |${feature("AbuDhabi", "[54.0, 24.0], [54.5, 24.0], [54.5, 24.6], [54.0, 24.6], [54.0, 24.0]")},
          |${feature("AlAin", "[55.5, 24.0], [56.0, 24.0], [56.0, 24.5], [55.5, 24.5], [55.5, 24.0]")},
-         |${feature("AlDhafra", "[52.5, 23.0], [54.0, 23.0], [54.0, 24.0], [52.5, 24.0], [52.5, 23.0]")}
+         |${feature("AlDhafra", "[52.5, 23.0], [54.0, 23.0], [54.0, 24.0], [52.5, 24.0], [52.5, 23.0]")},
+         |${feature("Central", "[54.6, 23.2], [55.3, 23.4], [55.0, 24.1], [54.6, 23.2]")}
          |]}""".stripMargin
     materialize(p, content)
   }
@@ -186,18 +187,22 @@ object SystemShapes {
     * aggregation stays in the exact integer domain while the ray-cast
     * itself runs on the derived doubles (the real geo path).
     *
-    * Oracle legitimacy: the fixture polygons are axis-aligned
-    * rectangles, and even-odd ray casting on a rectangle reduces to
-    * the half-open box x1 <= lon < x2 AND y1 <= lat < y2 (the left
-    * edge toggles only when lon < x1, the right when lon < x2; a
-    * bottom-edge lat counts, a top-edge lat doesn't) — which IS
-    * ANSI-expressible as integer bound checks. Decidegree-to-double
-    * conversion is monotonic and collision-free at 0.1 granularity,
-    * so the double comparisons in the UDF and the integer comparisons
-    * in the oracle decide identically, including points exactly ON
-    * shared boundaries (lat=24.0 rows: AbuDhabi's bottom edge is IN,
-    * AlDhafra's top edge is OUT). GeoSpec keeps the non-rectangular
-    * edge cases. */
+    * Oracle legitimacy: the three rectangle fixtures reduce even-odd
+    * ray casting to half-open box checks x1 <= lon < x2 AND
+    * y1 <= lat < y2 (the left edge toggles only when lon < x1, the
+    * right when lon < x2; a bottom-edge lat counts, a top-edge lat
+    * doesn't) — ANSI-expressible as integer bound checks, including
+    * points exactly ON shared boundaries (lat=24.0 rows: AbuDhabi's
+    * bottom edge is IN, AlDhafra's top edge is OUT). The fourth
+    * fixture is a NON-rectangular convex triangle (CCW, integer
+    * decidegree vertices (546,232)-(553,234)-(550,241)) exercising the
+    * GENERAL ray-cast: its oracle twin is three strict
+    * sign-of-cross-product tests, exact because every edge vector is
+    * coprime (no interior lattice point lies on an edge) and no
+    * reachable (c_custkey-derived) point hits a vertex — verified over
+    * the full lcm(35,15)=105 residue lattice — so strict interior in
+    * integers and the double ray-cast decide identically. GeoSpec
+    * keeps the non-convex edge cases. */
   val q35 = QueryDef(
     "q35_geo_region_assign",
     (s, dir) => {
@@ -230,6 +235,9 @@ object SystemShapes {
            |          AND lat_e1 >= 240 AND lat_e1 < 245 THEN 'AlAin'
            |         WHEN lon_e1 >= 525 AND lon_e1 < 540
            |          AND lat_e1 >= 230 AND lat_e1 < 240 THEN 'AlDhafra'
+           |         WHEN 7*(lat_e1-232) - 2*(lon_e1-546) > 0
+           |          AND -3*(lat_e1-234) - 7*(lon_e1-553) > 0
+           |          AND -4*(lat_e1-241) + 9*(lon_e1-550) > 0 THEN 'Central'
            |         ELSE 'Unassigned' END AS region_id
            |  FROM pts)
            |SELECT region_id, CAST(count(*) AS BIGINT) AS n_stops,

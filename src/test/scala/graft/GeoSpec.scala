@@ -22,7 +22,8 @@ class GeoSpec extends AnyFunSuite {
     assert(rows == Set(
       ("AbuDhabi", "POLYGON ((54.0 24.0, 54.5 24.0, 54.5 24.6, 54.0 24.6, 54.0 24.0))"),
       ("AlAin", "POLYGON ((55.5 24.0, 56.0 24.0, 56.0 24.5, 55.5 24.5, 55.5 24.0))"),
-      ("AlDhafra", "POLYGON ((52.5 23.0, 54.0 23.0, 54.0 24.0, 52.5 24.0, 52.5 23.0))")))
+      ("AlDhafra", "POLYGON ((52.5 23.0, 54.0 23.0, 54.0 24.0, 52.5 24.0, 52.5 23.0))"),
+      ("Central", "POLYGON ((54.6 23.2, 55.3 23.4, 55.0 24.1, 54.6 23.2))")))
     // the parsed ring round-trips through the point-in-ring kernel
     val (xs, ys) = Geo.parseWktPolygonRing(
       rows.find(_._1 == "AbuDhabi").get._2)
@@ -51,7 +52,8 @@ class GeoSpec extends AnyFunSuite {
     val polys = Seq(
       "AbuDhabi" -> "POLYGON ((54.0 24.0, 54.5 24.0, 54.5 24.6, 54.0 24.6, 54.0 24.0))",
       "AlAin"    -> "POLYGON ((55.5 24.0, 56.0 24.0, 56.0 24.5, 55.5 24.5, 55.5 24.0))",
-      "AlDhafra" -> "POLYGON ((52.5 23.0, 54.0 23.0, 54.0 24.0, 52.5 24.0, 52.5 23.0))")
+      "AlDhafra" -> "POLYGON ((52.5 23.0, 54.0 23.0, 54.0 24.0, 52.5 24.0, 52.5 23.0))",
+      "Central"  -> "POLYGON ((54.6 23.2, 55.3 23.4, 55.0 24.1, 54.6 23.2))")
     val parsed = polys.map { case (r, w) =>
       val (xs, ys) = Geo.parseWktPolygonRing(w); (r, xs, ys) }
     val pts = Tables.customer(spark, SparkTestBase.sf).select(
@@ -76,7 +78,8 @@ class GeoSpec extends AnyFunSuite {
     val polys = Seq(
       "AbuDhabi" -> "POLYGON ((54.0 24.0, 54.5 24.0, 54.5 24.6, 54.0 24.6, 54.0 24.0))",
       "AlAin"    -> "POLYGON ((55.5 24.0, 56.0 24.0, 56.0 24.5, 55.5 24.5, 55.5 24.0))",
-      "AlDhafra" -> "POLYGON ((52.5 23.0, 54.0 23.0, 54.0 24.0, 52.5 24.0, 52.5 23.0))")
+      "AlDhafra" -> "POLYGON ((52.5 23.0, 54.0 23.0, 54.0 24.0, 52.5 24.0, 52.5 23.0))",
+      "Central"  -> "POLYGON ((54.6 23.2, 55.3 23.4, 55.0 24.1, 54.6 23.2))")
         .map { case (r, w) => val (xs, ys) = Geo.parseWktPolygonRing(w); (r, xs, ys) }
     val keys = Tables.customer(spark, SparkTestBase.sf)
       .select($"c_custkey").as[Long].collect()
