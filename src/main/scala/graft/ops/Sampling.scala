@@ -42,8 +42,17 @@ object Sampling {
     *   + ((id // 2147483647) % 2147483647) * 40503) % 4294967296 % 1000000`. */
   def bucket(id: Column): Column = {
     val idL = id.cast("long")
-    val lo = pmod(idL, lit(Limb))
-    val hi = pmod(Cleaning.intDiv(idL, lit(Limb)), lit(Limb))
+    // ids must be non-negative: the documented ANSI twin uses plain
+    // `%`/`//`, whose negative-operand semantics (negative remainder,
+    // truncating division) differ from the pmod/floor arithmetic here —
+    // a negative id would silently land in a DIFFERENT split than the
+    // oracle assigns. Fail loudly instead of desynchronizing curation.
+    val guarded = when(idL < 0, raise_error(concat(
+        lit("Sampling.bucket requires ids >= 0 (cross-engine split parity); got "),
+        idL.cast("string"))))
+      .otherwise(idL)
+    val lo = pmod(guarded, lit(Limb))
+    val hi = pmod(Cleaning.intDiv(guarded, lit(Limb)), lit(Limb))
     pmod(pmod(lo * Knuth + hi * 40503L, lit(4294967296L)), lit(Buckets))
   }
 

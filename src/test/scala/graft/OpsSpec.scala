@@ -196,6 +196,17 @@ class OpsSpec extends AnyFunSuite {
     val big = Seq(1400000000000000000L, Long.MaxValue, 3470000000L).toDF("id")
     val buckets = big.select(Sampling.bucket($"id")).as[Long].collect()
     assert(buckets.forall(b => b >= 0 && b < 1000000L), buckets.toSeq)
+    // a non-negative id reproduces the documented ANSI twin arithmetic
+    val twin = big.selectExpr(
+      "((id % 2147483647) * 2654435761 + ((id div 2147483647) % 2147483647) * 40503) " +
+      "% 4294967296 % 1000000").as[Long].collect()
+    assert(buckets.toSeq == twin.toSeq, "bucket must equal the ANSI twin")
+    // negative ids would silently land in a different split than the
+    // ANSI twin assigns (negative-% semantics) — rejected loudly
+    val neg = intercept[Exception] {
+      Seq(-1L).toDF("id").select(Sampling.bucket($"id")).collect()
+    }
+    assert(neg.getMessage.contains("ids >= 0"), neg.getMessage)
   }
 
   test("asOfJoin: most recent version at or before, ties, nulls, left mode") {
