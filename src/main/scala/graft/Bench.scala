@@ -47,65 +47,64 @@ object Bench {
     val picked =
       if (args.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter(q => args.exists(q.name.contains))
-    val results = picked.map { q =>
-      // JMH-style warmup: TWO untimed runs pay per-plan Janino codegen +
-      // JIT, which at toy scale dominates (measured: q30 11 s cold vs
-      // 2.3 s warm, and the 3rd execution of a plan is ~20% faster than
-      // the 2nd — C2 compilation needs the extra iterations) and is
-      // per-PLAN — at the 100 TB design point it amortizes to nothing,
-      // so steady-state is the honest number.
-      // Data caches are dropped in between: the timed run still builds
-      // its own persists, reads parquet, and shuffles from scratch.
+    // One timed execution of `q`, with the standing error policy:
+    // NonFatal + LinkageError are recorded per run (a missing optional
+    // class leaves the JVM healthy; aborting would lose BENCH_OUT.json
+    // for every other query); VirtualMachineErrors propagate — timings
+    // recorded after one would be garbage published as valid numbers.
+    // Caches are dropped and a GC forced after every execution: each
+    // query is timed standalone, building its own persists and
+    // shuffles, and the explicit GC lets the ContextCleaner release
+    // broadcast + shuffle blocks NOW instead of at the next full GC —
+    // without it, ~90 executions of accumulated blocks made late-bench
+    // queries degrade 5-30x (round-1 q26 113s-vs-6s anomaly).
+    def timedRun(q: graft.QueryDef): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val runErr =
+        try { q.fn(spark, sfDir).count(); None }
+        catch {
+          case e @ (scala.util.control.NonFatal(_) | _: LinkageError) =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
+      val s0 = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      (s0, runErr)
+    }
+    // PASS 1, registry order: two untimed warmups per query (JMH
+    // style — per-plan Janino codegen + C2 JIT dominate cold runs at
+    // toy scale and amortize to nothing at the 100 TB design point;
+    // measured: q30 11 s cold vs 2.3 s warm) followed by one timed
+    // run.
+    val firstPass: Map[String, (Double, Option[String])] = picked.map { q =>
       (1 to 2).foreach { _ =>
-        // same error policy as the timed runs: NonFatal AND LinkageError
-        // continue (one broken query must not lose BENCH_OUT.json for
-        // every other query — the timed run reports it); only
-        // VirtualMachineErrors propagate, since a corrupted JVM would
-        // record garbage instead of the real failure
         try q.fn(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(_) | (_: LinkageError) => () }
         spark.catalog.clearCache()
       }
-      // min of TWO timed runs (the floor sampler's discipline applied
-      // per query): a single observation inherits ambient-load and GC
-      // jitter comparable to the quantity being measured — on this box
-      // the same commit benched 30.2 s and 36.7 s total purely by
-      // machine noise. Min-of-N is the steady-state estimator; caches
-      // are dropped between runs so each still does its full work.
-      val runs = (1 to 2).map { i =>
-        val t0 = System.nanoTime()
-        // NonFatal + LinkageError continue (a missing optional class
-        // leaves the JVM healthy; aborting would also lose
-        // BENCH_OUT.json for every other query); VirtualMachineErrors
-        // propagate — timings recorded after one would be garbage
-        // published as valid numbers
-        val runErr =
-          try { q.fn(spark, sfDir).count(); None }
-          catch {
-            case e @ (scala.util.control.NonFatal(_) | _: LinkageError) =>
-              Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
-          }
-        val s0 = (System.nanoTime() - t0) / 1e9
-        if (i == 1) spark.catalog.clearCache()
-        (s0, runErr)
-      }
-      // a query that succeeds on EITHER sample is measurable: report the
-      // min over successful runs and no error (a transient first-run
-      // failure must not erase a valid second-run timing); only a query
-      // that failed both times is an error row
+      System.gc()
+      q.name -> timedRun(q)
+    }.toMap
+    // PASS 2, REVERSE order, one timed run per (already codegen-warm)
+    // query. Taking the per-query min across the two passes serves two
+    // ends at once: min-of-N is the steady-state estimator under
+    // ambient GC/load jitter (the same commit benched 30.2 s and
+    // 36.7 s total purely by machine noise), and reversing the order
+    // decorrelates NEIGHBOR bleed — in the single-order r4 bench,
+    // q21-q25 ran 2-4x slower with no source change purely because
+    // they followed the heaviest query; in the reversed pass they
+    // precede it, so the min sees each query at least once without the
+    // pressure of its heavy neighbor.
+    val secondPass: Map[String, (Double, Option[String])] =
+      picked.reverse.map { q => q.name -> timedRun(q) }.toMap
+    val results = picked.map { q =>
+      val runs = Seq(firstPass(q.name), secondPass(q.name))
+      // a query that succeeds on EITHER sample is measurable: a
+      // transient first-run failure must not erase a valid second-run
+      // timing; only a query that failed both times is an error row
       val okRuns = runs.filter(_._2.isEmpty)
       val err = if (okRuns.nonEmpty) None else runs.last._2
       val sec = (if (okRuns.nonEmpty) okRuns else runs).map(_._1).min
-      // Each query is timed standalone, including building its own
-      // caches; dropping them afterwards keeps the long session from
-      // degrading (executor memory pressure compounds across 30+
-      // queries otherwise — the round-1 q26 113s-vs-6s anomaly).
-      // The explicit GC lets the ContextCleaner release the query's
-      // broadcast + shuffle blocks NOW instead of whenever the next
-      // full GC happens — without it, ~90 executions of accumulated
-      // blocks made late-bench queries degrade 5-30x.
-      spark.catalog.clearCache()
-      System.gc()
       (q.name, sec, err)
     }
     // JSON escape incl. ALL control chars (<0x20), and locale-free
