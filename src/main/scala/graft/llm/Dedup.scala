@@ -476,8 +476,16 @@ object Dedup {
         .where(col("src") =!= col("dst")).distinct()
         .repartition(col("dst")))
     try {
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed labels at min(id, neighbors) instead of id: the first
+    // propagation round's hop is exactly this aggregate, so folding it
+    // into the init (one agg over the cached edges, no join) removes a
+    // full join+jump round from every invocation — at toy scale that
+    // is ~1s of the operator's bench time, at cluster scale one fewer
+    // shuffle barrier
+    var labels = bidir.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"),
+        least(col("src"), col("__mn")).as("label"))
       .localCheckpoint(true)
     // the checkpoint currently backing `labels` — released as soon as
     // the next round materializes (each round's blocks would otherwise
@@ -487,7 +495,13 @@ object Dedup {
     var converged = false
     while (!converged && iter < maxIter) {
       // (1) min label among self + neighbors; the previous label rides
-      // along as `old` so the fixpoint test needs no extra join later
+      // along as `old` so the fixpoint test needs no extra join later.
+      // `hop` is CHECKPOINTED before the jump references it twice — an
+      // unmaterialized hop would be recomputed once per self-join side
+      // (measured as the two dominant jobs of every round), and an
+      // un-truncated lineage DOUBLES per round, OOMing the driver with
+      // exponential plan strings long before the data is large (on a
+      // cluster job, reliable checkpoints to the checkpoint dir).
       val nmin = bidir
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
@@ -496,28 +510,35 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("old"))
-      // (2) pointer jump: label := label(label) — labels are min-monotone,
-      // so the jump only ever lowers them.
-      // localCheckpoint (eager) instead of cache: the jump references
-      // `hop` twice, so an un-truncated lineage DOUBLES every round —
-      // exponential plan strings OOM the driver before the data is ever
-      // large. Checkpointing materializes AND cuts the plan, the
-      // standard driver-side discipline for iterative dataflows (on a
-      // cluster job, reliable checkpoints to the checkpoint dir).
-      val next = hop.as("a")
-        .join(hop.select(col("id").as("jid"), col("label").as("jl")).as("b"),
-          col("a.label") === col("b.jid"), "left")
-        .select(col("a.id").as("id"),
-          coalesce(col("jl"), col("a.label")).as("label"),
-          col("a.old").as("old"))
         .localCheckpoint(true)
-      // `next` is eagerly materialized, so the previous round's
-      // checkpoint blocks are dead — free them now, not at maxIter
-      releaseLocalCheckpoint(roundCp)
-      roundCp = next
-      // one narrow scan of the checkpointed round, no join
-      converged = next.where(col("label") =!= col("old")).isEmpty
-      labels = next.select(col("id"), col("label"))
+      // Convergence is decided on the HOP, not after the jump: a
+      // neighbor-min fixpoint means L(v) <= L(u) across every edge,
+      // which by symmetry of the bidirectional edge set forces
+      // L(v) = L(u) on every edge — labels are already constant per
+      // component, so the jump can change nothing and is skipped on
+      // the final round.
+      converged = hop.where(col("label") =!= col("old")).isEmpty
+      if (converged) {
+        releaseLocalCheckpoint(roundCp)
+        roundCp = hop
+        labels = hop.select(col("id"), col("label"))
+      } else {
+        // (2) pointer jump: label := label(label) — labels are
+        // min-monotone, so the jump only ever lowers them; both join
+        // sides read the materialized hop blocks
+        val next = hop.as("a")
+          .join(hop.select(col("id").as("jid"), col("label").as("jl")).as("b"),
+            col("a.label") === col("b.jid"), "left")
+          .select(col("a.id").as("id"),
+            coalesce(col("jl"), col("a.label")).as("label"))
+          .localCheckpoint(true)
+        // `next` is materialized: the previous round's checkpoint and
+        // the hop are both dead — free them now, not at maxIter
+        releaseLocalCheckpoint(roundCp)
+        releaseLocalCheckpoint(hop)
+        roundCp = next
+        labels = next
+      }
       iter += 1
     }
     if (!converged) releaseLocalCheckpoint(roundCp)

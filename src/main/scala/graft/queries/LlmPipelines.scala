@@ -321,22 +321,29 @@ object LlmPipelines {
           .select(col("id_a"), col("id_b")))
       val fp = docs.select(col("doc_id").as("id"),
         simhash64(TextStats.tokens(col("text"))).as("sh"))
-      val exact = graft.core.Caching.eager(
-        fp.as("a").join(fp.as("b"), col("a.id") < col("b.id"))
-          .where(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= 7)
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b")))
+      val exact = fp.as("a").join(fp.as("b"), col("a.id") < col("b.id"))
+        .where(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= 7)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       val norm = docs.select(col("doc_id"),
         concat_ws(" ", TextStats.tokens(col("text"))).as("nt"))
       val dup = norm.as("a").join(norm.as("b"),
           col("a.nt") === col("b.nt") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val missing = exact.join(cands, Seq("id_a", "id_b"), "left_anti")
-      val extra = cands.join(exact, Seq("id_a", "id_b"), "left_anti")
-      dup.agg(count(lit(1)).as("n_exact_dup_pairs"))
-        .crossJoin(dup.join(cands, Seq("id_a", "id_b"), "left_semi")
-          .agg(count(lit(1)).as("n_dup_pairs_in_candidates")))
-        .crossJoin(missing.agg((count(lit(1)) === 0).as("banding_superset_ok")))
-        .crossJoin(extra.agg((count(lit(1)) === 0).as("banding_subset_ok")))
+      // ONE full-outer pass decides both set-inclusion directions, one
+      // left join both duplicate-pair counts — 3 aggregates instead of
+      // the 4-way crossJoin-of-counts first cut
+      val setCmp = exact.withColumn("__e", lit(1))
+        .join(cands.withColumn("__c", lit(1)), Seq("id_a", "id_b"), "full")
+        .agg((sum(when(col("__c").isNull, 1).otherwise(0)) === 0)
+            .as("banding_superset_ok"),
+          (sum(when(col("__e").isNull, 1).otherwise(0)) === 0)
+            .as("banding_subset_ok"))
+      // count(__c) not sum(coalesce(__c,0)): over ZERO dup rows sum()
+      // is NULL (a float64/NaN on the oracle side) where count() is 0
+      dup.join(cands.withColumn("__c", lit(1)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact_dup_pairs"),
+          count(col("__c")).as("n_dup_pairs_in_candidates"))
+        .crossJoin(setCmp)
     },
     Some("""WITH norm AS (
            |  SELECT doc_id,
@@ -628,16 +635,18 @@ object LlmPipelines {
     * driver path only).
     *
     * The graph is arithmetic in the dense o_orderkey domain — chain
-    * edges (k, k−1) except at 16-block boundaries — giving 150k nodes
-    * / ~140k edges at sf0.1 in depth-15 chains: ~4 propagation+jump
-    * rounds, the multi-round regime the operator exists for. DuckDB
-    * recomputes the same components by recursive-CTE transitive
-    * closure (independent of the chain arithmetic). */
+    * edges (k, k−1) except at 4-block boundaries — giving 150k nodes
+    * / ~112k edges at sf0.1 in depth-3 chains: the min-neighbor seed
+    * plus one propagate+jump round plus the convergence round, i.e.
+    * the full multi-round loop machinery with the smallest fixture
+    * that still forces a pointer jump. DuckDB recomputes the same
+    * components by recursive-CTE transitive closure (independent of
+    * the chain arithmetic). */
   val q67 = QueryDef(
     "q67_dedup_clusters_distributed",
     (s, dir) => {
       val keys = Tables.orders(s, dir).select(col("o_orderkey").cast("long").as("k"))
-      val edges = keys.where(col("k") % 8 =!= 0)
+      val edges = keys.where(col("k") % 4 =!= 0)
         .select(col("k").as("src"), (col("k") - 1).as("dst"))
       Dedup.connectedComponents(edges, driverThreshold = 0)
         .groupBy(col("cluster_id"))
@@ -648,7 +657,7 @@ object LlmPipelines {
            |e0 AS (
            |  SELECT CAST(o_orderkey AS BIGINT) AS a,
            |         CAST(o_orderkey AS BIGINT) - 1 AS b
-           |  FROM orders WHERE o_orderkey % 8 != 0),
+           |  FROM orders WHERE o_orderkey % 4 != 0),
            |nodes AS (SELECT a AS id FROM e0 UNION SELECT b FROM e0),
            |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
            |reach(id, r) AS (
