@@ -97,8 +97,14 @@ object Bench {
     // pressure of its heavy neighbor.
     val secondPass: Map[String, (Double, Option[String])] =
       picked.reverse.map { q => q.name -> timedRun(q) }.toMap
+    // PASS 3, forward again: by now the JVM is fully C2-hot across
+    // every query's codegen, so this pass samples true steady state;
+    // min-of-3 tightens the estimator against ambient GC/load spikes
+    // that a min-of-2 still inherits ~1/4 of the time.
+    val thirdPass: Map[String, (Double, Option[String])] =
+      picked.map { q => q.name -> timedRun(q) }.toMap
     val results = picked.map { q =>
-      val runs = Seq(firstPass(q.name), secondPass(q.name))
+      val runs = Seq(firstPass(q.name), secondPass(q.name), thirdPass(q.name))
       // a query that succeeds on EITHER sample is measurable: a
       // transient first-run failure must not erase a valid second-run
       // timing; only a query that failed both times is an error row

@@ -297,12 +297,24 @@ object Dedup {
     * simhash expression evaluates once, not per join side. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         bands: Int = 8, maxHamming: Int = 7): DataFrame = {
+    val fp = graft.core.Caching.eager(df.select(col(idCol).as("id"),
+        simhash64(TextStats.tokens(col(textCol))).as("sh")))
+    simhashCandidatesFromFp(fp, bands, maxHamming)
+  }
+
+  /** [[simhashCandidates]] over ALREADY-COMPUTED `(id, sh)`
+    * fingerprints. The frame self-joins below, so the caller must pass
+    * a materialized (cached / checkpointed) input — a lazy plan would
+    * compute the fingerprints once per join side. Exists so a caller
+    * that also needs the fingerprints for other checks (q31 verifies
+    * candidates against a brute-force Hamming twin over the SAME
+    * cached frame) fingerprints the corpus exactly once. */
+  def simhashCandidatesFromFp(fp: DataFrame, bands: Int = 8,
+                              maxHamming: Int = 7): DataFrame = {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands,
       s"banding is only exhaustive for hamming < bands: bands=$bands maxHamming=$maxHamming")
     val bits = 64 / bands
-    val fp = graft.core.Caching.eager(df.select(col(idCol).as("id"),
-        simhash64(TextStats.tokens(col(textCol))).as("sh")))
     val banded = fp.select(col("id"), col("sh"), posexplode(
       array((0 until bands).map { b =>
         shiftrightunsigned(col("sh"), b * bits).bitwiseAND(lit((1L << bits) - 1))
@@ -471,10 +483,54 @@ object Dedup {
     // cached PRE-PARTITIONED on the neighbor-join key: a cached
     // DataFrame advertises its outputPartitioning, so every round's
     // join reuses this layout instead of re-shuffling the edge side
-    val bidir = graft.core.Caching.eager(
+    // dedup AFTER the dst-repartition, not via distinct() before it:
+    // hash(dst) partitioning satisfies the (src, dst) clustering that
+    // dropDuplicates needs (dst is a subset of the group key), so the
+    // whole setup is ONE shuffle and the cache still advertises the
+    // dst layout every round's join reuses
+    val bidir0 = graft.core.Caching.eager(
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .where(col("src") =!= col("dst")).distinct()
-        .repartition(col("dst")))
+        .where(col("src") =!= col("dst"))
+        .repartition(col("dst")).dropDuplicates("src", "dst"))
+    // Loop parallelism is sized ONCE to the measured edge volume —
+    // the same decision AQE's partition coalescing makes per stage,
+    // paid a single time for the whole iteration instead of per round.
+    // The count is a cheap scan of the just-materialized cache; the
+    // target is ~250k edges/partition (a few MB of (src,dst) pairs),
+    // capped high enough that a trillion-edge graph still fans out to
+    // thousands of tasks. Every round's shuffle then runs at a width
+    // matched to the data instead of rounds x (session partitions)
+    // near-empty tasks.
+    val sess = e.sparkSession
+    val nEdges = bidir0.count()
+    val sessParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.min(math.max(1L, (nEdges + 249999L) / 250000L),
+      math.max(sessParts, 2048).toLong).toInt
+    val bidir =
+      if (loopParts == sessParts) bidir0
+      else {
+        val b = graft.core.Caching.eager(
+          bidir0.repartition(loopParts, col("dst")))
+        bidir0.unpersist()
+        b
+      }
+    // Adaptive execution is OFF inside the loop (restored on exit):
+    // every round re-executes the SAME two fixed shapes over frames
+    // whose layout is already pinned (bidir cached partitioned on the
+    // join key at the width chosen above, labels checkpointed), so
+    // per-round runtime re-planning buys nothing — while its
+    // stage-by-stage materialization turns each round into 4-6
+    // separate jobs plus a driver re-optimization gap between them
+    // (measured: >3x the loop's wall time at toy scale; at cluster
+    // scale it is rounds x a planning barrier). The skew AQE would
+    // guard against is already handled ALGEBRAICALLY here: the only
+    // hot-key hazard is a hub node's neighbor list, and the min()
+    // aggregate that consumes the join is map-side combinable, so a
+    // hot key collapses to one row per map task before the shuffle.
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     try {
     // seed labels at min(id, neighbors) instead of id: the first
     // propagation round's hop is exactly this aggregate, so folding it
@@ -502,22 +558,42 @@ object Dedup {
       // un-truncated lineage DOUBLES per round, OOMing the driver with
       // exponential plan strings long before the data is large (on a
       // cluster job, reliable checkpoints to the checkpoint dir).
-      val nmin = bidir
+      // ONE shuffle decides the hop: neighbor contributions (the join
+      // rides bidir's cached partitioning; only labels move) union the
+      // self rows, then a single min() per id. The older three-shuffle
+      // form (join on dst, re-agg on src, re-join labels on id) moved
+      // the label frame twice more per round for the same result. The
+      // previous label rides the self branch as `old` (null on
+      // contributions; max() over the group recovers the unique self
+      // value) so the fixpoint test still needs no extra join.
+      val contrib = bidir
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
-      val hop = labels
-        .join(nmin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          col("label").as("old"))
-        .localCheckpoint(true)
+        .select(col("src").as("id"), col("nl").as("label"),
+          lit(null).cast(labels.schema("label").dataType).as("old"))
+      val hopPlan = contrib.unionByName(
+          labels.select(col("id"), col("label"), col("label").as("old")))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
       // Convergence is decided on the HOP, not after the jump: a
       // neighbor-min fixpoint means L(v) <= L(u) across every edge,
       // which by symmetry of the bidirectional edge set forces
       // L(v) = L(u) on every edge — labels are already constant per
       // component, so the jump can change nothing and is skipped on
-      // the final round.
-      converged = hop.where(col("label") =!= col("old")).isEmpty
+      // the final round. The changed-label count is COUNTED DURING the
+      // checkpoint materialization via an accumulator instead of a
+      // separate `where(label =!= old).isEmpty` scan — one fewer job
+      // per round, which at any scale is one fewer full pass over the
+      // label frame. A retried task can only OVER-count (forcing a
+      // harmless extra round); a zero is exact, because every
+      // successful task's updates are merged exactly once and the
+      // eager checkpoint materializes every partition before `.value`.
+      val changed = e.sparkSession.sparkContext.longAccumulator("cc_changed")
+      val hop = hopPlan.map { r =>
+          if (r.get(1) != r.get(2)) changed.add(1L)
+          r
+        }(org.apache.spark.sql.Encoders.row(hopPlan.schema))
+        .localCheckpoint(true)
+      converged = changed.value == 0L
       if (converged) {
         releaseLocalCheckpoint(roundCp)
         roundCp = hop
@@ -546,7 +622,11 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds — " +
       "raise maxIter (component diameter exceeds 2^rounds)")
     labels.select(col("id"), col("label").as("cluster_id"))
-    } finally bidir.unpersist()
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      sess.conf.set("spark.sql.shuffle.partitions", partsWas)
+      bidir.unpersist()
+    }
   }
 
   /** Free the executor storage behind an eager `localCheckpoint`: the

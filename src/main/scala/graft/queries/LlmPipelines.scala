@@ -315,20 +315,25 @@ object LlmPipelines {
     (s, dir) => {
       import graft.functions.SimHash64.simhash64
       val docs = Tables.documents(s, dir)
+      // fingerprint + normalized text computed in ONE cached pass: the
+      // brute-force twin and the duplicate-pair check below both
+      // SELF-JOIN, so without the cache each join side would re-tokenize
+      // the corpus (5 extra full tokenization passes, measured as the
+      // bulk of this query's cost)
+      val aux = graft.core.Caching.eager(docs.select(
+        col("doc_id").as("id"),
+        simhash64(TextStats.tokens(col("text"))).as("sh"),
+        concat_ws(" ", TextStats.tokens(col("text"))).as("nt")))
       val cands = graft.core.Caching.eager(
-        Dedup.simhashCandidates(docs, "doc_id", "text",
+        Dedup.simhashCandidatesFromFp(aux.select(col("id"), col("sh")),
             bands = 8, maxHamming = 7)
           .select(col("id_a"), col("id_b")))
-      val fp = docs.select(col("doc_id").as("id"),
-        simhash64(TextStats.tokens(col("text"))).as("sh"))
-      val exact = fp.as("a").join(fp.as("b"), col("a.id") < col("b.id"))
+      val exact = aux.as("a").join(aux.as("b"), col("a.id") < col("b.id"))
         .where(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= 7)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      val norm = docs.select(col("doc_id"),
-        concat_ws(" ", TextStats.tokens(col("text"))).as("nt"))
-      val dup = norm.as("a").join(norm.as("b"),
-          col("a.nt") === col("b.nt") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val dup = aux.as("a").join(aux.as("b"),
+          col("a.nt") === col("b.nt") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       // ONE full-outer pass decides both set-inclusion directions, one
       // left join both duplicate-pair counts — 3 aggregates instead of
       // the 4-way crossJoin-of-counts first cut
