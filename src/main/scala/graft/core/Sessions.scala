@@ -37,6 +37,13 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Testdata parquet stores naive timestamp[us] (isAdjustedToUTC =
+      // false), which Spark ≥3.4 infers as TIMESTAMP_NTZ by default.
+      // The engine's time arithmetic (unix_micros, window ranges) and
+      // the DuckDB oracle comparison both assume instant semantics in
+      // the UTC session zone, so read them as TIMESTAMP (LTZ) — same
+      // instants, NTZ inference off.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // The ContextCleaner frees broadcast/shuffle blocks only after a
       // driver GC collects their references; with a large heap under low
       // allocation pressure that can be never during a 90-execution
@@ -67,6 +74,7 @@ object Sessions {
     */
   def tune(spark: SparkSession): SparkSession = {
     Seq("spark.sql.legacy.parquet.nanosAsLong" -> "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
         "spark.sql.session.timeZone" -> "UTC").foreach { case (k, v) =>
       try spark.conf.set(k, v)
       catch {
