@@ -111,7 +111,7 @@ object Bench {
       val okRuns = runs.filter(_._2.isEmpty)
       val err = if (okRuns.nonEmpty) None else runs.last._2
       val sec = (if (okRuns.nonEmpty) okRuns else runs).map(_._1).min
-      (q.name, sec, err)
+      (q.name, sec, err, runs.map(_._1))
     }
     // JSON escape incl. ALL control chars (<0x20), and locale-free
     // number formatting — a comma-decimal default locale or a control
@@ -126,13 +126,20 @@ object Bench {
     def jnum(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + jnum(v) }
+    val qs = ok.map { case (k, v, _, _) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+    val errs = results.collect { case (k, _, Some(m), _) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
+    // every per-pass sample, not just the min: min-of-3 is the right
+    // steady-state estimator, but it can HIDE a warm-path regression
+    // behind one lucky sample — the raw samples keep that visible to a
+    // reader diffing BENCH_OUT across commits
+    val samples = results.map { case (k, _, _, ss) =>
+      jstr(k) + ":[" + ss.map(jnum).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${results.size - ok.size},"floor_sec":${jnum(floorSec)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${results.size - ok.size},"floor_sec":${jnum(floorSec)},"samples":$samples,"sf":${jstr(sfDir)}}"""
     Files.write(Paths.get("BENCH_OUT.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)

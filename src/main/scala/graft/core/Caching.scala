@@ -35,9 +35,15 @@ object Caching {
     * never race to build it. Callers own the lifecycle; Bench/Verify
     * clearCache() between queries.
     */
-  def eager(df: DataFrame): DataFrame = {
+  def eager(df: DataFrame): DataFrame = eagerCounted(df)._1
+
+  /** [[eager]], returning the row count the materializing job already
+    * computed — callers that need the cardinality anyway (e.g. sizing
+    * loop parallelism to data volume) read it for free instead of
+    * paying a second count() job over the cache. */
+  def eagerCounted(df: DataFrame): (DataFrame, Long) = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    p.count()
-    p
+    val n = p.count()
+    (p, n)
   }
 }

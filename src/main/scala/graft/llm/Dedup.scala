@@ -488,21 +488,21 @@ object Dedup {
     // dropDuplicates needs (dst is a subset of the group key), so the
     // whole setup is ONE shuffle and the cache still advertises the
     // dst layout every round's join reuses
-    val bidir0 = graft.core.Caching.eager(
+    val (bidir0, nEdges) = graft.core.Caching.eagerCounted(
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .where(col("src") =!= col("dst"))
         .repartition(col("dst")).dropDuplicates("src", "dst"))
     // Loop parallelism is sized ONCE to the measured edge volume —
     // the same decision AQE's partition coalescing makes per stage,
     // paid a single time for the whole iteration instead of per round.
-    // The count is a cheap scan of the just-materialized cache; the
+    // The count rides the cache-materializing job (eagerCounted — no
+    // separate count() job); the
     // target is ~250k edges/partition (a few MB of (src,dst) pairs),
     // capped high enough that a trillion-edge graph still fans out to
     // thousands of tasks. Every round's shuffle then runs at a width
     // matched to the data instead of rounds x (session partitions)
     // near-empty tasks.
     val sess = e.sparkSession
-    val nEdges = bidir0.count()
     val sessParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.min(math.max(1L, (nEdges + 249999L) / 250000L),
       math.max(sessParts, 2048).toLong).toInt
@@ -537,27 +537,25 @@ object Dedup {
     // into the init (one agg over the cached edges, no join) removes a
     // full join+jump round from every invocation — at toy scale that
     // is ~1s of the operator's bench time, at cluster scale one fewer
-    // shuffle barrier
+    // shuffle barrier. NOT materialized: round 1's single job computes
+    // the seed inline — every reference canonicalizes to the same
+    // aggregate exchange over the cached edge frame, so ReuseExchange
+    // pays the shuffle once, and skipping the seed checkpoint is one
+    // fewer job per invocation.
     var labels = bidir.groupBy(col("src"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("src").as("id"),
         least(col("src"), col("__mn")).as("label"))
-      .localCheckpoint(true)
-    // the checkpoint currently backing `labels` — released as soon as
-    // the next round materializes (each round's blocks would otherwise
-    // stay persisted on the executors for up to maxIter rounds)
-    var roundCp = labels
+    // the checkpoint currently backing `labels` (none until round 1
+    // materializes) — released as soon as the next round lands (each
+    // round's blocks would otherwise stay persisted on the executors
+    // for up to maxIter rounds)
+    var roundCp: DataFrame = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // (1) min label among self + neighbors; the previous label rides
       // along as `old` so the fixpoint test needs no extra join later.
-      // `hop` is CHECKPOINTED before the jump references it twice — an
-      // unmaterialized hop would be recomputed once per self-join side
-      // (measured as the two dominant jobs of every round), and an
-      // un-truncated lineage DOUBLES per round, OOMing the driver with
-      // exponential plan strings long before the data is large (on a
-      // cluster job, reliable checkpoints to the checkpoint dir).
       // ONE shuffle decides the hop: neighbor contributions (the join
       // rides bidir's cached partitioning; only labels move) union the
       // self rows, then a single min() per id. The older three-shuffle
@@ -574,47 +572,50 @@ object Dedup {
           labels.select(col("id"), col("label"), col("label").as("old")))
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-      // Convergence is decided on the HOP, not after the jump: a
-      // neighbor-min fixpoint means L(v) <= L(u) across every edge,
-      // which by symmetry of the bidirectional edge set forces
-      // L(v) = L(u) on every edge — labels are already constant per
-      // component, so the jump can change nothing and is skipped on
-      // the final round. The changed-label count is COUNTED DURING the
-      // checkpoint materialization via an accumulator instead of a
-      // separate `where(label =!= old).isEmpty` scan — one fewer job
-      // per round, which at any scale is one fewer full pass over the
-      // label frame. A retried task can only OVER-count (forcing a
-      // harmless extra round); a zero is exact, because every
-      // successful task's updates are merged exactly once and the
-      // eager checkpoint materializes every partition before `.value`.
+      // The changed-label count is COUNTED DURING the round's one
+      // materializing job via an accumulator instead of a separate
+      // `where(label =!= old).isEmpty` scan — one fewer full pass over
+      // the label frame per round at any scale. A retried task can
+      // only OVER-count (forcing a harmless extra round); a zero is
+      // exact, because every successful task's updates are merged
+      // exactly once and the eager checkpoint materializes every
+      // partition before `.value`.
       val changed = e.sparkSession.sparkContext.longAccumulator("cc_changed")
       val hop = hopPlan.map { r =>
           if (r.get(1) != r.get(2)) changed.add(1L)
           r
         }(org.apache.spark.sql.Encoders.row(hopPlan.schema))
+      // (2) pointer jump fused into the SAME action: label :=
+      // label(label) — labels are min-monotone, so the jump only ever
+      // lowers them. ONE localCheckpoint per round (the r5 form
+      // materialized hop and jump separately — two checkpoint jobs per
+      // round, measured as the bulk of the toy-scale bench row; the
+      // checkpoint still truncates lineage, which otherwise DOUBLES
+      // per round and OOMs the driver with exponential plan strings).
+      // Both self-join sides reference the IDENTICAL `hop` subtree:
+      // the opaque row-encoder map stops column pruning from
+      // specializing one side, so the hop aggregate's exchange
+      // canonicalizes identically on both and ReuseExchange computes
+      // that shuffle once within the job. Each hop row then flows
+      // through the counting map once per join side, so a nonzero
+      // change count may read doubled — irrelevant: convergence tests
+      // == 0, and zero stays exact. Convergence is still decided on
+      // the HOP (a neighbor-min fixpoint forces labels constant per
+      // component), and at the fixpoint the jump is the identity
+      // (label(m) = m for every component minimum m), so the final
+      // round's fused jump changes nothing — correct output, one job.
+      val next = hop.as("a")
+        .join(hop.select(col("id").as("jid"), col("label").as("jl")).as("b"),
+          col("a.label") === col("b.jid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("jl"), col("a.label")).as("label"))
         .localCheckpoint(true)
       converged = changed.value == 0L
-      if (converged) {
-        releaseLocalCheckpoint(roundCp)
-        roundCp = hop
-        labels = hop.select(col("id"), col("label"))
-      } else {
-        // (2) pointer jump: label := label(label) — labels are
-        // min-monotone, so the jump only ever lowers them; both join
-        // sides read the materialized hop blocks
-        val next = hop.as("a")
-          .join(hop.select(col("id").as("jid"), col("label").as("jl")).as("b"),
-            col("a.label") === col("b.jid"), "left")
-          .select(col("a.id").as("id"),
-            coalesce(col("jl"), col("a.label")).as("label"))
-          .localCheckpoint(true)
-        // `next` is materialized: the previous round's checkpoint and
-        // the hop are both dead — free them now, not at maxIter
-        releaseLocalCheckpoint(roundCp)
-        releaseLocalCheckpoint(hop)
-        roundCp = next
-        labels = next
-      }
+      // `next` is materialized: the previous round's checkpoint is
+      // dead — free it now, not at maxIter
+      releaseLocalCheckpoint(roundCp)
+      roundCp = next
+      labels = next
       iter += 1
     }
     if (!converged) releaseLocalCheckpoint(roundCp)
@@ -634,7 +635,7 @@ object Dedup {
     * RDD, so unpersist THAT RDD directly — `Dataset.unpersist` only
     * talks to the cache manager, which never saw this data. */
   private def releaseLocalCheckpoint(ds: DataFrame): Unit =
-    ds.queryExecution.analyzed match {
+    if (ds ne null) ds.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }

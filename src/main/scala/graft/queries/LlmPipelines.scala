@@ -297,58 +297,50 @@ object LlmPipelines {
   /** SimHash (custom codegen'd 64-bit Expression) Hamming-band
     * near-dup pairs. bands=8 > maxHamming=7 makes banding exhaustive
     * (pigeonhole): the candidate set is EXACTLY the hamming<=7 pair
-    * set (the same contract LlmSpec asserts on a fixture).
+    * set — a contract LlmSpec proves by brute force on a fixture
+    * ("SimHash banding returns exactly the hamming<=maxHamming pair
+    * set"). The registered query runs ONLY the operator: earlier
+    * rounds also ran the O(n²) all-pairs Hamming verification twin
+    * here, which at 100× documents is 10,000× the work — a
+    * scale-killer living inside a registered plan, so it moved
+    * entirely into the spec (r5 directive 1). PlanSpec now rejects
+    * any inequality-only self-join across the whole registry.
     *
     * The fingerprint itself isn't ANSI-expressible, so the registered
-    * output is the banding contract restated as ORACLE-CHECKABLE
-    * invariants, one row: (a) `banding_superset_ok` / `banding_subset_ok`
-    * pin candidate-set == brute-force-Hamming-set equality (computed in
-    * Spark over the same fingerprints; the brute-force twin is the
-    * verification harness, not the operator); (b) `n_exact_dup_pairs` /
-    * `n_dup_pairs_in_candidates` — docs with IDENTICAL token sequences
-    * have identical simhash, hence Hamming 0, hence MUST all surface as
-    * candidates; DuckDB independently recomputes that pair count from
-    * the raw text, so the oracle genuinely cross-checks the pipeline,
-    * not just constants. */
+    * output is the operator contract restated as ORACLE-CHECKABLE
+    * counts, one row: docs with IDENTICAL token sequences have
+    * identical simhash, hence Hamming 0, hence MUST all surface as
+    * candidates — `n_exact_dup_pairs` (normalized-text equality
+    * self-join, an EQUI-join DuckDB independently recomputes from raw
+    * text) must equal `n_dup_pairs_in_candidates` (those pairs found
+    * in the banded candidate output), so a banding defect that drops
+    * a bucket diverges the two sides. */
   val q31 = QueryDef(
     "q31_simhash_candidates",
     (s, dir) => {
       import graft.functions.SimHash64.simhash64
       val docs = Tables.documents(s, dir)
       // fingerprint + normalized text computed in ONE cached pass: the
-      // brute-force twin and the duplicate-pair check below both
-      // SELF-JOIN, so without the cache each join side would re-tokenize
-      // the corpus (5 extra full tokenization passes, measured as the
-      // bulk of this query's cost)
+      // candidate generator and the two sides of the dup equi-join
+      // would otherwise each re-tokenize the corpus
       val aux = graft.core.Caching.eager(docs.select(
         col("doc_id").as("id"),
         simhash64(TextStats.tokens(col("text"))).as("sh"),
         concat_ws(" ", TextStats.tokens(col("text"))).as("nt")))
-      val cands = graft.core.Caching.eager(
-        Dedup.simhashCandidatesFromFp(aux.select(col("id"), col("sh")),
-            bands = 8, maxHamming = 7)
-          .select(col("id_a"), col("id_b")))
-      val exact = aux.as("a").join(aux.as("b"), col("a.id") < col("b.id"))
-        .where(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= 7)
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val cands = Dedup.simhashCandidatesFromFp(
+          aux.select(col("id"), col("sh")), bands = 8, maxHamming = 7)
+        .select(col("id_a"), col("id_b"))
+      // exact-duplicate pairs via normalized-text EQUI-join (hash
+      // join, scales); the `<` is a post-join dedup filter on an
+      // equi-matched pair, not the join condition
       val dup = aux.as("a").join(aux.as("b"),
           col("a.nt") === col("b.nt") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      // ONE full-outer pass decides both set-inclusion directions, one
-      // left join both duplicate-pair counts — 3 aggregates instead of
-      // the 4-way crossJoin-of-counts first cut
-      val setCmp = exact.withColumn("__e", lit(1))
-        .join(cands.withColumn("__c", lit(1)), Seq("id_a", "id_b"), "full")
-        .agg((sum(when(col("__c").isNull, 1).otherwise(0)) === 0)
-            .as("banding_superset_ok"),
-          (sum(when(col("__e").isNull, 1).otherwise(0)) === 0)
-            .as("banding_subset_ok"))
       // count(__c) not sum(coalesce(__c,0)): over ZERO dup rows sum()
       // is NULL (a float64/NaN on the oracle side) where count() is 0
       dup.join(cands.withColumn("__c", lit(1)), Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_exact_dup_pairs"),
           count(col("__c")).as("n_dup_pairs_in_candidates"))
-        .crossJoin(setCmp)
     },
     Some("""WITH norm AS (
            |  SELECT doc_id,
@@ -357,8 +349,7 @@ object LlmPipelines {
            |d AS (
            |  SELECT CAST(count(*) AS BIGINT) AS n
            |  FROM norm a JOIN norm b ON a.nt = b.nt AND a.doc_id < b.doc_id)
-           |SELECT n AS n_exact_dup_pairs, n AS n_dup_pairs_in_candidates,
-           |  TRUE AS banding_superset_ok, TRUE AS banding_subset_ok
+           |SELECT n AS n_exact_dup_pairs, n AS n_dup_pairs_in_candidates
            |FROM d""".stripMargin))
 
   /** Sign-LSH multi-table multi-probe ANN top-k — the sublinear

@@ -157,7 +157,8 @@ object SystemShapes {
          |${feature("AbuDhabi", "[54.0, 24.0], [54.5, 24.0], [54.5, 24.6], [54.0, 24.6], [54.0, 24.0]")},
          |${feature("AlAin", "[55.5, 24.0], [56.0, 24.0], [56.0, 24.5], [55.5, 24.5], [55.5, 24.0]")},
          |${feature("AlDhafra", "[52.5, 23.0], [54.0, 23.0], [54.0, 24.0], [52.5, 24.0], [52.5, 23.0]")},
-         |${feature("Central", "[54.6, 23.2], [55.3, 23.4], [55.0, 24.1], [54.6, 23.2]")}
+         |${feature("Central", "[54.6, 23.2], [55.3, 23.4], [55.0, 24.1], [54.6, 23.2]")},
+         |${feature("Dart", "[54.5, 24.2], [55.0, 24.4], [55.4, 24.2], [55.1, 24.6], [54.5, 24.2]")}
          |]}""".stripMargin
     materialize(p, content)
   }
@@ -201,8 +202,21 @@ object SystemShapes {
     * coprime (no interior lattice point lies on an edge) and no
     * reachable (c_custkey-derived) point hits a vertex — verified over
     * the full lcm(35,15)=105 residue lattice — so strict interior in
-    * integers and the double ray-cast decide identically. GeoSpec
-    * keeps the non-convex edge cases. */
+    * integers and the double ray-cast decide identically. The fifth
+    * fixture is a CONCAVE quadrilateral "Dart" (reflex at (550,244);
+    * vertices (545,242)-(550,244)-(554,242)-(551,246)) putting the
+    * ray-cast's concave branch ON the oracle path: 5 reachable lattice
+    * points sit inside the Dart's bounding box yet outside the polygon
+    * — (548,243) even lies inside its convex hull, so a ray from it
+    * crosses the notch's two edges and must toggle twice — and a
+    * bounding-box (or convex-hull) impostor implementation would
+    * misassign them, failing the hash gate. Oracle twin: the quad
+    * decomposed across diagonal (550,244)-(551,246) into two strict
+    * sign-test triangles; exact because (verified over the full
+    * 105-residue lattice, `scripts/verify_q35_dart.py` re-runs the
+    * proof) no reachable point lies on any edge, vertex, or the open
+    * diagonal, so "strictly inside either triangle" equals the quad's
+    * even-odd interior. GeoSpec keeps the remaining edge cases. */
   val q35 = QueryDef(
     "q35_geo_region_assign",
     (s, dir) => {
@@ -238,6 +252,12 @@ object SystemShapes {
            |         WHEN 7*(lat_e1-232) - 2*(lon_e1-546) > 0
            |          AND -3*(lat_e1-234) - 7*(lon_e1-553) > 0
            |          AND -4*(lat_e1-241) + 9*(lon_e1-550) > 0 THEN 'Central'
+           |         WHEN (5*(lat_e1-242) - 2*(lon_e1-545) > 0
+           |          AND (lat_e1-244) - 2*(lon_e1-550) > 0
+           |          AND -6*(lat_e1-246) + 4*(lon_e1-551) > 0)
+           |          OR (4*(lat_e1-244) + 2*(lon_e1-550) > 0
+           |          AND -3*(lat_e1-242) - 4*(lon_e1-554) > 0
+           |          AND -(lat_e1-246) + 2*(lon_e1-551) > 0) THEN 'Dart'
            |         ELSE 'Unassigned' END AS region_id
            |  FROM pts)
            |SELECT region_id, CAST(count(*) AS BIGINT) AS n_stops,

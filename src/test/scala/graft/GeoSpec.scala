@@ -23,11 +23,34 @@ class GeoSpec extends AnyFunSuite {
       ("AbuDhabi", "POLYGON ((54.0 24.0, 54.5 24.0, 54.5 24.6, 54.0 24.6, 54.0 24.0))"),
       ("AlAin", "POLYGON ((55.5 24.0, 56.0 24.0, 56.0 24.5, 55.5 24.5, 55.5 24.0))"),
       ("AlDhafra", "POLYGON ((52.5 23.0, 54.0 23.0, 54.0 24.0, 52.5 24.0, 52.5 23.0))"),
-      ("Central", "POLYGON ((54.6 23.2, 55.3 23.4, 55.0 24.1, 54.6 23.2))")))
+      ("Central", "POLYGON ((54.6 23.2, 55.3 23.4, 55.0 24.1, 54.6 23.2))"),
+      ("Dart", "POLYGON ((54.5 24.2, 55.0 24.4, 55.4 24.2, 55.1 24.6, 54.5 24.2))")))
     // the parsed ring round-trips through the point-in-ring kernel
     val (xs, ys) = Geo.parseWktPolygonRing(
       rows.find(_._1 == "AbuDhabi").get._2)
     assert(Geo.pointInRing(54.2, 24.3, xs, ys))
+  }
+
+  test("Dart fixture: bounding-box answer differs from the ray-cast answer") {
+    // the property the concave oracle fixture exists to pin
+    // (scripts/verify_q35_dart.py re-proves it over the whole
+    // reachable lattice): points inside the Dart's bbox — (54.8,24.3)
+    // even inside its convex hull, where a ray crosses the notch's two
+    // edges — are OUTSIDE the polygon, so a bbox/hull impostor
+    // implementation diverges on c_custkey-reachable points.
+    val (xs, ys) = Geo.parseWktPolygonRing(
+      "POLYGON ((54.5 24.2, 55.0 24.4, 55.4 24.2, 55.1 24.6, 54.5 24.2))")
+    val bboxPocket = Seq((54.5, 24.5), (54.7, 24.2), (54.8, 24.3),
+      (55.2, 24.2), (55.4, 24.4))
+    bboxPocket.foreach { case (lon, lat) =>
+      assert(lon >= xs.min && lon <= xs.max && lat >= ys.min && lat <= ys.max,
+        s"($lon,$lat) must sit inside the bbox")
+      assert(!Geo.pointInRing(lon, lat, xs, ys),
+        s"($lon,$lat) must be outside the concave polygon")
+    }
+    Seq((54.9, 24.4), (55.0, 24.5), (55.3, 24.3)).foreach { case (lon, lat) =>
+      assert(Geo.pointInRing(lon, lat, xs, ys), s"($lon,$lat) must be inside")
+    }
   }
 
   test("wktLineString folds points in serial order") {
@@ -53,7 +76,8 @@ class GeoSpec extends AnyFunSuite {
       "AbuDhabi" -> "POLYGON ((54.0 24.0, 54.5 24.0, 54.5 24.6, 54.0 24.6, 54.0 24.0))",
       "AlAin"    -> "POLYGON ((55.5 24.0, 56.0 24.0, 56.0 24.5, 55.5 24.5, 55.5 24.0))",
       "AlDhafra" -> "POLYGON ((52.5 23.0, 54.0 23.0, 54.0 24.0, 52.5 24.0, 52.5 23.0))",
-      "Central"  -> "POLYGON ((54.6 23.2, 55.3 23.4, 55.0 24.1, 54.6 23.2))")
+      "Central"  -> "POLYGON ((54.6 23.2, 55.3 23.4, 55.0 24.1, 54.6 23.2))",
+      "Dart"     -> "POLYGON ((54.5 24.2, 55.0 24.4, 55.4 24.2, 55.1 24.6, 54.5 24.2))")
     val parsed = polys.map { case (r, w) =>
       val (xs, ys) = Geo.parseWktPolygonRing(w); (r, xs, ys) }
     val pts = Tables.customer(spark, SparkTestBase.sf).select(
@@ -79,7 +103,8 @@ class GeoSpec extends AnyFunSuite {
       "AbuDhabi" -> "POLYGON ((54.0 24.0, 54.5 24.0, 54.5 24.6, 54.0 24.6, 54.0 24.0))",
       "AlAin"    -> "POLYGON ((55.5 24.0, 56.0 24.0, 56.0 24.5, 55.5 24.5, 55.5 24.0))",
       "AlDhafra" -> "POLYGON ((52.5 23.0, 54.0 23.0, 54.0 24.0, 52.5 24.0, 52.5 23.0))",
-      "Central"  -> "POLYGON ((54.6 23.2, 55.3 23.4, 55.0 24.1, 54.6 23.2))")
+      "Central"  -> "POLYGON ((54.6 23.2, 55.3 23.4, 55.0 24.1, 54.6 23.2))",
+      "Dart"     -> "POLYGON ((54.5 24.2, 55.0 24.4, 55.4 24.2, 55.1 24.6, 54.5 24.2))")
         .map { case (r, w) => val (xs, ys) = Geo.parseWktPolygonRing(w); (r, xs, ys) }
     val keys = Tables.customer(spark, SparkTestBase.sf)
       .select($"c_custkey").as[Long].collect()

@@ -50,6 +50,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("no inequality-only join anywhere in the registry") {
+    // A join whose condition carries NO equality predicate compares
+    // |L|×|R| pairs — at 100× rows that is 10,000× the work, the
+    // classic scale-killer hiding behind a green toy-scale run (the
+    // r5 q31 regression: an all-pairs Hamming verification twin inside
+    // a registered plan). Allowed ONLY where one side is a bounded
+    // broadcast by construction — the audited exact-verifier paths
+    // whose query side is capped (vec_id < 50 → ≤50 rows) regardless
+    // of corpus size.
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val boundedBroadcastAudited =
+      Set("q29_topk_similarity", "q32_ann_lsh")
+    SparkEntry.registry.filterNot(q => boundedBroadcastAudited(q.name))
+      .foreach { q =>
+        val joins = q.fn(spark, SparkTestBase.sf)
+          .queryExecution.optimizedPlan.collect { case j: Join => j }
+        joins.foreach { j =>
+          val equi = j.condition.exists(_.find {
+            case _: EqualTo | _: EqualNullSafe => true
+            case _                             => false
+          }.isDefined)
+          assert(j.condition.isEmpty || equi,
+            s"${q.name} plans an inequality-only join " +
+            s"(condition: ${j.condition.map(_.sql)}) — an all-pairs scan at scale")
+        }
+        spark.catalog.clearCache()
+      }
+  }
+
   test("q33: bucketed near-dup joins on bands, never an all-pairs loop") {
     // the r3 form self-joined on a.id < b.id alone — a
     // BroadcastNestedLoopJoin scanning |n²| pairs; the bucketed
