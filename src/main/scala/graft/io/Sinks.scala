@@ -223,10 +223,12 @@ object Sinks {
     * scan), reference NA tokens, and an explicit timestamp format. */
   def readCsvExplicit(spark: SparkSession, csvPath: String,
                       schema: StructType,
-                      timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
+                      timestampFormat: String = "yyyy-MM-dd HH:mm:ss",
+                      encoding: String = "UTF-8"): DataFrame =
     spark.read
       .option("header", "true")
       .option("nullValue", "NA")
+      .option("encoding", encoding)
       .option("timestampFormat", timestampFormat)
       .option("ignoreLeadingWhiteSpace", "true")
       .option("ignoreTrailingWhiteSpace", "true")

@@ -11,8 +11,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -40,9 +40,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * ways, and a single dimension table is one task, which is the right
   * shape for dim-sized VDV files. Column pruning is pushed down
   * (`SupportsPushDownRequiredColumns`): the reader materializes only
-  * the requested columns. Control lines are parsed on the driver with
-  * plain Hadoop FS I/O ([[VdvX10.sectionsLocal]]) — schema inference
-  * launches no Spark jobs.
+  * the requested columns. Predicates push down too
+  * (`SupportsPushDownFilters`): `=` / `IN` / `IS NOT NULL` on STRING
+  * columns are evaluated against the raw field during `rec;` parsing —
+  * a `WHERE LINE_ABBR = 'A1'` over a big export never materializes the
+  * non-matching rows (they are dropped before `InternalRow`
+  * construction), and the comparison is exact because it runs on the
+  * same parsed string value the row would have carried (quote-aware
+  * split, empty → NULL → no match), so Spark is told the filter is
+  * fully handled and plans no re-check. Control lines are parsed on
+  * the driver with plain Hadoop FS I/O ([[VdvX10.sectionsLocal]]) —
+  * schema inference launches no Spark jobs.
   */
 class VdvX10Source extends TableProvider with DataSourceRegister {
 
@@ -137,27 +145,53 @@ private[io] class VdvX10Table(tableSchema: StructType,
 
 private[io] class VdvX10ScanBuilder(full: StructType,
                                     options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new VdvX10Scan(required, options)
+
+  /** A filter is accepted iff the reader can evaluate it EXACTLY on
+    * the raw parsed field: `=` / `IN` with string values and
+    * `IS NOT NULL`, on a column the section declares as STRING (the
+    * row would carry the identical string, so raw-field equality ==
+    * row equality; numeric columns go through lenient parsing whose
+    * null-on-garbage semantics a raw comparison can't reproduce).
+    * Accepted filters are fully handled — not returned for re-check. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def isStringCol(name: String): Boolean =
+      full.fields.exists(f => f.name == name && f.dataType == StringType)
+    val (ok, rest) = filters.partition {
+      case EqualTo(c, v: String) => isStringCol(c) && (v ne null)
+      case In(c, vs)             => isStringCol(c) && vs.forall(_.isInstanceOf[String])
+      case IsNotNull(c)          => isStringCol(c)
+      case _                     => false
+    }
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new VdvX10Scan(required, options, pushed)
 }
 
 private[io] class VdvX10Scan(required: StructType,
-                             options: CaseInsensitiveStringMap)
+                             options: CaseInsensitiveStringMap,
+                             pushed: Array[Filter])
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def description(): String =
     s"vdvx10 ${options.get("path")}#${options.get("table")} " +
-    s"[${required.fieldNames.mkString(", ")}]"
+    s"[${required.fieldNames.mkString(", ")}], " +
+    s"PushedFilters: [${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
     VdvX10Source.matchingSections(options).map { sa =>
       VdvX10Partition(sa.path, sa.sec.atrIdx, sa.sec.endIdx,
-        sa.sec.cols.toArray): InputPartition
+        sa.sec.cols.toArray, pushed): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -171,7 +205,8 @@ private[io] class VdvX10Scan(required: StructType,
 }
 
 private[io] final case class VdvX10Partition(path: String, atrIdx: Long,
-                                             endIdx: Long, cols: Array[String])
+                                             endIdx: Long, cols: Array[String],
+                                             pushed: Array[Filter])
   extends InputPartition
 
 private[io] class VdvX10ReaderFactory(required: StructType,
@@ -192,6 +227,30 @@ private[io] class VdvX10PartitionReader(p: VdvX10Partition,
   extends PartitionReader[InternalRow] {
 
   private val colIdx: Array[Int] = required.fields.map(f => p.cols.indexOf(f.name))
+  // pushed predicates compiled to (field index, test) pairs; evaluated
+  // on the raw split fields BEFORE InternalRow construction, so
+  // filtered-out rows are never materialized. A filter column missing
+  // from this section's batch reads as "" → NULL → no match (same
+  // value the padded row column would carry).
+  private val tests: Array[(Int, String => Boolean)] = p.pushed.map {
+    case EqualTo(c, v: String) => (p.cols.indexOf(c), (raw: String) => raw == v)
+    case In(c, vs)             =>
+      val set = vs.collect { case s: String => s }.toSet
+      (p.cols.indexOf(c), (raw: String) => set.contains(raw))
+    case IsNotNull(c)          => (p.cols.indexOf(c), (raw: String) => raw.nonEmpty)
+    case f => throw new IllegalStateException(s"unpushable filter leaked: $f")
+  }
+
+  private def passes(fs: Seq[String]): Boolean = {
+    var i = 0
+    while (i < tests.length) {
+      val (idx, test) = tests(i)
+      val raw = if (idx >= 0 && idx < fs.length) fs(idx) else ""
+      if (raw.isEmpty || !test(raw)) return false
+      i += 1
+    }
+    true
+  }
   private val reader = {
     val conf = new Configuration(false)
     confEntries.foreach { case (k, v) => conf.set(k, v) }
@@ -209,15 +268,17 @@ private[io] class VdvX10PartitionReader(p: VdvX10Partition,
       if (lineIdx >= p.endIdx) return false
       if (lineIdx > p.atrIdx) {
         val t = line.trim
-        if (t.startsWith("rec;")) { current = parse(t); return true }
+        if (t.startsWith("rec;")) {
+          val fs = VdvX10.splitFields(t)
+          if (passes(fs)) { current = parse(fs); return true }
+        }
       }
       line = reader.readLine()
     }
     false
   }
 
-  private def parse(t: String): InternalRow = {
-    val fs = VdvX10.splitFields(t)
+  private def parse(fs: Seq[String]): InternalRow = {
     val vals = new Array[Any](required.length)
     var i = 0
     while (i < required.length) {

@@ -144,6 +144,112 @@ object SystemShapes {
             |  string_agg(line_clean, ',' ORDER BY line_clean) AS lines
             |FROM j GROUP BY region_id ORDER BY region_id""".stripMargin))
 
+  /** S10+S3-for-VDV — predicate pushdown through the vdvx10
+    * DataSourceV2 ([[graft.io.VdvX10Source]]
+    * `SupportsPushDownFilters`): the `IN` predicate is evaluated
+    * against the raw field during `rec;` parsing, so non-matching
+    * rows are never materialized — the behavior a
+    * `WHERE LINE_ABBR = …` over a large .x10 export needs. The query
+    * reaches the source through PURE SQL (`CREATE TEMPORARY VIEW …
+    * USING vdvx10`), the path a SQL-only session uses; PlanSpec pins
+    * `PushedFilters: [… In(LINE_ABBR…]` in the executed plan. Oracle:
+    * DuckDB replays the same predicate+aggregate over the
+    * hand-written CSV twin of the fixture's records. */
+  val q68 = QueryDef(
+    "q68_vdv_pushdown",
+    (s, dir) => {
+      vdvLineCsvTwinPath // materialized for the oracle's read_csv
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW vdv_line_pd
+               |USING vdvx10 OPTIONS (path '$vdvFixturePath', `table` 'LINE')"""
+        .stripMargin)
+      s.sql("""SELECT LINE_ABBR,
+              |  CAST(count(*) AS BIGINT) AS n_recs,
+              |  CAST(min(LINE_NO) AS BIGINT) AS min_line_no,
+              |  max(LINE_DESC) AS max_desc
+              |FROM vdv_line_pd
+              |WHERE LINE_ABBR IN ('A1', 'C3', 'D4')
+              |GROUP BY LINE_ABBR ORDER BY LINE_ABBR""".stripMargin)
+    },
+    Some(s"""WITH line AS (
+            |  SELECT * FROM read_csv('${Paths.get(System.getProperty("java.io.tmpdir"), "graft_vdv_line_twin.csv")}',
+            |    header=true, columns={'BASE_VERSION':'BIGINT','LINE_NO':'BIGINT',
+            |      'LINE_ABBR':'VARCHAR','OP_DEP_NO':'BIGINT','LINE_DESC':'VARCHAR'}))
+            |SELECT LINE_ABBR, CAST(count(*) AS BIGINT) AS n_recs,
+            |  CAST(min(LINE_NO) AS BIGINT) AS min_line_no,
+            |  max(LINE_DESC) AS max_desc
+            |FROM line WHERE LINE_ABBR IN ('A1', 'C3', 'D4')
+            |GROUP BY LINE_ABBR ORDER BY LINE_ABBR""".stripMargin))
+
+  /** S5+P9+F26 — Latin-1 CSV fixture for the encoding-fallback ingest
+    * path: accented stop names whose ISO-8859-1 bytes (é=0xE9, ü=0xFC,
+    * ç=0xE7) are MALFORMED as UTF-8 — a reader that skips detection
+    * and decodes UTF-8 mojibakes or drops them — plus every token of
+    * the reference NA set spread across string and numeric columns. */
+  private[graft] lazy val csvLatin1Rows: String =
+    "STOP_NAME,REGION,RIDERS,NOTE\n" +
+    "Café Corniche,AD,120,ok\n" +
+    "Über Station,AD,NA,\n" +
+    "Bahnhof Müller,ER,85,N/A\n" +
+    "NA,ER,40,null\n" +
+    "Plaça Reial,WR,#N/A,fine\n" +
+    ",WR,60,NULL\n"
+
+  private[graft] lazy val csvLatin1FixturePath: String =
+    materializeBytes(
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft_stops_latin1.csv"),
+      csvLatin1Rows.getBytes(StandardCharsets.ISO_8859_1))
+
+  /** UTF-8 twin of the SAME records — the oracle's readable container
+    * (DuckDB 1.0 `read_csv` cannot decode Latin-1), exactly like the
+    * VDV CSV twins: the Spark side must detect + decode the Latin-1
+    * original into the identical characters, so a detection or decode
+    * defect diverges the accented names and fails the hash gate. */
+  private lazy val csvLatin1UtfTwinPath: String =
+    materializeBytes(
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft_stops_utf8_twin.csv"),
+      csvLatin1Rows.getBytes(StandardCharsets.UTF_8))
+
+  /** S5+P9+F26 oracle-checked end-to-end: encoding detection with the
+    * UTF-8 → Latin-1 fallback ladder ([[Sinks.detectCsvEncoding]],
+    * the reference's fread ladder `data_ingestion/pg_import.R:53-84`),
+    * explicit-schema CSV read (no inference scan), and the
+    * six-token NA set (`pg_import.R:83`) normalized post-read
+    * ([[Sinks.normalizeNaTokens]] — codegen'd `when` chain). The
+    * numeric column exercises the permissive-parse path ("#N/A" under
+    * BIGINT → NULL), the string columns the token scrub, and the
+    * accented names pin the decode byte-for-byte. */
+  val q69 = QueryDef(
+    "q69_csv_encoding_ingest",
+    (s, dir) => {
+      import graft.io.Sinks
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      csvLatin1UtfTwinPath // materialized for the oracle's read_csv
+      val path = csvLatin1FixturePath
+      val schema = StructType(Seq(
+        StructField("STOP_NAME", StringType), StructField("REGION", StringType),
+        StructField("RIDERS", LongType), StructField("NOTE", StringType)))
+      val df = Sinks.readCsvExplicit(s, path, schema,
+        encoding = Sinks.detectCsvEncoding(path))
+      Sinks.normalizeNaTokens(df)
+        .groupBy(col("REGION"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("STOP_NAME")).as("n_names"),
+          sum(col("RIDERS")).as("riders"),
+          count(col("NOTE")).as("n_notes"),
+          concat_ws(",", sort_array(collect_list(col("STOP_NAME")))).as("stops"))
+        .orderBy(col("REGION"))
+    },
+    Some(s"""SELECT REGION, CAST(count(*) AS BIGINT) AS n_rows,
+            |  CAST(count(STOP_NAME) AS BIGINT) AS n_names,
+            |  CAST(sum(RIDERS) AS BIGINT) AS riders,
+            |  CAST(count(NOTE) AS BIGINT) AS n_notes,
+            |  string_agg(STOP_NAME, ',' ORDER BY STOP_NAME) AS stops
+            |FROM read_csv('${Paths.get(System.getProperty("java.io.tmpdir"), "graft_stops_utf8_twin.csv")}',
+            |  header=true, nullstr=['','NA','NULL','null','N/A','#N/A'],
+            |  columns={'STOP_NAME':'VARCHAR','REGION':'VARCHAR',
+            |    'RIDERS':'BIGINT','NOTE':'VARCHAR'})
+            |GROUP BY REGION ORDER BY REGION""".stripMargin))
+
   /** S13 — deterministic GeoJSON FeatureCollection fixture (the three
     * region polygons as Polygon features), materialized to tmp on
     * first use; read by [[graft.io.GeoJson]] in q35. */
@@ -509,5 +615,5 @@ object SystemShapes {
             |GROUP BY 1, 2
             |ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q34, q35, q36, q37, q53, q58)
+  val all: Seq[QueryDef] = Seq(q34, q35, q36, q37, q53, q58, q68, q69)
 }

@@ -110,6 +110,12 @@ class PlanSpec extends AnyFunSuite {
       s"q62 must stay an equi-join on bucket id:\n$p")
   }
 
+  test("q68: vdvx10 scan pushes the IN predicate into rec; parsing") {
+    val p = planOf("q68_vdv_pushdown")
+    assert(p.contains("PushedFilters: [") && p.contains("In(LINE_ABBR"),
+      s"vdvx10 scan must show the pushed IN filter:\n$p")
+  }
+
   test("ads pipelines broadcast their dims") {
     Seq("q39_ads_travel_info_pipeline", "q40_ads_travel_time_pipeline",
         "q45_ads_travel_distance_pipeline", "q47_ads_fare_revenue_pipeline",

@@ -104,6 +104,18 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.detectCsvEncoding(latin.toString) == "ISO-8859-1")
   }
 
+  test("q69 Latin-1 ingest matches the hand-computed result") {
+    // end-to-end S5+P9+F26: detect ISO-8859-1, decode the accents,
+    // null all six NA tokens (incl. "#N/A" under BIGINT), aggregate
+    val got = graft.SparkEntry.queries("q69_csv_encoding_ingest")(
+        spark, SparkTestBase.sf)
+      .as[(String, Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("AD", 2L, 2L, 120L, 1L, "Café Corniche,Über Station"),
+      ("ER", 2L, 1L, 125L, 0L, "Bahnhof Müller"),
+      ("WR", 2L, 1L, 60L, 1L, "Plaça Reial")))
+  }
+
   test("readCsvExplicit applies a fixed schema and parses timestamps (S7)") {
     val dir = Files.createTempDirectory("graft_explicit")
     val csv = dir.resolve("t.csv")

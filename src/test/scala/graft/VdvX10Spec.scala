@@ -178,6 +178,34 @@ class VdvX10Spec extends AnyFunSuite {
       .as[Long].collect().toSeq == Seq(201L))
   }
 
+  test("vdvx10 pushes = / IN string predicates into rec; parsing") {
+    val fixture = graft.queries.SystemShapes.vdvFixturePath
+    // equality, with the filter column PRUNED from the output — the
+    // reader evaluates on the raw fields, not the required schema
+    val eq = spark.read.format("vdvx10").option("table", "LINE")
+      .load(fixture).where($"LINE_ABBR" === "A1").select($"LINE_NO")
+    val eqPlan = eq.queryExecution.executedPlan.toString
+    assert(eqPlan.contains("PushedFilters: [") &&
+      eqPlan.contains("EqualTo(LINE_ABBR,A1)"), eqPlan)
+    assert(eq.as[Long].collect().toSeq == Seq(101L))
+    // IN
+    val in = spark.read.format("vdvx10").option("table", "LINE")
+      .load(fixture).where($"LINE_ABBR".isin("A1", "C3")).select($"LINE_NO")
+    assert(in.queryExecution.executedPlan.toString.contains("In(LINE_ABBR"),
+      in.queryExecution.executedPlan.toString)
+    assert(in.as[Long].collect().toSeq.sorted == Seq(101L, 103L))
+    // numeric equality is NOT pushed (lenient numeric parsing isn't
+    // reproducible on the raw text) — evaluated post-scan, same rows
+    val num = spark.read.format("vdvx10").option("table", "LINE")
+      .load(fixture).where($"OP_DEP_NO" === 31L)
+    assert(!num.queryExecution.executedPlan.toString
+      .contains("EqualTo(OP_DEP_NO"))
+    assert(num.count() == 2)
+    // no-match predicate returns empty, not an error
+    assert(spark.read.format("vdvx10").option("table", "LINE")
+      .load(fixture).where($"LINE_ABBR" === "ZZ").count() == 0)
+  }
+
   test("q34 output matches the hand-computed oracle") {
     // LINE deduped on LINE_ABBR keeps the first D4; joins to
     // OPERATING_DEPARTMENT; AD*->Abu Dhabi, ER*->Al Ain, WR*->Al
