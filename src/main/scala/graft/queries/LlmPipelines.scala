@@ -404,6 +404,62 @@ object LlmPipelines {
            |  CAST(5 AS BIGINT) AS k
            |FROM r WHERE rn <= 5""".stripMargin))
 
+  /** IVF (inverted-file) coarse-quantization ANN — the second
+    * sublinear similarity-search path ([[Similarity.ivfTopK]]:
+    * sampled k-means centroids from a deterministic hash-ordered
+    * 2048-row sample, corpus partitioned into nearest-centroid lists,
+    * queries probe nProbe of nCentroids lists → candidate set shrinks
+    * ~nCentroids/nProbe vs brute force). Previously test-verified
+    * only; registered with the SAME oracle pattern as q32: one row
+    * with the query count, k, the exact top-5 quantized dot-sum —
+    * which DuckDB recomputes by brute force, pinning the ground-truth
+    * side — and a recall floor computed by joining the IVF hits
+    * against that exact top-k. The floor (0.5) sits under the
+    * measured recall with margin (tools/ProbeIvf: 0.616 at sf0.001
+    * and sf0.01, 0.624 at sf0.1 — stable because the centroid sample
+    * is a deterministic hash order, not a data order; a partitioning
+    * defect that strands queries' neighbor lists drops recall toward
+    * nProbe/nCentroids·k-random ≈ 1/4 of that and fails it). */
+  val q70 = QueryDef(
+    "q70_ann_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 50)
+      val ann = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("__hit"))
+      Similarity.quantizedDotTopK(queries, emb, "vec_id", "embedding", k = 5)
+        .join(ann, Seq("query_id", "corpus_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          sum(col("dot")).as("exact_top5_dot_sum"),
+          (sum(coalesce(col("__hit"), lit(0L))) >=
+            count(lit(1)) * 0.5).as("recall_ge_50"))
+        .withColumn("k", lit(5L))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id AS query_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings WHERE vec_id < 50),
+           |c AS (
+           |  SELECT vec_id AS corpus_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+           |  FROM embeddings),
+           |s AS (
+           |  SELECT query_id, corpus_id,
+           |    CAST(list_inner_product(qv, cv) AS BIGINT) AS dot
+           |  FROM q, c WHERE query_id != corpus_id),
+           |r AS (
+           |  SELECT query_id, dot,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, corpus_id) AS rn
+           |  FROM s)
+           |SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           |  CAST(SUM(dot) AS BIGINT) AS exact_top5_dot_sum,
+           |  TRUE AS recall_ge_50,
+           |  CAST(5 AS BIGINT) AS k
+           |FROM r WHERE rn <= 5""".stripMargin))
+
   /** Embedding cosine near-dup pairs via the BUCKETED generate∘verify
     * path ([[Dedup.cosineNearDupBucketed]]): sign-LSH banded candidates
     * + exact integer-domain verification, over the whole embeddings
@@ -756,5 +812,5 @@ object LlmPipelines {
 
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
-      q65, q66, q67)
+      q65, q66, q67, q70)
 }

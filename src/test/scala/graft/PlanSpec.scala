@@ -62,7 +62,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val boundedBroadcastAudited =
-      Set("q29_topk_similarity", "q32_ann_lsh")
+      Set("q29_topk_similarity", "q32_ann_lsh", "q70_ann_ivf")
     SparkEntry.registry.filterNot(q => boundedBroadcastAudited(q.name))
       .foreach { q =>
         val joins = q.fn(spark, SparkTestBase.sf)
