@@ -206,6 +206,34 @@ class VdvX10Spec extends AnyFunSuite {
       .load(fixture).where($"LINE_ABBR" === "ZZ").count() == 0)
   }
 
+  test("pushed predicates compare the UNQUOTED parsed value, incl. separators") {
+    // the filter must see the same value the row would carry — a
+    // quoted field holding the field separator or spaces is the case
+    // where raw-text comparison and parsed-value comparison diverge
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.Files
+    val f = Files.createTempFile("graft_vdv_pushq", ".x10")
+    Files.write(f,
+      """tbl; LINE
+        |atr; LINE_NO; LINE_ABBR; LINE_DESC
+        |frm; num[9.0]; char[6]; char[40]
+        |rec; 1; "A;1"; "Airport; Express"
+        |rec; 2; "B2"; "Corniche Loop"
+        |rec; 3; ; "No Abbr"
+        |end;
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    def rd = spark.read.format("vdvx10").option("table", "LINE").load(f.toString)
+    assert(rd.where($"LINE_ABBR" === "A;1").select($"LINE_NO")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(rd.where($"LINE_DESC" === "Airport; Express").select($"LINE_NO")
+      .as[Long].collect().toSeq == Seq(1L))
+    // IS NOT NULL pushes: the empty field is dropped during parsing
+    val nn = rd.where($"LINE_ABBR".isNotNull)
+    assert(nn.queryExecution.executedPlan.toString
+      .contains("IsNotNull(LINE_ABBR)"))
+    assert(nn.select($"LINE_NO").as[Long].collect().toSeq.sorted == Seq(1L, 2L))
+  }
+
   test("q34 output matches the hand-computed oracle") {
     // LINE deduped on LINE_ABBR keeps the first D4; joins to
     // OPERATING_DEPARTMENT; AD*->Abu Dhabi, ER*->Al Ain, WR*->Al
