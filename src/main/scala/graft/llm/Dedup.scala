@@ -480,6 +480,29 @@ object Dedup {
       val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
       return nodes.map(n => (n, find(n))).toDF("id", "cluster_id")
     }
+    // Adaptive execution is OFF for the WHOLE invocation (restored on
+    // exit) — setup included, not just the rounds: every frame here
+    // has an explicitly chosen layout (the edge cache is hand-
+    // partitioned on the join key at a width sized to the measured
+    // edge volume below, labels are checkpointed), so runtime
+    // re-planning buys nothing — while its stage-by-stage
+    // materialization turns each setup action and each round into
+    // several separate jobs plus a driver re-optimization gap between
+    // them (measured: the setup's two cache builds were 2-3 AQE stage
+    // jobs each; the whole invocation dropped from 12 jobs to 4 —
+    // two setup caches + one per round — with AQE off throughout and
+    // the two auto-broadcasts pinned to shuffled hash below). The
+    // skew AQE would guard against is
+    // already handled ALGEBRAICALLY here: the only hot-key hazard is
+    // a hub node's neighbor list, and the min() aggregate that
+    // consumes the join is map-side combinable, so a hot key
+    // collapses to one row per map task before the shuffle.
+    val sess = e.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    var bidir: DataFrame = null
+    try {
     // cached PRE-PARTITIONED on the neighbor-join key: a cached
     // DataFrame advertises its outputPartitioning, so every round's
     // join reuses this layout instead of re-shuffling the edge side
@@ -492,6 +515,7 @@ object Dedup {
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .where(col("src") =!= col("dst"))
         .repartition(col("dst")).dropDuplicates("src", "dst"))
+    bidir = bidir0
     // Loop parallelism is sized ONCE to the measured edge volume —
     // the same decision AQE's partition coalescing makes per stage,
     // paid a single time for the whole iteration instead of per round.
@@ -502,36 +526,16 @@ object Dedup {
     // thousands of tasks. Every round's shuffle then runs at a width
     // matched to the data instead of rounds x (session partitions)
     // near-empty tasks.
-    val sess = e.sparkSession
     val sessParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.min(math.max(1L, (nEdges + 249999L) / 250000L),
       math.max(sessParts, 2048).toLong).toInt
-    val bidir =
-      if (loopParts == sessParts) bidir0
-      else {
-        val b = graft.core.Caching.eager(
-          bidir0.repartition(loopParts, col("dst")))
-        bidir0.unpersist()
-        b
-      }
-    // Adaptive execution is OFF inside the loop (restored on exit):
-    // every round re-executes the SAME two fixed shapes over frames
-    // whose layout is already pinned (bidir cached partitioned on the
-    // join key at the width chosen above, labels checkpointed), so
-    // per-round runtime re-planning buys nothing — while its
-    // stage-by-stage materialization turns each round into 4-6
-    // separate jobs plus a driver re-optimization gap between them
-    // (measured: >3x the loop's wall time at toy scale; at cluster
-    // scale it is rounds x a planning barrier). The skew AQE would
-    // guard against is already handled ALGEBRAICALLY here: the only
-    // hot-key hazard is a hub node's neighbor list, and the min()
-    // aggregate that consumes the join is map-side combinable, so a
-    // hot key collapses to one row per map task before the shuffle.
-    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsWas = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    if (loopParts != sessParts) {
+      val b = graft.core.Caching.eager(
+        bidir0.repartition(loopParts, col("dst")))
+      bidir0.unpersist()
+      bidir = b
+    }
     sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
     // seed labels at min(id, neighbors) instead of id: the first
     // propagation round's hop is exactly this aggregate, so folding it
     // into the init (one agg over the cached edges, no join) removes a
@@ -564,8 +568,16 @@ object Dedup {
       // previous label rides the self branch as `old` (null on
       // contributions; max() over the group recovers the unique self
       // value) so the fixpoint test still needs no extra join.
+      // shuffle_hash pinned on the label side: Spark's size estimate
+      // would auto-BROADCAST the label frame at toy scale — an extra
+      // broadcast-build job every round — while at 100 TB a frame with
+      // one row per node never fits a broadcast, so the shuffled hash
+      // join (labels move to bidir's cached hash(dst) layout, edge
+      // side stays put) is the only shape that holds at the design
+      // point; pinning it keeps toy job counts honest about it.
       val contrib = bidir
-        .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+        .join(labels.select(col("id").as("dst"), col("label").as("nl"))
+            .hint("shuffle_hash"), Seq("dst"))
         .select(col("src").as("id"), col("nl").as("label"),
           lit(null).cast(labels.schema("label").dataType).as("old"))
       val hopPlan = contrib.unionByName(
@@ -604,8 +616,18 @@ object Dedup {
       // component), and at the fixpoint the jump is the identity
       // (label(m) = m for every component minimum m), so the final
       // round's fused jump changes nothing — correct output, one job.
+      // shuffle_hash pinned on the lookup side: at toy scale Spark's
+      // size estimate would otherwise pick a BROADCAST join for the
+      // jump, whose build-side collect is a SECOND job every round
+      // (measured — it's where "one checkpoint per round" was still
+      // costing two jobs); at 100 TB a label frame never broadcasts,
+      // so the shuffled hash join is also the only shape that holds
+      // at the design point. Build side = the per-partition slice of
+      // the label frame, bounded by the ~250k-rows/partition width
+      // chosen above.
       val next = hop.as("a")
-        .join(hop.select(col("id").as("jid"), col("label").as("jl")).as("b"),
+        .join(hop.select(col("id").as("jid"), col("label").as("jl")).as("b")
+            .hint("shuffle_hash"),
           col("a.label") === col("b.jid"), "left")
         .select(col("a.id").as("id"),
           coalesce(col("jl"), col("a.label")).as("label"))
@@ -626,7 +648,7 @@ object Dedup {
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
       sess.conf.set("spark.sql.shuffle.partitions", partsWas)
-      bidir.unpersist()
+      if (bidir ne null) bidir.unpersist()
     }
   }
 
