@@ -111,7 +111,7 @@ object Bench {
       val okRuns = runs.filter(_._2.isEmpty)
       val err = if (okRuns.nonEmpty) None else runs.last._2
       val sec = (if (okRuns.nonEmpty) okRuns else runs).map(_._1).min
-      (q.name, sec, err, runs.map(_._1))
+      (q.name, sec, err, runs)
     }
     // JSON escape incl. ALL control chars (<0x20), and locale-free
     // number formatting — a comma-decimal default locale or a control
@@ -133,9 +133,13 @@ object Bench {
     // every per-pass sample, not just the min: min-of-3 is the right
     // steady-state estimator, but it can HIDE a warm-path regression
     // behind one lucky sample — the raw samples keep that visible to a
-    // reader diffing BENCH_OUT across commits
-    val samples = results.map { case (k, _, _, ss) =>
-      jstr(k) + ":[" + ss.map(jnum).mkString(",") + "]"
+    // reader diffing BENCH_OUT across commits. A FAILED run's elapsed
+    // time is emitted as null, not a number: a fast failure would
+    // otherwise read as a genuine 30x-faster warm sample.
+    val samples = results.map { case (k, _, _, runs) =>
+      jstr(k) + ":[" + runs.map { case (sec, e) =>
+        if (e.isEmpty) jnum(sec) else "null"
+      }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val line =

@@ -36,6 +36,7 @@ object ProbeCc {
     val before = jobs.get()
     val t0 = System.nanoTime()
     val labels = graft.llm.Dedup.connectedComponents(edges, driverThreshold = 0)
+    Thread.sleep(300) // drain the async listener bus before the snapshot
     val afterLoop = jobs.get()
     val n = labels.count() // checkpointed output: this is 1 trivial job
     Thread.sleep(300)

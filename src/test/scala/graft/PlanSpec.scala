@@ -36,38 +36,31 @@ class PlanSpec extends AnyFunSuite {
       s"rollup must scan the fact table exactly once:\n$p")
   }
 
-  test("no unbounded cartesian anywhere in the registry") {
-    // CartesianProduct = non-broadcast cross join: always a scale bug.
-    // (BroadcastNestedLoopJoin appears only with a bounded broadcast
-    // side — the audited exact-verifier twins.)
-    SparkEntry.registry.foreach { q =>
-      val p = q.fn(spark, SparkTestBase.sf).queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"),
-        s"${q.name} plans a CartesianProduct")
-      // Caching.eager materializes during fn() — drop per query, not
-      // once at the end, or ~50 queries' caches pile up in one JVM
-      spark.catalog.clearCache()
-    }
-  }
-
-  test("no inequality-only join anywhere in the registry") {
-    // A join whose condition carries NO equality predicate compares
-    // |L|×|R| pairs — at 100× rows that is 10,000× the work, the
-    // classic scale-killer hiding behind a green toy-scale run (the
-    // r5 q31 regression: an all-pairs Hamming verification twin inside
-    // a registered plan). Allowed ONLY where one side is a bounded
-    // broadcast by construction — the audited exact-verifier paths
-    // whose query side is capped (vec_id < 50 → ≤50 rows) regardless
-    // of corpus size.
+  test("no unbounded cartesian or inequality-only join anywhere in the registry") {
+    // ONE pass over the registry (each fn() materializes eager caches
+    // and runs q59/q67's full clustering — two separate passes double
+    // that) asserting two contracts per query:
+    //  (a) CartesianProduct = non-broadcast cross join: always a scale
+    //      bug. (BroadcastNestedLoopJoin appears only with a bounded
+    //      broadcast side — the audited exact-verifier twins.)
+    //  (b) a join whose condition carries NO equality predicate
+    //      compares |L|×|R| pairs — at 100× rows that is 10,000× the
+    //      work, the classic scale-killer hiding behind a green
+    //      toy-scale run (the r5 q31 regression: an all-pairs Hamming
+    //      verification twin inside a registered plan). Allowed ONLY
+    //      where one side is a bounded broadcast by construction — the
+    //      audited exact-verifier paths whose query side is capped
+    //      (vec_id < 50 → ≤50 rows) regardless of corpus size.
     import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val boundedBroadcastAudited =
       Set("q29_topk_similarity", "q32_ann_lsh", "q70_ann_ivf")
-    SparkEntry.registry.filterNot(q => boundedBroadcastAudited(q.name))
-      .foreach { q =>
-        val joins = q.fn(spark, SparkTestBase.sf)
-          .queryExecution.optimizedPlan.collect { case j: Join => j }
-        joins.foreach { j =>
+    SparkEntry.registry.foreach { q =>
+      val qe = q.fn(spark, SparkTestBase.sf).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct")
+      if (!boundedBroadcastAudited(q.name)) {
+        qe.optimizedPlan.collect { case j: Join => j }.foreach { j =>
           val equi = j.condition.exists(_.find {
             case _: EqualTo | _: EqualNullSafe => true
             case _                             => false
@@ -76,8 +69,11 @@ class PlanSpec extends AnyFunSuite {
             s"${q.name} plans an inequality-only join " +
             s"(condition: ${j.condition.map(_.sql)}) — an all-pairs scan at scale")
         }
-        spark.catalog.clearCache()
       }
+      // Caching.eager materializes during fn() — drop per query, not
+      // once at the end, or ~50 queries' caches pile up in one JVM
+      spark.catalog.clearCache()
+    }
   }
 
   test("q33: bucketed near-dup joins on bands, never an all-pairs loop") {
