@@ -624,7 +624,11 @@ object Dedup {
       // so the shuffled hash join is also the only shape that holds
       // at the design point. Build side = the per-partition slice of
       // the label frame, bounded by the ~250k-rows/partition width
-      // chosen above.
+      // chosen above (a few MB per task). That bound loosens only if
+      // the loopParts cap binds — a graph so large that
+      // edges/250k > max(session partitions, 2048) — where the right
+      // fix is raising spark.sql.shuffle.partitions to match the
+      // cluster, as the width comment above documents.
       val next = hop.as("a")
         .join(hop.select(col("id").as("jid"), col("label").as("jl")).as("b")
             .hint("shuffle_hash"),
