@@ -199,12 +199,82 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: emits the target dims (a real kernel returns resized
-    * bytes); keeps the (payload in → payload out) signature. */
-  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
-    media.withColumn("resized_payload", col("payload"))
+  /** REAL nearest-neighbor resample of an uncompressed 24bpp BMP —
+    * pure byte arithmetic, no codec: parses the BITMAPINFOHEADER,
+    * maps each target pixel (x, y) to source pixel
+    * (x·w/tw, y·h/th) in stored-row order (bottom-up stays
+    * bottom-up, top-down stays top-down — the height sign is
+    * preserved), and emits a standard 54-byte-header BMP with
+    * 4-byte-aligned rows. Returns None for anything that isn't a
+    * plain uncompressed 24bpp BMP with a complete pixel array —
+    * those formats need a codec this container doesn't have
+    * (callers fall back to pass-through, the documented stub path).
+    */
+  private[graft] def resizeBmpBytes(src: Array[Byte], tw: Int,
+                                    th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, s"target dims must be positive: ${tw}x$th")
+    if (src.length < 54 || src(0) != 'B'.toByte || src(1) != 'M'.toByte)
+      return None
+    val dataOff = leInt(src, 10)
+    val w = leInt(src, 18)
+    val hRaw = leInt(src, 22)
+    val h = math.abs(hRaw)
+    val bitCount = leShort(src, 28)
+    val compression = leInt(src, 30)
+    if (w <= 0 || h == 0 || bitCount != 24 || compression != 0) return None
+    val srcRow = ((w * 3 + 3) / 4) * 4
+    if (dataOff < 54 || src.length < dataOff.toLong + srcRow.toLong * h)
+      return None
+    val dstRow = ((tw * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + dstRow * th)
+    out(0) = 'B'; out(1) = 'M'
+    def putLeInt(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    putLeInt(out, 2, out.length) // file size
+    putLeInt(out, 10, 54)        // pixel data offset
+    putLeInt(out, 14, 40)        // BITMAPINFOHEADER size
+    putLeInt(out, 18, tw)
+    putLeInt(out, 22, if (hRaw < 0) -th else th)
+    out(26) = 1                  // planes
+    out(28) = 24                 // bits per pixel
+    putLeInt(out, 34, dstRow * th) // image size
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * w / tw).toInt
+        val s = dataOff + sy * srcRow + sx * 3
+        val d = 54 + y * dstRow + x * 3
+        out(d) = src(s); out(d + 1) = src(s + 1); out(d + 2) = src(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Resize stage: the BMP kernel is REAL ([[resizeBmpBytes]] — NN
+    * resample in plain byte arithmetic); payloads any other kernel
+    * would need a codec for pass through unchanged (the documented
+    * stub path — the Spark-side plumbing, batched `mapPartitions`
+    * shape and (payload in → payload out) signature, is what this
+    * stage exists to pin). */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    // single map pass carrying the row through — a join-back to attach
+    // one column would shuffle a map-only stage
+    media.as[MediaRow].mapPartitions(_.map { m =>
+        (m.media_id, m.kind, m.payload, m.source,
+          resizeBmpBytes(m.payload, targetW, targetH).getOrElse(m.payload))
+      })
+      .toDF("media_id", "kind", "payload", "source", "resized_payload")
       .withColumn("target_w", lit(targetW))
       .withColumn("target_h", lit(targetH))
+  }
 
   /** Frame sampling for video rows: every `stride`-th frame index up to
     * the decoded frame count — generates (media_id, frame_no) rows; the

@@ -38,6 +38,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stubbed.width >= 64 && !stubbed.wavParsed) // stub range
   }
 
+  test("BMP resize kernel resamples pixels for real (round-trips the decoder)") {
+    def putLe(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    // real 4x2 24bpp bottom-up BMP, each pixel a distinct BGR triple
+    // (value = 10*x + y); width 4 → row size 12, no padding
+    def pix(x: Int, y: Int): Byte = (10 * x + y).toByte
+    val w = 4; val h = 2
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val src = new Array[Byte](54 + rowSize * h)
+    src(0) = 'B'; src(1) = 'M'
+    putLe(src, 10, 54); putLe(src, 14, 40)
+    putLe(src, 18, w); putLe(src, 22, h)
+    src(28) = 24
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      src(54 + y * rowSize + x * 3 + c) = pix(x, y)
+    // 2x1: NN maps target x∈{0,1} → source x∈{0,2}, y=0 → source y=0
+    val out = Multimodal.resizeBmpBytes(src, 2, 1).get
+    assert(Multimodal.decodeBmp(out).contains((2, 1)), "decoder round-trip")
+    assert(out.length == 54 + 8, "2px row pads to 8 bytes")     // 6 data + 2 pad
+    assert(out(54) == pix(0, 0) && out(57) == pix(2, 0), "NN source pixels")
+    // upscale works too (pixel replication)
+    val up = Multimodal.resizeBmpBytes(src, 8, 4).get
+    assert(Multimodal.decodeBmp(up).contains((8, 4)))
+    assert(up(54) == pix(0, 0) && up(54 + 3) == pix(0, 0), "x=0,1 replicate src x=0")
+    // top-down orientation (negative height) is preserved
+    val td = src.clone(); putLe(td, 22, -h)
+    val tdOut = Multimodal.resizeBmpBytes(td, 2, 1).get
+    assert(Multimodal.decodeBmp(tdOut).contains((2, 1)))
+    assert((tdOut(25) & 0x80) != 0, "height stays negative (top-down)")
+    // codec-requiring payloads are refused: header-only synthetic BMPs
+    // (no pixel array), non-BMP bytes — the DataFrame stage passes them
+    // through unchanged
+    assert(Multimodal.resizeBmpBytes(
+      Multimodal.syntheticPayload(5, "image"), 2, 1).isEmpty)
+    assert(Multimodal.resizeBmpBytes("RIFFxxxx".getBytes, 2, 1).isEmpty)
+  }
+
+  test("resize stage resamples parsable BMPs and passes others through") {
+    def putLe(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    val w = 4; val h = 4
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val real = new Array[Byte](54 + rowSize * h)
+    real(0) = 'B'; real(1) = 'M'
+    putLe(real, 10, 54); putLe(real, 14, 40)
+    putLe(real, 18, w); putLe(real, 22, h)
+    real(28) = 24
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", real, "s"),
+      Multimodal.MediaRow(2L, "audio", Multimodal.syntheticPayload(7, "audio"), "s"))
+      .toDF()
+    val out = Multimodal.resize(media, 2, 2)
+      .select($"media_id", $"resized_payload", $"target_w")
+      .as[(Long, Array[Byte], Int)].collect().sortBy(_._1)
+    assert(Multimodal.decodeBmp(out(0)._2).contains((2, 2)), "BMP resampled")
+    assert(out(1)._2.sameElements(Multimodal.syntheticPayload(7, "audio")),
+      "non-BMP passes through byte-identical")
+    assert(out.forall(_._3 == 2))
+  }
+
   test("decodeAndExtract is deterministic and byte_len is exact") {
     val media = Seq(
       (1L, "image", "payload-one", "src"),
