@@ -186,13 +186,13 @@ object SystemShapes {
     * and decodes UTF-8 mojibakes or drops them — plus every token of
     * the reference NA set spread across string and numeric columns. */
   private[graft] lazy val csvLatin1Rows: String =
-    "STOP_NAME,REGION,RIDERS,NOTE\n" +
-    "Café Corniche,AD,120,ok\n" +
-    "Über Station,AD,NA,\n" +
-    "Bahnhof Müller,ER,85,N/A\n" +
-    "NA,ER,40,null\n" +
-    "Plaça Reial,WR,#N/A,fine\n" +
-    ",WR,60,NULL\n"
+    "STOP_NAME,REGION,RIDERS,NOTE,VISIT_TS\n" +
+    "Café Corniche,AD,120,ok,01.03.2025 10:15:00\n" +
+    "Über Station,AD,NA,,02.03.2025 08:00:30\n" +
+    "Bahnhof Müller,ER,85,N/A,NA\n" +
+    "NA,ER,40,null,15.03.2025 23:59:59\n" +
+    "Plaça Reial,WR,#N/A,fine,07.03.2025 12:30:00\n" +
+    ",WR,60,NULL,\n"
 
   private[graft] lazy val csvLatin1FixturePath: String =
     materializeBytes(
@@ -209,26 +209,32 @@ object SystemShapes {
       Paths.get(System.getProperty("java.io.tmpdir"), "graft_stops_utf8_twin.csv"),
       csvLatin1Rows.getBytes(StandardCharsets.UTF_8))
 
-  /** S5+P9+F26 oracle-checked end-to-end: encoding detection with the
-    * UTF-8 → Latin-1 fallback ladder ([[Sinks.detectCsvEncoding]],
+  /** S5+S7+P9+F26 oracle-checked end-to-end: encoding detection with
+    * the UTF-8 → Latin-1 fallback ladder ([[Sinks.detectCsvEncoding]],
     * the reference's fread ladder `data_ingestion/pg_import.R:53-84`),
-    * explicit-schema CSV read (no inference scan), and the
-    * six-token NA set (`pg_import.R:83`) normalized post-read
+    * explicit-schema CSV read with an EXPLICIT non-ISO timestamp
+    * format (`dd.MM.yyyy HH:mm:ss` — the `pd.read_csv(dtype,
+    * parse_dates)` shape, `scripts/ads_passenger_travel_info_mi
+    * .py:29-45`; no inference scan), and the six-token NA set
+    * (`pg_import.R:83`) normalized post-read
     * ([[Sinks.normalizeNaTokens]] — codegen'd `when` chain). The
     * numeric column exercises the permissive-parse path ("#N/A" under
-    * BIGINT → NULL), the string columns the token scrub, and the
-    * accented names pin the decode byte-for-byte. */
+    * BIGINT → NULL), the timestamp column both the format parse and
+    * the NA token under TIMESTAMP, the string columns the token
+    * scrub, and the accented names pin the decode byte-for-byte. */
   val q69 = QueryDef(
     "q69_csv_encoding_ingest",
     (s, dir) => {
       import graft.io.Sinks
-      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
       csvLatin1UtfTwinPath // materialized for the oracle's read_csv
       val path = csvLatin1FixturePath
       val schema = StructType(Seq(
         StructField("STOP_NAME", StringType), StructField("REGION", StringType),
-        StructField("RIDERS", LongType), StructField("NOTE", StringType)))
+        StructField("RIDERS", LongType), StructField("NOTE", StringType),
+        StructField("VISIT_TS", TimestampType)))
       val df = Sinks.readCsvExplicit(s, path, schema,
+        timestampFormat = "dd.MM.yyyy HH:mm:ss",
         encoding = Sinks.detectCsvEncoding(path))
       Sinks.normalizeNaTokens(df)
         .groupBy(col("REGION"))
@@ -236,6 +242,9 @@ object SystemShapes {
           count(col("STOP_NAME")).as("n_names"),
           sum(col("RIDERS")).as("riders"),
           count(col("NOTE")).as("n_notes"),
+          count(col("VISIT_TS")).as("n_ts"),
+          date_format(max(col("VISIT_TS")), "yyyy-MM-dd HH:mm:ss")
+            .as("last_visit"),
           concat_ws(",", sort_array(collect_list(col("STOP_NAME")))).as("stops"))
         .orderBy(col("REGION"))
     },
@@ -243,11 +252,14 @@ object SystemShapes {
             |  CAST(count(STOP_NAME) AS BIGINT) AS n_names,
             |  CAST(sum(RIDERS) AS BIGINT) AS riders,
             |  CAST(count(NOTE) AS BIGINT) AS n_notes,
+            |  CAST(count(VISIT_TS) AS BIGINT) AS n_ts,
+            |  strftime(max(VISIT_TS), '%Y-%m-%d %H:%M:%S') AS last_visit,
             |  string_agg(STOP_NAME, ',' ORDER BY STOP_NAME) AS stops
             |FROM read_csv('${Paths.get(System.getProperty("java.io.tmpdir"), "graft_stops_utf8_twin.csv")}',
             |  header=true, nullstr=['','NA','NULL','null','N/A','#N/A'],
+            |  timestampformat='%d.%m.%Y %H:%M:%S',
             |  columns={'STOP_NAME':'VARCHAR','REGION':'VARCHAR',
-            |    'RIDERS':'BIGINT','NOTE':'VARCHAR'})
+            |    'RIDERS':'BIGINT','NOTE':'VARCHAR','VISIT_TS':'TIMESTAMP'})
             |GROUP BY REGION ORDER BY REGION""".stripMargin))
 
   /** S13 — deterministic GeoJSON FeatureCollection fixture (the three

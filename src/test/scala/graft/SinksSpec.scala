@@ -105,15 +105,20 @@ class SinksSpec extends AnyFunSuite {
   }
 
   test("q69 Latin-1 ingest matches the hand-computed result") {
-    // end-to-end S5+P9+F26: detect ISO-8859-1, decode the accents,
-    // null all six NA tokens (incl. "#N/A" under BIGINT), aggregate
+    // end-to-end S5+S7+P9+F26: detect ISO-8859-1, decode the accents,
+    // parse dd.MM.yyyy timestamps, null all six NA tokens (incl.
+    // "#N/A" under BIGINT and "NA" under TIMESTAMP), aggregate
     val got = graft.SparkEntry.queries("q69_csv_encoding_ingest")(
         spark, SparkTestBase.sf)
-      .as[(String, Long, Long, Long, Long, String)].collect().toSeq
+      .as[(String, Long, Long, Long, Long, Long, String, String)]
+      .collect().toSeq
     assert(got == Seq(
-      ("AD", 2L, 2L, 120L, 1L, "Café Corniche,Über Station"),
-      ("ER", 2L, 1L, 125L, 0L, "Bahnhof Müller"),
-      ("WR", 2L, 1L, 60L, 1L, "Plaça Reial")))
+      ("AD", 2L, 2L, 120L, 1L, 2L, "2025-03-02 08:00:30",
+        "Café Corniche,Über Station"),
+      ("ER", 2L, 1L, 125L, 0L, 1L, "2025-03-15 23:59:59",
+        "Bahnhof Müller"),
+      ("WR", 2L, 1L, 60L, 1L, 1L, "2025-03-07 12:30:00",
+        "Plaça Reial")))
   }
 
   test("readCsvExplicit applies a fixed schema and parses timestamps (S7)") {
