@@ -154,6 +154,53 @@ object Dedup {
       .agg(collect_list(col("id")).as("ids")), maxBucketSize)
   }
 
+  /** Per-document band hashes computed LOCALLY (a plain JVM fold), in
+    * BIT-EXACT parity with the batch banding above: every hash goes
+    * through Spark's own `XxHash64Function` with the identical
+    * argument types and fold order the `xxhash64(...)` columns use
+    * (seed 42; `lit(j)`/`lit(b)` are IntegerType, h1/h2/mh are
+    * LongType; multi-arg calls fold left-to-right through the
+    * accumulated seed). This is the STREAMING form of the signature:
+    * a stream row carries the whole document, so the batch side's
+    * explode→agg (built to get map-side combine across its shuffle)
+    * degenerates to a per-doc fold — one pass over the shingles, no
+    * shuffle, no interpreted HOF tree. StreamingSpec pins the parity
+    * end-to-end (stream candidate set == batch candidate set). */
+  private[graft] def bandHashesLocal(shingles: Seq[String], bands: Int,
+                                     rows: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val numHashes = bands * rows
+    require(numHashes <= 64,
+      s"signature width is capped at 64 hashes, got $numHashes")
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      val u = UTF8String.fromString(s)
+      val h1 = XxHash64Function.hash(u, StringType,
+        XxHash64Function.hash(0, IntegerType, 42L))
+      val h2 = XxHash64Function.hash(u, StringType,
+        XxHash64Function.hash(1, IntegerType, 42L))
+      var j = 0
+      while (j < numHashes) {
+        val hj = XxHash64Function.hash(h2, LongType,
+          XxHash64Function.hash(h1, LongType,
+            XxHash64Function.hash(j, IntegerType, 42L)))
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+    }
+    Array.tabulate(bands) { b =>
+      var seed = XxHash64Function.hash(b, IntegerType, 42L)
+      var r = 0
+      while (r < rows) {
+        seed = XxHash64Function.hash(mins(b * rows + r), LongType, seed)
+        r += 1
+      }
+      seed
+    }
+  }
+
   /** Distinct (id_a < id_b) pairs from per-bucket member lists,
     * dropping singleton and oversized buckets. Shared by the MinHash
     * and sign-LSH candidate generators. */

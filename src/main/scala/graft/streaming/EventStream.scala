@@ -135,6 +135,100 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** One LSH band-bucket's state: member ids seen inside the horizon,
+    * plus the member COUNT including members dropped after overflow —
+    * the cap must keep counting or a hot bucket would re-arm below the
+    * cap the moment its list is cleared. */
+  final case class BucketState(ids: List[Long], n: Int, overflowed: Boolean)
+
+  /** Streaming MinHash-LSH near-dup candidate generation — the
+    * continuous-ingest twin of [[graft.llm.Dedup.minhashLshCandidates]]
+    * (q30's operator): documents arriving on a stream emit candidate
+    * pairs against every document that shares an LSH band bucket
+    * within the watermark horizon.
+    *
+    * Construction: the shingle set comes from the IDENTICAL batch
+    * expression ([[graft.llm.Dedup.shingles]]); the 64-hash signature
+    * and band hashes are folded per row in
+    * [[graft.llm.Dedup.bandHashesLocal]] — bit-exact parity with the
+    * batch banding via Spark's own XxHash64 kernel (a stream row
+    * carries the whole document, so the batch's explode→agg shuffle
+    * shape degenerates to a per-doc fold). Buckets live in
+    * `flatMapGroupsWithState` keyed by (band, band_hash):
+    *  - a new member emits one (id_a < id_b) pair per existing member
+    *    — per band exactly once; a pair sharing several bands emits
+    *    once per band (the batch path's cross-band `distinct()` needs
+    *    a second stateful operator here; callers dedup downstream or
+    *    compare distinct sets, as StreamingSpec does);
+    *  - `maxBucketSize` is the same degenerate-bucket guard as the
+    *    batch cap: a bucket past the cap stops emitting AND drops its
+    *    member list (state stays O(cap) per bucket), keeping only the
+    *    poisoned count. Below the cap the pair set equals the batch
+    *    pair set (StreamingSpec pins set equality on the documents
+    *    corpus); above it the two sides legitimately diverge — batch
+    *    retroactively drops the WHOLE bucket, a stream cannot unemit.
+    *  - state is evicted once the watermark passes `idleTimeout` past
+    *    a bucket's last arrival — near-dups cluster in time on crawl
+    *    feeds (same contract as [[streamingExactDedup]]); global
+    *    history belongs to the batch path.
+    */
+  def streamingMinhashCandidates(docs: DataFrame, idCol: String,
+                                 textCol: String, tsCol: String,
+                                 shingleN: Int = 2, bands: Int = 16,
+                                 rows: Int = 4, maxBucketSize: Int = 500,
+                                 watermark: String = "2 hours",
+                                 idleTimeout: String = "24 hours"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        graft.llm.Dedup.shingles(col(textCol), shingleN).as("sh"))
+      .as[(Long, java.sql.Timestamp, Seq[String])]
+      .flatMap { case (id, ts, sh) =>
+        graft.llm.Dedup.bandHashesLocal(sh, bands, rows)
+          .iterator.zipWithIndex.map { case (bh, b) => (id, ts, b, bh) }
+      }
+      .toDF("id", "ts", "band", "band_hash")
+    banded
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long),
+         arrivals: Iterator[(Long, java.sql.Timestamp, Int, Long)],
+         st: GroupState[BucketState]) =>
+          if (st.hasTimedOut) {
+            st.remove()
+            Iterator.empty
+          } else {
+            var s = st.getOption.getOrElse(BucketState(Nil, 0, false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+            var maxTs = Long.MinValue
+            arrivals.foreach { case (id, ts, band, _) =>
+              maxTs = math.max(maxTs, ts.getTime)
+              // replay/duplicate-delivery guard: a member already in
+              // the bucket re-emits nothing (batch input is one row
+              // per id by construction)
+              if (!s.overflowed && !s.ids.contains(id)) {
+                if (s.n + 1 > maxBucketSize)
+                  s = BucketState(Nil, s.n + 1, overflowed = true)
+                else {
+                  s.ids.foreach { other =>
+                    out += ((math.min(id, other), math.max(id, other), band))
+                  }
+                  s = BucketState(id :: s.ids, s.n + 1, overflowed = false)
+                }
+              }
+            }
+            st.update(s)
+            st.setTimeoutTimestamp(maxTs, idleTimeout)
+            out.iterator
+          }
+      }
+      .toDF("id_a", "id_b", "band")
+  }
+
   /** Stream-stream INTERVAL join: each tap (left) enriched with the
     * same user's follow-up events (right) arriving within `horizon`
     * after it — the continuous form of the reference's

@@ -294,6 +294,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._1) == Set(1L, 3L), "u1 in-horizon and u3 boundary only")
   }
 
+  test("streaming MinHash banding emits exactly the batch candidate pair set") {
+    // the continuous-ingest twin of q30's operator: same shingle
+    // expression, bit-parity band hashes (Dedup.bandHashesLocal via
+    // Spark's XxHash64 kernel), band buckets in flatMapGroupsWithState.
+    // Set equality against the batch generator over the whole corpus
+    // is the end-to-end parity proof — a single diverging hash value
+    // moves a document to a different bucket and breaks it. LlmSpec's
+    // brute-force test already proves the batch set correct.
+    val sfDir = SparkTestBase.sf
+    val docSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    // synthetic event time from doc_id: deterministic, all rows well
+    // inside one watermark horizon (arrival order is irrelevant to the
+    // set contract — buckets accumulate)
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+    val got = EventStream.runToMemorySink(spark,
+        EventStream.streamingMinhashCandidates(stream, "doc_id", "text", "ts"),
+        "minhash_stream", OutputMode.Append())
+      .select($"id_a", $"id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    val want = graft.llm.Dedup
+      .minhashLshCandidates(Tables.documents(spark, sfDir), "doc_id", "text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture must contain near-dup candidates")
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("streaming MinHash bucket cap poisons hot buckets and bounds state") {
+    // 4 identical docs with cap 3: members 1..3 emit C(3,2)=3 pairs per
+    // band; member 4 overflows — no new pairs, list dropped. Identical
+    // docs share EVERY band, so per-band counts multiply by 16 bands.
+    val dir = Files.createTempDirectory("graft_stream_mh")
+    writeEventFile(dir, "p0.parquet", 0, Seq(
+      ("2024-01-01 10:00:00", 1L, "alpha beta gamma delta", 1.0),
+      ("2024-01-01 10:01:00", 2L, "alpha beta gamma delta", 1.0),
+      ("2024-01-01 10:02:00", 3L, "alpha beta gamma delta", 1.0)))
+    writeEventFile(dir, "p1.parquet", 1, Seq(
+      ("2024-01-01 10:03:00", 4L, "alpha beta gamma delta", 1.0)))
+    val got = EventStream.runToMemorySink(spark,
+        EventStream.streamingMinhashCandidates(streamFrom(dir),
+          "user_id", "event_type", "ts", maxBucketSize = 3),
+        "minhash_cap_stream", OutputMode.Append())
+      .select($"id_a", $"id_b", $"band").as[(Long, Long, Int)].collect()
+    assert(got.length == 3 * 16, s"3 pairs x 16 bands, got ${got.length}")
+    assert(got.map(r => (r._1, r._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "doc 4 must emit nothing after the bucket poisons")
+  }
+
   test("streamingExactDedup emits one row per canonical fingerprint") {
     val dir = Files.createTempDirectory("graft_stream_dedup")
     // event_type plays the document text; "A b" / " a  B " canonicalize
