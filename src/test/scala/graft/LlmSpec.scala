@@ -224,6 +224,35 @@ class LlmSpec extends AnyFunSuite {
       "the distinct near-dup pair must still be found by LSH")
   }
 
+  test("bandHashesLocal is bit-exact with the batch banding expressions") {
+    // the streaming MinHash path folds band hashes per row through
+    // Spark's XxHash64 kernel; this pins it against the exact column
+    // expressions the batch signature/banding uses (same literal
+    // types, same fold order) — StreamingSpec's stream==batch set
+    // equality depends on this, and a direct unit makes a divergence
+    // diagnosable per hash instead of per candidate set
+    val bands = 16; val rows = 4; val numHashes = bands * rows
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "lorem ipsum dolor sit amet consectetur"),
+      (3L, "single"), (4L, "")).toDF("id", "text")
+    val sh = df.select($"id", Dedup.shingles($"text", 2).as("sh"))
+    val sig = sh.select($"id", explode($"sh").as("s"))
+      .select($"id",
+        xxhash64(lit(0), $"s").as("h1"), xxhash64(lit(1), $"s").as("h2"))
+      .groupBy($"id")
+      .agg(min(xxhash64(lit(0), $"h1", $"h2")).as("mh0"),
+        (1 until numHashes).map(j =>
+          min(xxhash64(lit(j), $"h1", $"h2")).as(s"mh$j")): _*)
+    val batch = sig.select($"id", array((0 until bands).map { b =>
+        xxhash64((lit(b) +: (0 until rows).map(r =>
+          col(s"mh${b * rows + r}"))): _*)
+      }: _*).as("bh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val local = sh.as[(Long, Seq[String])].collect().toMap
+      .map { case (id, s) => id -> Dedup.bandHashesLocal(s, bands, rows).toSeq }
+    assert(local == batch)
+  }
+
   test("SimHash banding returns exactly the hamming<=maxHamming pair set") {
     // Brute-force ground truth: XOR popcount over all fingerprint pairs.
     val fps = docs
