@@ -224,6 +224,39 @@ class LlmSpec extends AnyFunSuite {
       "the distinct near-dup pair must still be found by LSH")
   }
 
+  test("connectedComponents matches union-find on seeded random graphs (distributed path)") {
+    // the fused hop+jump loop (one checkpoint per round, shuffle_hash
+    // pinned) against an independent union-find, over graphs with
+    // self-loops, duplicate edges, sparse ids, and multiple components
+    // — deterministic seed, so a failure reproduces
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 5).foreach { g =>
+      val n = 10 + rnd.nextInt(50)
+      val m = 5 + rnd.nextInt(100)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong * 7, rnd.nextInt(n).toLong * 7))
+      val got = Dedup.connectedComponents(edges.toDF("src", "dst"),
+          driverThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      val real = edges.filter(e => e._1 != e._2)
+      real.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = real.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      assert(got == want, s"graph $g: n=$n m=$m")
+    }
+  }
+
   test("bandHashesLocal is bit-exact with the batch banding expressions") {
     // the streaming MinHash path folds band hashes per row through
     // Spark's XxHash64 kernel; this pins it against the exact column
