@@ -544,6 +544,12 @@ object Dedup {
     // a hub node's neighbor list, and the min() aggregate that
     // consumes the join is map-side combinable, so a hot key
     // collapses to one row per map task before the shuffle.
+    // NOTE: the invocation mutates SESSION-global conf (AQE off, loop-
+    // sized shuffle width) and restores it on exit — correct under the
+    // serial bench/driver harness, but a query running CONCURRENTLY on
+    // the same SparkSession would silently execute under these
+    // settings. Concurrent use needs a cloned session (newSession())
+    // scoping its own SQLConf.
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val partsWas = sess.conf.get("spark.sql.shuffle.partitions")
@@ -576,7 +582,17 @@ object Dedup {
     val sessParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.min(math.max(1L, (nEdges + 249999L) / 250000L),
       math.max(sessParts, 2048).toLong).toInt
-    if (loopParts != sessParts) {
+    // The edge cache is RE-laid-out only when the loop needs MORE
+    // partitions than the session width gave it (a graph so fat that
+    // sessParts-wide partitions overflow memory) — the at-scale safety
+    // valve. Scaling DOWN (loopParts < sessParts, the toy-scale case)
+    // keeps the session-width cache as-is: every round's join follows
+    // the cache's advertised hash(dst) layout, so a sessParts-wide
+    // stage is one parallel task wave on a sessParts-core runtime, and
+    // dropping the second cache-materialization job saves more than
+    // narrow stages ever did (r6 setup = 2 jobs; now 1). Aggregates
+    // and the jump join still run at loopParts via the conf below.
+    if (loopParts > sessParts) {
       val b = graft.core.Caching.eager(
         bidir0.repartition(loopParts, col("dst")))
       bidir0.unpersist()

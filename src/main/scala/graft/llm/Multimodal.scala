@@ -226,6 +226,10 @@ object Multimodal {
     if (dataOff < 54 || src.length < dataOff.toLong + srcRow.toLong * h)
       return None
     val dstRow = ((tw * 3 + 3) / 4) * 4
+    // oversized target dims would overflow the Int array size (and the
+    // header's image-size field) into a NegativeArraySizeException;
+    // an un-materializable BMP is a None, not a crash
+    if (54L + dstRow.toLong * th > Int.MaxValue.toLong) return None
     val out = new Array[Byte](54 + dstRow * th)
     out(0) = 'B'; out(1) = 'M'
     def putLeInt(b: Array[Byte], off: Int, v: Int): Unit = {
@@ -259,19 +263,17 @@ object Multimodal {
   /** Resize stage: the BMP kernel is REAL ([[resizeBmpBytes]] — NN
     * resample in plain byte arithmetic); payloads any other kernel
     * would need a codec for pass through unchanged (the documented
-    * stub path — the Spark-side plumbing, batched `mapPartitions`
-    * shape and (payload in → payload out) signature, is what this
-    * stage exists to pin). */
+    * stub path). Only a `payload` binary column is required — every
+    * other input column passes through untouched (a `withColumn` on
+    * the payload, not a typed re-projection, so callers keep whatever
+    * metadata they carry). A null payload stays null. */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    // single map pass carrying the row through — a join-back to attach
-    // one column would shuffle a map-only stage
-    media.as[MediaRow].mapPartitions(_.map { m =>
-        (m.media_id, m.kind, m.payload, m.source,
-          resizeBmpBytes(m.payload, targetW, targetH).getOrElse(m.payload))
-      })
-      .toDF("media_id", "kind", "payload", "source", "resized_payload")
+    val kernel = udf { payload: Array[Byte] =>
+      if (payload == null) null
+      else resizeBmpBytes(payload, targetW, targetH).getOrElse(payload)
+    }
+    media
+      .withColumn("resized_payload", kernel(col("payload")))
       .withColumn("target_w", lit(targetW))
       .withColumn("target_h", lit(targetH))
   }

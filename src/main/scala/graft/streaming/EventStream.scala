@@ -102,16 +102,27 @@ object EventStream {
             st.remove()
             Iterator.empty
           } else {
+            // flatMapGroupsWithState does NOT drop late rows for us: a
+            // row behind the watermark must be skipped here, both for
+            // semantics (the aggregate paths drop it) and because a
+            // timeout computed from its old event time would be behind
+            // the watermark and setTimeoutTimestamp would throw,
+            // crashing the whole query on one straggler.
+            val wm = st.getCurrentWatermarkMs()
             val prev = st.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
             var n = prev.n_events; var tot = prev.total_value
             var maxTs = Long.MinValue
             rows.foreach { r =>
-              n += 1; tot += r._2; maxTs = math.max(maxTs, r._3.getTime)
+              val t = r._3.getTime
+              if (t >= wm) { n += 1; tot += r._2; maxTs = math.max(maxTs, t) }
             }
-            val next = UserRunning(uid, n, tot)
-            st.update(next)
-            st.setTimeoutTimestamp(maxTs, idleTimeout)
-            Iterator.single(next)
+            if (maxTs == Long.MinValue) Iterator.empty // every row was late
+            else {
+              val next = UserRunning(uid, n, tot)
+              st.update(next)
+              st.setTimeoutTimestamp(maxTs, idleTimeout)
+              Iterator.single(next)
+            }
           }
       }
   }
@@ -183,6 +194,12 @@ object EventStream {
     val banded = docs
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
         graft.llm.Dedup.shingles(col(textCol), shingleN).as("sh"))
+      // parity with the batch path's explode: a null/uncastable id, a
+      // null text (null shingle array) or an empty shingle set produces
+      // no banded rows there — here it would NPE in the typed flatMap
+      // (primitive Long / Seq decode of null), so drop it up front
+      .where(col("id").isNotNull && col("ts").isNotNull &&
+        col("sh").isNotNull && size(col("sh")) > 0)
       .as[(Long, java.sql.Timestamp, Seq[String])]
       .flatMap { case (id, ts, sh) =>
         graft.llm.Dedup.bandHashesLocal(sh, bands, rows)
@@ -202,28 +219,39 @@ object EventStream {
             st.remove()
             Iterator.empty
           } else {
+            // drop arrivals already behind the watermark (the engine
+            // does not filter them for this operator): they would both
+            // diverge from batch semantics and — worse — drag maxTs
+            // behind the watermark, making setTimeoutTimestamp throw
+            // and kill the query on a single straggler doc
+            val wm = st.getCurrentWatermarkMs()
             var s = st.getOption.getOrElse(BucketState(Nil, 0, false))
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
             var maxTs = Long.MinValue
             arrivals.foreach { case (id, ts, band, _) =>
-              maxTs = math.max(maxTs, ts.getTime)
-              // replay/duplicate-delivery guard: a member already in
-              // the bucket re-emits nothing (batch input is one row
-              // per id by construction)
-              if (!s.overflowed && !s.ids.contains(id)) {
-                if (s.n + 1 > maxBucketSize)
-                  s = BucketState(Nil, s.n + 1, overflowed = true)
-                else {
-                  s.ids.foreach { other =>
-                    out += ((math.min(id, other), math.max(id, other), band))
+              if (ts.getTime >= wm) {
+                maxTs = math.max(maxTs, ts.getTime)
+                // replay/duplicate-delivery guard: a member already in
+                // the bucket re-emits nothing (batch input is one row
+                // per id by construction)
+                if (!s.overflowed && !s.ids.contains(id)) {
+                  if (s.n + 1 > maxBucketSize)
+                    s = BucketState(Nil, s.n + 1, overflowed = true)
+                  else {
+                    s.ids.foreach { other =>
+                      out += ((math.min(id, other), math.max(id, other), band))
+                    }
+                    s = BucketState(id :: s.ids, s.n + 1, overflowed = false)
                   }
-                  s = BucketState(id :: s.ids, s.n + 1, overflowed = false)
                 }
               }
             }
-            st.update(s)
-            st.setTimeoutTimestamp(maxTs, idleTimeout)
-            out.iterator
+            if (maxTs == Long.MinValue) Iterator.empty // all arrivals late
+            else {
+              st.update(s)
+              st.setTimeoutTimestamp(maxTs, idleTimeout)
+              out.iterator
+            }
           }
       }
       .toDF("id_a", "id_b", "band")
