@@ -26,6 +26,7 @@ object GraftFunctions {
 
   private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     arity("simhash64", 1, a => SimHash64(a.head)),
+    arity("ascii_clean_upper", 1, a => AsciiCleanUpper(a.head)),
     arity("rolling_hash64", 1, a => RollingHash64(a.head)),
     arity("dms_to_decimal", 1, a => DmsToDecimalDegrees(a.head)),
     arity("float_dot", 2, a => FloatVectorDot(a(0), a(1))),

@@ -14,9 +14,14 @@ object Cleaning {
 
   /** F1 `deep_clean`: trim → keep only [A-Za-z0-9] → uppercase.
     * Reference behavior: `scripts/ads_passenger_travel_info_mi.py:145-148`.
+    * Runs as the codegen'd byte scan
+    * [[graft.functions.AsciiCleanUpper]] — semantically identical to
+    * `upper(regexp_replace(trim(c), "[^A-Za-z0-9]", ""))` (equivalence
+    * argument in its Scaladoc; the DuckDB oracles keep the regex form,
+    * so hash parity pins it) but without a per-fact-row regex machine.
     */
   def deepClean(c: Column): Column =
-    upper(regexp_replace(trim(c), "[^A-Za-z0-9]", ""))
+    graft.functions.AsciiCleanUpper.asciiCleanUpper(c)
 
   /** F6: strip double quotes and trim (VDV field cleanup).
     * Reference behavior: `scripts/ads_passenger_transfer_count_di.py:88`. */

@@ -28,6 +28,26 @@ object EventDims {
       .agg(min(col("line_abbr")).as("line_abbr"))
       .withColumn("op_dep_no", length(col("line_abbr")) % 6)
 
+  /** [[lineDim]] plus the global data watermark riding the SAME events
+    * scan: the dim aggregation partitions ALL event rows (no filter),
+    * so max over the per-group maxes == max(ts) over events — the
+    * audit-timestamp agg (F15) that otherwise costs every pipeline a
+    * second full events scan rides the dim's existing scan + shuffle
+    * instead. The shared frame is dim-sized and eagerly cached; the
+    * broadcast-join build and the audit row both read the cache.
+    * Returns (dim without the helper column, 1-row audit frame). */
+  def lineDimAndAudit(ev: DataFrame): (DataFrame, DataFrame) = {
+    val d = graft.core.Caching.eager(
+      ev.select(col("event_type").as("line_abbr"), col("ts"))
+        .groupBy(Cleaning.deepClean(col("line_abbr")).as("line_clean"))
+        .agg(min(col("line_abbr")).as("line_abbr"),
+          max(col("ts")).as("__max_ts"))
+        .withColumn("op_dep_no", length(col("line_abbr")) % 6))
+    val audit = d.agg(
+      date_format(max(col("__max_ts")), "yyyy-MM-dd HH:mm:ss").as("audit_ts"))
+    (d.drop("__max_ts"), audit)
+  }
+
   /** OP_DEPT → region-name dim (J2/J7 left side). */
   def opDeptDim(s: SparkSession, dir: String): DataFrame =
     Tables.region(s, dir)
@@ -43,11 +63,13 @@ object EventDims {
     * keeps the unmatched-route rows (travel-time reports them as their
     * own region; the other pipelines filter them, `py:434-436`). */
   def cleanedEvents(s: SparkSession, dir: String,
-                    keepUnknown: Boolean = false): DataFrame = {
+                    keepUnknown: Boolean = false,
+                    line: Option[DataFrame] = None): DataFrame = {
     val ev = Tables.events(s, dir)
     val base = ev
       .withColumn("route_clean", Cleaning.deepClean(col("event_type")))
-      .join(broadcast(lineDim(ev)), col("route_clean") === col("line_clean"), "left")
+      .join(broadcast(line.getOrElse(lineDim(ev))),
+        col("route_clean") === col("line_clean"), "left")
       .join(broadcast(opDeptDim(s, dir)), Seq("op_dep_no"), "left")
       .withColumn("region_id", coalesce(col("region_name"), lit("Unknown")))
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))

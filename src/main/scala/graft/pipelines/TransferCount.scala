@@ -30,9 +30,14 @@ object TransferCount {
   def adsTransferCountDaily(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
 
+    // audit watermark rides the line-dim scan (max over group maxes is
+    // exact — lineDim partitions ALL rows) instead of a second full
+    // events pass
+    val (lineD, audit0) = EventDims.lineDimAndAudit(ev)
+
     val wOrd = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts"), col("event_id"))
-    val legs = EventDims.cleanedEvents(s, dir)
+    val legs = EventDims.cleanedEvents(s, dir, line = Some(lineD))
       .withColumn("leg_id", row_number().over(wOrd))
 
     // A6 at (day × region ⊕ overall) in one pass
@@ -40,44 +45,40 @@ object TransferCount {
       keepCols = Seq(col("t_date"), col("leg_id")), overallCol = "region_id",
       overallLabel = "overall",
       aggs = Seq(count(lit(1)).as("cnt")))
-      .transform(graft.core.Caching.eager)
 
-    // transfer_cnt_type 0 .. max(6, max leg)-1 per (day, region): one
-    // slot PAST the output domain so the lead() sees the count at leg
-    // max_leg on the last emitted row; the extra slot is dropped after
-    // the diff. One left join densifies the histogram, then the A7
-    // difference counts[k+1]−counts[k+2] runs as a lead over the tiny
-    // aggregated spine — the same algebra the reference runs as two
-    // positional lookups (`...transfer_count_di.py:213-244`), one hist
-    // join cheaper. NOT `Rollups.survivalDiff`: its clamp-at-0 would
-    // keep rows the reference's `>= 0` filter DROPS — negatives are
-    // real here because the histogram groups by the LEG's region, and
-    // a journey whose later legs sit in a different region makes
-    // counts non-monotone within one region (measured: 11 dropped
-    // rows at sf0.01).
-    val spine = hist.groupBy(col("t_date"), col("region_id"))
-      .agg(greatest(lit(6), max(col("leg_id"))).as("max_leg"))
-      .select(col("t_date"), col("region_id"), col("max_leg"),
-        explode(sequence(lit(0), col("max_leg") - 1)).as("transfer_cnt_type"))
-
-    val padded = spine
-      .join(hist.as("h"),
-        spine("t_date") === col("h.t_date") &&
-        spine("region_id") === col("h.region_id") &&
-        col("h.leg_id") === col("transfer_cnt_type") + 1, "left")
-      .select(spine("t_date"), spine("region_id"), col("max_leg"),
-        col("transfer_cnt_type"), coalesce(col("h.cnt"), lit(0L)).as("cnt"))
-
-    val audit = broadcast(ev.agg(
-      date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("audit_ts")))
-
-    val wLead = Window.partitionBy(col("t_date"), col("region_id"))
-      .orderBy(col("transfer_cnt_type"))
-    padded
+    // Pad + A7 survival-difference fused into ONE aggregation: each
+    // (day, region)'s sparse leg histogram collapses to a leg→cnt map
+    // (leg positions are a bounded per-journey domain — a few entries,
+    // never fact-sized), the dense transfer_cnt_type spine 0..max-2
+    // explodes from a sequence, and journey_num = counts[k+1] −
+    // counts[k+2] is two map lookups — the same algebra the reference
+    // runs as two positional lookups (`...transfer_count_di.py:213-
+    // 244`). The r6 shape ran this as a second groupBy + a 3-key
+    // equality join back against a CACHED hist + a lead() window —
+    // three more exchanges plus an eager-cache materialization action;
+    // fusing makes hist single-consumer (no cache, no fan-out race)
+    // and the whole tail one dim-sized shuffle. NOT
+    // `Rollups.survivalDiff`: its clamp-at-0 would keep rows the
+    // reference's `>= 0` filter DROPS — negatives are real here
+    // because the histogram groups by the LEG's region, and a journey
+    // whose later legs sit in a different region makes counts
+    // non-monotone within one region (measured: 11 dropped rows at
+    // sf0.01).
+    val padded = hist.groupBy(col("t_date"), col("region_id"))
+      .agg(
+        map_from_entries(collect_list(struct(col("leg_id"), col("cnt"))))
+          .as("m"),
+        greatest(lit(6), max(col("leg_id"))).as("max_leg"))
+      .select(col("t_date"), col("region_id"), col("m"),
+        explode(sequence(lit(0), col("max_leg") - 2)).as("transfer_cnt_type"))
       .withColumn("journey_num",
-        col("cnt") - coalesce(lead(col("cnt"), 1).over(wLead), lit(0L)))
-      .where(col("transfer_cnt_type") <= col("max_leg") - 2 &&
-        col("journey_num") >= 0)
+        coalesce(element_at(col("m"), col("transfer_cnt_type") + 1), lit(0L)) -
+        coalesce(element_at(col("m"), col("transfer_cnt_type") + 2), lit(0L)))
+      .where(col("journey_num") >= 0)
+
+    val audit = broadcast(audit0)
+
+    padded
       .select(col("t_date"), lit("day").as("date_type"), col("region_id"),
         col("transfer_cnt_type"), col("journey_num"))
       .crossJoin(audit)

@@ -15,9 +15,11 @@ object ProbeJobs {
     val s = Sessions.build("probe-jobs")
     val starts = TrieMap[Int, (Long, String)]()
     s.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        starts(j.jobId) = (System.nanoTime(),
-          Option(j.properties.getProperty("callSite.short")).getOrElse("?"))
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val stages = j.stageInfos.map(si =>
+          s"${si.name.takeWhile(_ != '(').trim}[${si.numTasks}]").mkString(" ")
+        starts(j.jobId) = (System.nanoTime(), stages)
+      }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { case (t0, site) =>
           println(f"JOB ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $site")

@@ -16,6 +16,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("A1B", "XYZ", "Q7"))
   }
 
+  test("deepClean byte-scan == the regex form on adversarial inputs") {
+    // the oracle SQL keeps upper(regexp_replace(trim(s), '[^A-Za-z0-9]',
+    // '')); the codegen byte scan must match it byte-for-byte, incl.
+    // multi-byte UTF-8 (every byte of such a code point is dropped),
+    // empties, and NULL propagation
+    val inputs = Seq("  a-1 b ", "X_y.z", "\"Q7\"", "", "   ", "µßéÄ漢字",
+      "a💥b", "MiXeD-123_ok", "\t\nx\r", "ＡＢＣ", "Ωmega9", null)
+    val df = inputs.toDF("s")
+    val got = df.select(Cleaning.deepClean($"s")).as[Option[String]].collect()
+    val want = df.select(upper(regexp_replace(trim($"s"), "[^A-Za-z0-9]", "")))
+      .as[Option[String]].collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("stripQuotes removes double quotes and trims (F6)") {
     val got = Seq("\" A1 \"", "  plain  ", "\"\"").toDF("s")
       .select(Cleaning.stripQuotes($"s")).as[String].collect()
