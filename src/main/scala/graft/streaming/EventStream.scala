@@ -268,13 +268,25 @@ object EventStream {
     * classic production state leak. State ≈ horizon + watermark worth
     * of rows per side regardless of stream age: the 100 TB/day shape.
     *
-    * Inner join in append mode: a result row is emitted once both
-    * sides have arrived; rows with no match inside the horizon simply
-    * never emit (left-outer needs the watermark to close the window
-    * before emitting the null row — same bounds, later output). */
+    * `joinType`:
+    *  - `inner` (default), append mode: a result row is emitted once
+    *    both sides have arrived; rows with no match inside the horizon
+    *    simply never emit.
+    *  - `left_outer`: same two-sided bounds and state story; a tap with
+    *    NO follow-up inside the horizon additionally emits once with
+    *    null fu_* columns — but only after the watermark closes its
+    *    match window (the engine must be sure no matching right row can
+    *    still arrive), so unmatched output trails matched output by up
+    *    to horizon + watermark event time. This is the reference's
+    *    inspections-without-matched-journey audit reporting
+    *    (`scripts/ads_fare_revenue_region_mi.R:33-36`): unmatched
+    *    checks must surface, not vanish. */
   def intervalJoin(taps: DataFrame, followUps: DataFrame,
                    watermark: String = "2 hours",
-                   horizon: String = "30 minutes"): DataFrame = {
+                   horizon: String = "30 minutes",
+                   joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"intervalJoin supports inner | left_outer, got $joinType")
     val l = taps
       .select(col("user_id"), col("ts").as("tap_ts"),
         col("event_id").as("tap_id"), col("event_type").as("route"))
@@ -286,7 +298,8 @@ object EventStream {
     l.join(r,
         col("user_id") === col("fu_user") &&
         col("fu_ts") > col("tap_ts") &&
-        col("fu_ts") <= col("tap_ts") + expr(s"INTERVAL $horizon"))
+        col("fu_ts") <= col("tap_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("user_id"), col("tap_id"), col("route"),
         col("tap_ts"), col("fu_id"), col("fu_type"), col("fu_ts"))
   }

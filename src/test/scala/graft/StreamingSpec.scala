@@ -294,6 +294,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._1) == Set(1L, 3L), "u1 in-horizon and u3 boundary only")
   }
 
+  test("left-outer intervalJoin equals batch incl. unmatched rows, across 3+ microbatches") {
+    val tapsDir = Files.createTempDirectory("graft_stream_lotaps")
+    val fusDir = Files.createTempDirectory("graft_stream_lofus")
+    // three time-ordered tap files (maxFilesPerTrigger=1 → ≥3
+    // microbatches): u1 will match, u2's follow-up is outside the
+    // horizon (unmatched), u3 has NO follow-up (unmatched), u4 matches
+    // from a later batch
+    writeEventFile(tapsDir, "t1.parquet", 1, Seq(
+      ("2025-01-01 10:00:00", 1L, "r1", 11.0),
+      ("2025-01-01 10:00:00", 2L, "r2", 12.0)))
+    writeEventFile(tapsDir, "t2.parquet", 2, Seq(
+      ("2025-01-01 10:05:00", 3L, "r3", 13.0)))
+    writeEventFile(tapsDir, "t3.parquet", 3, Seq(
+      ("2025-01-01 10:06:00", 4L, "r4", 14.0)))
+    writeEventFile(fusDir, "f1.parquet", 1, Seq(
+      ("2025-01-01 10:10:00", 1L, "check", 21.0),
+      ("2025-01-01 10:45:00", 2L, "check", 22.0))) // 45 min — outside
+    writeEventFile(fusDir, "f2.parquet", 2, Seq(
+      ("2025-01-01 10:20:00", 4L, "check", 23.0)))
+    // flush rows far past every open window on BOTH sides: the global
+    // watermark is the MIN across inputs, and unmatched (null) rows
+    // only emit once the watermark closes their match window
+    writeEventFile(tapsDir, "t9.parquet", 9, Seq(
+      ("2025-01-02 12:00:00", 999L, "rX", 91.0)))
+    writeEventFile(fusDir, "f9.parquet", 9, Seq(
+      ("2025-01-02 12:00:00", 999L, "check", 92.0)))
+    def withId(df: DataFrame): DataFrame =
+      df.withColumn("event_id", $"value".cast("long"))
+    def shape(df: DataFrame) =
+      df.where($"user_id" =!= 999L)
+        .select($"user_id", $"tap_id", $"fu_id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+    val got = shape(EventStream.runToMemorySink(spark,
+      EventStream.intervalJoin(withId(streamFrom(tapsDir)),
+        withId(streamFrom(fusDir)), joinType = "left_outer"),
+      "ssjoin_lo", OutputMode.Append()))
+    val want = {
+      val t = withId(spark.read.parquet(tapsDir.toString))
+        .select($"user_id", $"ts".as("tap_ts"), $"event_id".as("tap_id"))
+      val f = withId(spark.read.parquet(fusDir.toString))
+        .select($"user_id".as("fu_user"), $"ts".as("fu_ts"), $"event_id".as("fu_id"))
+      shape(t.join(f, $"user_id" === $"fu_user" &&
+          $"fu_ts" > $"tap_ts" &&
+          $"fu_ts" <= $"tap_ts" + expr("INTERVAL 30 minutes"), "left_outer")
+        .select($"user_id", $"tap_id", $"fu_id"))
+    }
+    assert(got == want, s"got=$got want=$want")
+    // the unmatched taps surface with null follow-up columns
+    assert(got.collect { case (u, _, None) => u } == Set(2L, 3L),
+      s"expected u2 (outside horizon) and u3 (no follow-up) unmatched: $got")
+    assert(got.collect { case (u, _, Some(_)) => u } == Set(1L, 4L))
+  }
+
   test("streaming MinHash banding emits exactly the batch candidate pair set") {
     // the continuous-ingest twin of q30's operator: same shingle
     // expression, bit-parity band hashes (Dedup.bandHashesLocal via
