@@ -224,7 +224,8 @@ object Sinks {
   def readCsvExplicit(spark: SparkSession, csvPath: String,
                       schema: StructType,
                       timestampFormat: String = "yyyy-MM-dd HH:mm:ss",
-                      encoding: String = "UTF-8"): DataFrame =
+                      encoding: String = "UTF-8",
+                      multiLine: Boolean = false): DataFrame =
     spark.read
       .option("header", "true")
       .option("nullValue", "NA")
@@ -232,6 +233,11 @@ object Sinks {
       .option("timestampFormat", timestampFormat)
       .option("ignoreLeadingWhiteSpace", "true")
       .option("ignoreTrailingWhiteSpace", "true")
+      // required for UTF-16/32 inputs (whole-file decode through the
+      // charset instead of byte-0x0A line splitting); catalog-sized
+      // files only — a multiLine file is one split, so huge facts
+      // should be transcoded to UTF-8 upstream instead
+      .option("multiLine", multiLine.toString)
       .schema(schema)
       .csv(csvPath)
 
@@ -251,11 +257,19 @@ object Sinks {
           .otherwise(col(f.name)))
     }
 
-  /** S5/F26 — encoding detection with Latin-1 fallback: strict-decode a
-    * head sample as UTF-8; on malformed bytes fall back to ISO-8859-1
-    * (the reference's fread UTF-8 → Latin-1 ladder,
-    * `data_ingestion/pg_import.R:53-84`). Returns the charset name to
-    * pass as the csv reader's `encoding` option. */
+  /** S5/F26 — encoding detection ladder: BOM-sniff UTF-32/UTF-16 first
+    * (the reference's ads catalog `docs/ads_all_20250804.csv` is
+    * UTF-16LE with BOM), then strict-decode a head sample as UTF-8; on
+    * malformed bytes fall back to ISO-8859-1 (the reference's fread
+    * UTF-8 → Latin-1 ladder, `data_ingestion/pg_import.R:53-84`).
+    * Returns the charset name to pass as the csv reader's `encoding`
+    * option. The UTF-16/32 rungs return the endianness-generic charset
+    * ("UTF-16"/"UTF-32"): Java's decoder then consumes the BOM itself
+    * and picks the byte order, so the first header cell doesn't grow a
+    * U+FEFF prefix the way an explicit -LE/-BE charset would leave it.
+    * NOTE for readers: pair a UTF-16/32 result with `multiLine=true` —
+    * Hadoop's default line splitter cuts on the single byte 0x0A,
+    * which lands mid-code-unit in 2/4-byte encodings. */
   def detectCsvEncoding(path: String, sampleBytes: Int = 1 << 20): String = {
     val f = Paths.get(path)
     val fileSize = Files.size(f)
@@ -263,6 +277,17 @@ object Sinks {
     val in = Files.newInputStream(f)
     val buf = try in.readNBytes(size) finally in.close()
     val truncated = fileSize > size
+    def b(i: Int): Int = buf(i) & 0xFF
+    // UTF-32 BOMs first: FF FE 00 00 would otherwise false-match the
+    // UTF-16LE sniff (a UTF-16LE file can't open with NUL NUL — that
+    // would be an empty code unit)
+    if (buf.length >= 4 && b(0) == 0xFF && b(1) == 0xFE && b(2) == 0 && b(3) == 0)
+      return "UTF-32"
+    if (buf.length >= 4 && b(0) == 0 && b(1) == 0 && b(2) == 0xFE && b(3) == 0xFF)
+      return "UTF-32"
+    if (buf.length >= 2 && ((b(0) == 0xFF && b(1) == 0xFE) ||
+        (b(0) == 0xFE && b(1) == 0xFF)))
+      return "UTF-16"
     val decoder = StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)

@@ -262,6 +262,71 @@ object SystemShapes {
             |    'RIDERS':'BIGINT','NOTE':'VARCHAR','VISIT_TS':'TIMESTAMP'})
             |GROUP BY REGION ORDER BY REGION""".stripMargin))
 
+  /** UTF-16 catalog fixture mirroring the reference's ads schema
+    * catalog `docs/ads_all_20250804.csv` (UTF-16LE with BOM, 0A 00
+    * line ends, columns relname/comment/type/name/notnull). Non-ASCII
+    * comments pin the decode: read as UTF-8 or Latin-1 these bytes
+    * mojibake or drop, and the hash gate fails. */
+  private[graft] lazy val csvUtf16Rows: String =
+    "relname,comment,type,name,notnull\n" +
+    "ads_passenger_transfer_count_di,Tägliche Umsteige-Zählung,bigint,journey_num,t\n" +
+    "ads_passenger_transfer_count_di,région — clé,varchar,region_id,t\n" +
+    "ads_fare_revenue_region_mi,NA,numeric,fare_aed,f\n" +
+    "ads_fare_revenue_region_mi,naïve float (déprécié),float8,old_fare,f\n" +
+    "dim_date,,date,t_date,t\n" +
+    "dim_date,Datums-Dimension,varchar,day_name,f\n"
+
+  private[graft] lazy val csvUtf16FixturePath: String =
+    materializeBytes(
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft_catalog_utf16.csv"),
+      Array(0xFF.toByte, 0xFE.toByte) ++
+        csvUtf16Rows.getBytes(StandardCharsets.UTF_16LE))
+
+  /** UTF-8 twin for the DuckDB oracle (same decoded characters — a
+    * detection or decode defect on the Spark side diverges the hash). */
+  private lazy val csvUtf16UtfTwinPath: String =
+    materializeBytes(
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft_catalog_utf8_twin.csv"),
+      csvUtf16Rows.getBytes(StandardCharsets.UTF_8))
+
+  /** S5 UTF-16 rung oracle-checked end-to-end: BOM-sniffed UTF-16
+    * detection ([[Sinks.detectCsvEncoding]] — the endianness-generic
+    * charset consumes the BOM), whole-file decode via `multiLine`
+    * (byte-0x0A line splitting lands mid-code-unit in a 2-byte
+    * encoding), NA-token scrub, and binary-collation string
+    * aggregation over the decoded non-ASCII comments. */
+  val q71 = QueryDef(
+    "q71_csv_utf16_catalog",
+    (s, dir) => {
+      import graft.io.Sinks
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      csvUtf16UtfTwinPath // materialized for the oracle's read_csv
+      val path = csvUtf16FixturePath
+      val schema = StructType(Seq(
+        StructField("relname", StringType), StructField("comment", StringType),
+        StructField("type", StringType), StructField("name", StringType),
+        StructField("notnull", StringType)))
+      val enc = Sinks.detectCsvEncoding(path)
+      val df = Sinks.readCsvExplicit(s, path, schema, encoding = enc,
+        multiLine = enc.startsWith("UTF-16") || enc.startsWith("UTF-32"))
+      Sinks.normalizeNaTokens(df)
+        .groupBy(col("relname"))
+        .agg(count(lit(1)).as("n_cols"),
+          count(col("comment")).as("n_comments"),
+          concat_ws(",", sort_array(collect_list(col("name")))).as("cols"),
+          concat_ws("|", sort_array(collect_list(col("comment")))).as("comments"))
+        .orderBy(col("relname"))
+    },
+    Some(s"""SELECT relname, CAST(count(*) AS BIGINT) AS n_cols,
+            |  CAST(count(comment) AS BIGINT) AS n_comments,
+            |  string_agg(name, ',' ORDER BY name) AS cols,
+            |  string_agg(comment, '|' ORDER BY comment) AS comments
+            |FROM read_csv('${Paths.get(System.getProperty("java.io.tmpdir"), "graft_catalog_utf8_twin.csv")}',
+            |  header=true, nullstr=['','NA','NULL','null','N/A','#N/A'],
+            |  columns={'relname':'VARCHAR','comment':'VARCHAR','type':'VARCHAR',
+            |    'name':'VARCHAR','notnull':'VARCHAR'})
+            |GROUP BY relname ORDER BY relname""".stripMargin))
+
   /** S13 — deterministic GeoJSON FeatureCollection fixture (the three
     * region polygons as Polygon features), materialized to tmp on
     * first use; read by [[graft.io.GeoJson]] in q35. */
@@ -627,5 +692,5 @@ object SystemShapes {
             |GROUP BY 1, 2
             |ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q34, q35, q36, q37, q53, q58, q68, q69)
+  val all: Seq[QueryDef] = Seq(q34, q35, q36, q37, q53, q58, q68, q69, q71)
 }

@@ -104,6 +104,39 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.detectCsvEncoding(latin.toString) == "ISO-8859-1")
   }
 
+  test("detectCsvEncoding BOM-sniffs UTF-16 (both orders) and UTF-32") {
+    def write(bytes: Array[Byte]): String = {
+      val p = Files.createTempFile("graft_enc16", ".csv")
+      Files.write(p, bytes); p.toString
+    }
+    val content = "a,b\n1,café\n"
+    assert(Sinks.detectCsvEncoding(write(
+      Array(0xFF.toByte, 0xFE.toByte) ++
+        content.getBytes(StandardCharsets.UTF_16LE))) == "UTF-16")
+    assert(Sinks.detectCsvEncoding(write(
+      content.getBytes(StandardCharsets.UTF_16))) == "UTF-16") // BE + BOM
+    // UTF-32LE opens FF FE 00 00 — must NOT be taken for UTF-16LE
+    assert(Sinks.detectCsvEncoding(write(
+      Array[Byte](0xFF.toByte, 0xFE.toByte, 0, 0) ++
+        content.getBytes(java.nio.charset.Charset.forName("UTF-32LE")))) == "UTF-32")
+    assert(Sinks.detectCsvEncoding(write(
+      Array[Byte](0, 0, 0xFE.toByte, 0xFF.toByte) ++
+        content.getBytes(java.nio.charset.Charset.forName("UTF-32BE")))) == "UTF-32")
+  }
+
+  test("q71 UTF-16 catalog ingest matches the hand-computed result") {
+    val got = graft.SparkEntry.queries("q71_csv_utf16_catalog")(
+        spark, SparkTestBase.sf)
+      .as[(String, Long, Long, String, String)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("ads_fare_revenue_region_mi", 2L, 1L, "fare_aed,old_fare",
+        "naïve float (déprécié)"),
+      ("ads_passenger_transfer_count_di", 2L, 2L, "journey_num,region_id",
+        "Tägliche Umsteige-Zählung|région — clé"),
+      ("dim_date", 2L, 1L, "day_name,t_date", "Datums-Dimension")))
+  }
+
   test("q69 Latin-1 ingest matches the hand-computed result") {
     // end-to-end S5+S7+P9+F26: detect ISO-8859-1, decode the accents,
     // parse dd.MM.yyyy timestamps, null all six NA tokens (incl.
