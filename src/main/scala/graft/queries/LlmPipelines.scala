@@ -414,26 +414,33 @@ object LlmPipelines {
     * with the query count, k, the exact top-5 quantized dot-sum —
     * which DuckDB recomputes by brute force, pinning the ground-truth
     * side — and a recall floor computed by joining the IVF hits
-    * against that exact top-k. The floor (0.5) sits under the
-    * measured recall with margin (tools/ProbeIvf: 0.616 at sf0.001
-    * and sf0.01, 0.624 at sf0.1 — stable because the centroid sample
-    * is a deterministic hash order, not a data order; a partitioning
-    * defect that strands queries' neighbor lists drops recall toward
-    * nProbe/nCentroids·k-random ≈ 1/4 of that and fails it). */
+    * against that exact top-k. The floor (0.75) sits under the
+    * measured recall with margin (tools/ProbeIvf at nCentroids=16,
+    * nProbe=8: 0.884 at sf0.001, 0.828 at sf0.01, 0.856 at sf0.1 —
+    * stable because the centroid sample is a deterministic hash
+    * order, not a data order; a partitioning defect that strands
+    * queries' neighbor lists drops recall toward
+    * nProbe/nCentroids·k-random and fails it). The probe fraction
+    * (8/16) is what THIS fixture needs for production-grade recall:
+    * the synthetic embeddings are near-uniform on the sphere (no
+    * cluster structure for the coarse quantizer to exploit — the
+    * hardest case for IVF); the full nProbe→recall curve is in
+    * SCALE.md, and a real clustered corpus sits higher at every
+    * probe fraction. */
   val q70 = QueryDef(
     "q70_ann_ivf",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.where(col("vec_id") < 50)
       val ann = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
-          k = 5, nCentroids = 16, nProbe = 4)
+          k = 5, nCentroids = 16, nProbe = 8)
         .select(col("query_id"), col("corpus_id"), lit(1L).as("__hit"))
       Similarity.quantizedDotTopK(queries, emb, "vec_id", "embedding", k = 5)
         .join(ann, Seq("query_id", "corpus_id"), "left")
         .agg(countDistinct(col("query_id")).as("n_queries"),
           sum(col("dot")).as("exact_top5_dot_sum"),
           (sum(coalesce(col("__hit"), lit(0L))) >=
-            count(lit(1)) * 0.5).as("recall_ge_50"))
+            count(lit(1)) * 0.75).as("recall_ge_75"))
         .withColumn("k", lit(5L))
     },
     Some("""WITH q AS (
@@ -456,7 +463,7 @@ object LlmPipelines {
            |  FROM s)
            |SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
            |  CAST(SUM(dot) AS BIGINT) AS exact_top5_dot_sum,
-           |  TRUE AS recall_ge_50,
+           |  TRUE AS recall_ge_75,
            |  CAST(5 AS BIGINT) AS k
            |FROM r WHERE rn <= 5""".stripMargin))
 
