@@ -8,10 +8,19 @@ import graft.core.Sessions
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // dev convenience (driver passes exactly two args): extra args
+    // restrict the dump to queries whose name contains one of them —
+    // used by the SCALE.md sf1 crossover check to verify just the
+    // heavy subset without paying for the full registry.
+    val filters = args.drop(2)
+    val picked =
+      if (filters.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => filters.exists(n.contains) }
     val spark: SparkSession = Sessions.build("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    picked.foreach { case (name, fn) =>
       // Continue on NonFatal AND LinkageError (a missing optional class
       // leaves the JVM healthy, and aborting here would skip the
       // remaining queries AND oracle_sql.json — zeroing the whole

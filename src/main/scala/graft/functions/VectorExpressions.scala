@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Dense-vector kernels over `ArrayType(FloatType)` embedding columns
   * (the `embeddings.parquet` layout) as native Catalyst expressions.
@@ -57,6 +57,47 @@ object VectorKernels {
   def long_dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(LongVectorDot(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** All `bands` sign-LSH band signatures of one quantized vector in a
+    * single flat pass: plane p's sign bit is (qv · planes[p]) >= 0,
+    * packed bandBits per band. One kernel call replaces bands·bandBits
+    * separate `long_dot(qv, typedLit(plane))` columns — the literal-
+    * per-plane form grows the plan (and the generated method) linearly
+    * in the plane count, which breaks whole-stage codegen right when
+    * adaptive banding needs hundreds of planes at large n. The planes
+    * matrix rides along as ONE flattened reference object instead. */
+  def sign_bands(qv: Column, planesFlat: Array[Long], bands: Int,
+                 bandBits: Int, dim: Int): Column = {
+    require(planesFlat.length == bands * bandBits * dim,
+      s"planes length ${planesFlat.length} != $bands*$bandBits*$dim")
+    require(bandBits >= 1 && bandBits <= 30, s"bandBits out of range: $bandBits")
+    GraftSqlBridge.column(SignBandSignatures(
+      GraftSqlBridge.expression(qv), planesFlat, bands, bandBits, dim))
+  }
+
+  def signBands(qv: ArrayData, planes: Array[Long], bands: Int,
+                bandBits: Int, dim: Int): ArrayData = {
+    val n = math.min(dim, qv.numElements())
+    val out = new Array[Int](bands)
+    var p = 0
+    var b = 0
+    while (b < bands) {
+      var sig = 0
+      var k = 0
+      while (k < bandBits) {
+        val off = p * dim
+        var acc = 0L
+        var i = 0
+        while (i < n) { acc += qv.getLong(i) * planes(off + i); i += 1 }
+        if (acc >= 0L) sig |= (1 << k)
+        k += 1
+        p += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }
 
 sealed trait FloatVectorBinary extends BinaryExpression {
@@ -105,6 +146,28 @@ case class LongVectorDot(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.longDot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** Packed sign-LSH band signatures over an ARRAY<BIGINT> quantized
+  * vector (see [[VectorKernels.sign_bands]]). Deterministic: the plane
+  * matrix is part of the expression (reference object), so equal inputs
+  * give equal signatures across JVMs and retries. */
+case class SignBandSignatures(child: Expression, planes: Array[Long],
+                              bands: Int, bandBits: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected ARRAY<BIGINT>, got $t")
+  }
+  override def nullSafeEval(qv: Any): Any =
+    VectorKernels.signBands(qv.asInstanceOf[ArrayData], planes, bands, bandBits, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("signPlanes", planes, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.signBands($c, $planesRef, $bands, $bandBits, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** cosine(a, b) over two float vectors, 0.0 on zero-norm — codegen'd. */

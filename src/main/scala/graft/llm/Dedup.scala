@@ -416,11 +416,24 @@ object Dedup {
     *
     * Recall contract (the reason the q33 oracle can stay exact): a
     * pair at cosine c collides in one band with p(c)^bandBits,
-    * p(c) = 1 - arccos(c)/π, and is MISSED with (1-p^bandBits)^bands —
-    * with the 16×8 default: < 1e-8 at c=0.99, 1.4e-4 at c=0.95,
-    * 4.5e-3 at c=0.90, while only 0.5^8·16 ≈ 6% of random pairs
-    * survive to verification. Near-dup thresholds (≥ ~0.9, where this
-    * operator is the right tool) sit past the S-curve knee;
+    * p(c) = 1 - arccos(c)/π, and is MISSED with (1-p^bandBits)^bands.
+    * Band GEOMETRY is sized to the corpus unless the caller pins it:
+    * sign bits index a 2^bandBits bucket space per band, so FIXED bits
+    * make mean bucket occupancy n/2^bandBits — and candidate pairs
+    * C(n,2)·bands/2^bandBits — grow quadratically in n (measured: the
+    * 16×8 round-6 constant ran q33 0.9 s at sf0.1 and 30+ s at sf1).
+    * Auto-sizing picks bandBits ≈ log2(n) (occupancy O(1), candidates
+    * O(n·bands)) and then bands = ln(1/targetMiss)/p(t)^bandBits so the
+    * miss bound holds at the REQUESTED threshold; if that would exceed
+    * the bands cap (signature cost ceiling), bandBits steps back down
+    * until it fits — recall is the contract, candidate volume the dial.
+    * Signature cost grows O(log n) per vector, the textbook LSH trade.
+    * The corpus count + max|v|² ride in ONE bounded 2-scalar job on the
+    * cached quantized frame; max|v|² also proves when the verify
+    * predicate fits entirely in Long arithmetic (Cauchy-Schwarz bounds
+    * dot² by |a|²·|b|², so 10⁴·maxNorm2² ≤ Long.MAX makes BOTH sides
+    * overflow-free), keeping the decimal(38,0) path for genuinely
+    * large-norm corpora only.
     * LOW thresholds (the 0.35 exploratory regime) are not LSH-prunable
     * by any parameterization — P(band match) for random pairs exceeds
     * true-pair recall — so [[cosineNearDupQuantized]] remains the
@@ -428,37 +441,59 @@ object Dedup {
     * twin; the deterministic planes make the check reproducible. */
   def cosineNearDupBucketed(emb: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, dim: Int,
-                            bands: Int = 16, bandBits: Int = 8,
-                            maxBucketSize: Int = 2000): DataFrame = {
-    import graft.functions.VectorKernels.long_dot
+                            bands: Int = 0, bandBits: Int = 0,
+                            maxBucketSize: Int = 2000,
+                            targetMiss: Double = 1e-3): DataFrame = {
+    import graft.functions.VectorKernels.{long_dot, sign_bands}
     require(threshold >= 0.8,
       s"sign-LSH banding only prunes at near-dup thresholds (>= 0.8, got " +
       s"$threshold); use cosineNearDupQuantized below that")
     val tScaled = checkCentiThreshold(threshold)
     val q = graft.core.Caching.eager(quantizeWithNorm(emb, idCol, vecCol))
-    // quantized hyperplanes (seed disjoint from Similarity's ANN tables)
-    val planes = Similarity.hyperplanes(bands * bandBits, dim, seed = 7L)
-      .map(_.map(f => math.round(f * 1000.0)).toSeq)
-    val bandCols = (0 until bands).map { b =>
-      (0 until bandBits).map { k =>
-        val plane = typedLit(planes(b * bandBits + k))
-        when(long_dot(col("qv"), plane) >= 0, lit(1 << k)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
-    val banded = q.select(col("id"), posexplode(array(bandCols: _*))
-      .as(Seq("band", "band_bits")))
+    // bounded-by-construction driver stats (one row, two scalars) off
+    // the frame the plan caches anyway
+    val stats = q.agg(count(lit(1)), max(col("norm2"))).head()
+    val n = stats.getLong(0)
+    val maxNorm2 = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val bandsCap = 96
+    def bandsFor(bb: Int): Int =
+      math.max(8, math.ceil(math.log(1.0 / targetMiss) / math.pow(p, bb)).toInt)
+    val (nBits, nBands) =
+      if (bandBits > 0 && bands > 0) (bandBits, bands)
+      else if (bandBits > 0) (bandBits, bandsFor(bandBits))
+      else {
+        val auto = math.min(18, math.max(8,
+          math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2.0)).toInt))
+        val fitted = (auto to 8 by -1)
+          .find(bb => bandsFor(bb) <= bandsCap).getOrElse(8)
+        (fitted, math.min(bandsCap, bandsFor(fitted)))
+      }
+    // quantized hyperplanes (seed disjoint from Similarity's ANN
+    // tables), flattened into the one-pass packed-signature kernel
+    val planesFlat: Array[Long] = Similarity.hyperplanes(nBands * nBits, dim, seed = 7L)
+      .flatMap(_.map(f => math.round(f * 1000.0)))
+    val banded = q.select(col("id"),
+      posexplode(sign_bands(col("qv"), planesFlat, nBands, nBits, dim))
+        .as(Seq("band", "band_bits")))
     // same bucket-collect pair generation as the MinHash path: one
     // shuffle, no self-join. The cap is recall-safe for the same
     // multi-band reason (a pair lost to one flooded bucket still
     // collides in its other ~bands·p^bandBits bands).
     val cands = bucketPairs(banded.groupBy(col("band"), col("band_bits"))
       .agg(collect_list(col("id")).as("ids")), maxBucketSize)
+    // Long fast path: with 10⁴·maxNorm2² ≤ Long.MAX, Cauchy-Schwarz
+    // caps every term below overflow; otherwise exact decimal(38,0)
+    val longSafe = maxNorm2 <= 30000000L
+    def pred(dot: Column, na: Column, nb: Column): Column =
+      if (longSafe)
+        dot > 0 && dot * dot * lit(10000L) > lit(tScaled * tScaled) * na * nb
+      else exactCosinePredicate(dot, tScaled, na, nb)
     cands
       .join(q.as("a"), col("id_a") === col("a.id"))
       .join(q.as("b"), col("id_b") === col("b.id"))
       .withColumn("dot", long_dot(col("a.qv"), col("b.qv")))
-      .where(exactCosinePredicate(col("dot"), tScaled,
-        col("a.norm2"), col("b.norm2")))
+      .where(pred(col("dot"), col("a.norm2"), col("b.norm2")))
       .select(col("id_a"), col("id_b"), col("dot"))
   }
 
