@@ -44,6 +44,48 @@ class CodegenParitySpec extends AnyFunSuite {
     (sim, dms, vec)
   }
 
+  // deterministic planes: 3 bands x 4 bits over dim 64
+  private val parityPlanes: Array[Long] = {
+    val rnd = new java.util.Random(99L)
+    Array.fill(3 * 4 * 64)(math.round(rnd.nextGaussian() * 1000.0))
+  }
+
+  private def runSignBands(): Seq[(Long, Seq[Int])] = {
+    val emb = Tables.embeddings(spark, SparkTestBase.sf).where($"vec_id" < 20)
+      .select($"vec_id",
+        transform($"embedding", x => round(x * 1000).cast("long")).as("qv"))
+    emb.select($"vec_id",
+        VectorKernels.sign_bands($"qv", parityPlanes, 3, 4, 64).as("sigs"))
+      .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+  }
+
+  test("SignBandSignatures: codegen == interpreted == per-plane long_dot signs") {
+    val generated = withConfs(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(runSignBands())
+    val interpreted = withConfs(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(runSignBands())
+    assert(generated == interpreted)
+    assert(generated.nonEmpty)
+    // semantic ground truth: bit k of band b is sign(qv · plane[b*4+k]),
+    // recomputed through the independently-tested long_dot kernel
+    val viaDots = {
+      val emb = Tables.embeddings(spark, SparkTestBase.sf).where($"vec_id" < 20)
+        .select($"vec_id",
+          transform($"embedding", x => round(x * 1000).cast("long")).as("qv"))
+      val sigCols = (0 until 3).map { b =>
+        (0 until 4).map { k =>
+          val plane = typedLit(parityPlanes.slice((b * 4 + k) * 64, (b * 4 + k + 1) * 64).toSeq)
+          when(VectorKernels.long_dot($"qv", plane) >= 0, lit(1 << k)).otherwise(lit(0))
+        }.reduce(_ + _)
+      }
+      emb.select($"vec_id", array(sigCols: _*).as("sigs"))
+        .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+    }
+    assert(generated == viaDots)
+  }
+
   test("SimHash64 / DmsToDecimalDegrees / vector kernels: codegen == interpreted") {
     val generated = withConfs(
       "spark.sql.codegen.wholeStage" -> "true",
