@@ -449,9 +449,11 @@ object Dedup {
       s"sign-LSH banding only prunes at near-dup thresholds (>= 0.8, got " +
       s"$threshold); use cosineNearDupQuantized below that")
     val tScaled = checkCentiThreshold(threshold)
-    val q = graft.core.Caching.eager(quantizeWithNorm(emb, idCol, vecCol))
-    // bounded-by-construction driver stats (one row, two scalars) off
-    // the frame the plan caches anyway
+    // the bounded driver stats job (one row, two scalars) doubles as
+    // the cache-materializing action — persist + one agg, not
+    // Caching.eager's count() followed by a second stats pass
+    val q = quantizeWithNorm(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = q.agg(count(lit(1)), max(col("norm2"))).head()
     val n = stats.getLong(0)
     val maxNorm2 = if (stats.isNullAt(1)) 0L else stats.getLong(1)
