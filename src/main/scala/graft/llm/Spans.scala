@@ -1,0 +1,175 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Substring-level duplication + intra-document repetition operators —
+  * the span-granular members of the dedup family (document-granular
+  * exact/near dedup lives in [[Dedup]]).
+  *
+  * Rationale (beyond the reference's scope, part of the LLM-pipeline
+  * mandate): document-level dedup misses boilerplate — license
+  * headers, navigation chrome, templated paragraphs — that repeats
+  * across otherwise-distinct documents, and training-data curation
+  * pipelines remove or down-weight those spans (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better";
+  * Rae et al. 2021 "Gopher" repetition filters). Three operators:
+  *
+  *  - [[spanDedupStats]] — cross-document duplicated-window rates
+  *    (which parts of each doc also appear elsewhere);
+  *  - [[repetitionStats]] — intra-document repetition ratios
+  *    (Gopher-style duplicate n-gram / top-token fractions), pure
+  *    map-side;
+  *  - [[vocabulary]] — corpus term/document frequencies with a
+  *    bounded top-k, the tokenizer-training precursor.
+  *
+  * All three are built-in expression chains (no UDFs) so the
+  * per-document arithmetic stays inside WholeStageCodegen.
+  */
+object Spans {
+
+  private def nonEmptyTokens(text: Column): Column =
+    coalesce(filter(TextStats.tokens(text), w => length(w) > 0),
+      lit(Array.empty[String]).cast(ArrayType(StringType)))
+
+  /** Positional word `n`-grams: order-preserving, WITH multiplicity —
+    * unlike [[Dedup.shingles]] (a distinct set for Jaccard/MinHash),
+    * span accounting needs every window occurrence. Built by the same
+    * zip-with ladder (each fold appends the k-th shifted token), then
+    * truncated to the `size - n + 1` complete windows. Documents
+    * shorter than `n` tokens have zero windows. */
+  def positionalNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1: $n")
+    val words = nonEmptyTokens(text)
+    if (n == 1) words
+    else {
+      val joined = (1 until n).foldLeft(words) { (acc, k) =>
+        zip_with(acc, slice(words, lit(k + 1), size(words)),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      when(size(words) >= n, slice(joined, lit(1), size(words) - lit(n - 1)))
+        .otherwise(lit(Array.empty[String]).cast(ArrayType(StringType)))
+    }
+  }
+
+  /** Cross-document duplicated-span rates: for each document, how many
+    * of its `n`-token windows also occur in at least `minDocs` OTHER
+    * documents (i.e. the window's gram appears in >= minDocs distinct
+    * docs corpus-wide). Output per doc: total window count, duplicated
+    * window count, and their ratio — the curation signal for "this doc
+    * is mostly boilerplate seen elsewhere".
+    *
+    * Scale shape (100 TB): windows explode to one row each, but every
+    * subsequent hop is keyed —
+    *  1. pre-aggregate to (gram, doc) with per-doc multiplicity: the
+    *     map-side combine collapses intra-doc repeats before the
+    *     shuffle;
+    *  2. per-gram doc counts: a second hash agg over the (gram, doc)
+    *     pairs (rows = distinct pairs, already deduped);
+    *  3. join the >=minDocs grams back on gram — an equality join AQE
+    *     can skew-split when one boilerplate gram spans millions of
+    *     docs (the reason this is a join, not a window over gram: a
+    *     window partition cannot be split);
+    *  4. per-doc roll-up + a left join back to the doc spine.
+    * Nothing is all-pairs; every exchange key is (gram[, doc]).
+    *
+    * `hashGrams=true` (default, the at-scale path) shuffles 8-byte
+    * xxhash64 gram keys instead of the gram strings — SpansSpec pins
+    * bit-identical stats vs the string-keyed path; a 64-bit collision
+    * (~1e-9 at billions of distinct grams) could only overcount
+    * dup_windows by one window pair. */
+  def spanDedupStats(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minDocs: Int = 2,
+                     hashGrams: Boolean = true): DataFrame = {
+    val gramKey: Column => Column =
+      if (hashGrams) g => xxhash64(g) else identity
+    val exploded = docs
+      .select(col(idCol).as("doc_id"),
+        explode(positionalNgrams(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), gramKey(col("gram")).as("g"))
+    val pairOcc = exploded.groupBy(col("g"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+    val dupGrams = pairOcc.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("g"))
+    val dupPerDoc = pairOcc.join(dupGrams, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("dup_windows"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        greatest(size(nonEmptyTokens(col(textCol))) - lit(n - 1), lit(0))
+          .cast("long").as("n_windows"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        when(col("n_windows") > 0,
+          coalesce(col("dup_windows"), lit(0L)).cast("double") / col("n_windows"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
+  /** Intra-document repetition ratios, Gopher-style (Rae et al. 2021
+    * §A.1.1): per doc, the fraction of 2-/3-gram windows that repeat a
+    * window already seen IN THE SAME DOC, and the fraction of tokens
+    * taken by the single most frequent token. High values flag
+    * keyword-stuffed / generator-looped junk.
+    *
+    * Entirely map-side — array arithmetic per row, no shuffle, no
+    * UDF: duplicate counts are `total - array_distinct` size; the top
+    * token count is the longest run in the SORTED token array, an
+    * O(d log d) fold (`aggregate` over `sort_array`) rather than the
+    * O(d^2) count-each-distinct-token shape, so a pathological
+    * million-token document costs a sort, not a quadratic scan.
+    * Ratios are single divisions of exact integers — bit-identical on
+    * any partitioning. */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = nonEmptyTokens(col(textCol))
+    def dupRatio(n: Int): Column = {
+      val grams = positionalNgrams(col(textCol), n)
+      val total = size(grams)
+      when(total > 0,
+        (total - size(array_distinct(grams))).cast("double") / total)
+        .otherwise(lit(0.0))
+    }
+    val sorted = sort_array(toks)
+    val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
+    val topRun = aggregate(sorted, zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(toks).as("n_tokens"),
+      dupRatio(2).as("dup2_ratio"),
+      dupRatio(3).as("dup3_ratio"),
+      when(size(toks) > 0, topRun.cast("double") / size(toks))
+        .otherwise(lit(0.0)).as("top_token_ratio"))
+  }
+
+  /** Corpus vocabulary: per-token term frequency and document
+    * frequency, truncated to the `topK` most frequent (ties broken by
+    * token, so the cut is deterministic) — the counting pass a
+    * BPE/unigram tokenizer trainer runs first.
+    *
+    * Two keyed hash aggs — (token, doc) collapses intra-doc repeats
+    * map-side before the narrow per-token roll-up — and the top-k is
+    * `TakeOrderedAndProject` (per-partition heaps, never a full
+    * sort). */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+                 topK: Int = 100): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(nonEmptyTokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("token"))
+      .agg(sum(col("occ")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(topK)
+}

@@ -817,7 +817,105 @@ object LlmPipelines {
            |  CAST(SUM(q) AS DOUBLE) / count(*) AS mu
            |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Substring-level cross-doc dedup ([[graft.llm.Spans.spanDedupStats]],
+    * Lee et al. 2022): per-doc counts of 8-token windows whose gram
+    * occurs in >=2 distinct documents — the boilerplate-detection
+    * signal document-granular dedup (q27/q30) misses. Registered on
+    * the hashed-gram scale path (8-byte shuffle keys); SpansSpec pins
+    * it bit-identical to the string-keyed path the oracle mirrors. */
+  val q72 = QueryDef(
+    "q72_span_dedup",
+    (s, dir) =>
+      graft.llm.Spans.spanDedupStats(Tables.documents(s, dir),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                x -> length(x) > 0) AS t
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+           |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS s(i)),
+           |pair AS (SELECT g, doc_id, count(*) AS occ FROM grams GROUP BY 1, 2),
+           |dupg AS (SELECT g FROM pair GROUP BY g HAVING count(*) >= 2),
+           |perdoc AS (
+           |  SELECT p.doc_id, SUM(p.occ) AS dup_windows
+           |  FROM pair p JOIN dupg USING (g) GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(greatest(len(t.t) - 7, 0) AS BIGINT) AS n_windows,
+           |  CAST(coalesce(perdoc.dup_windows, 0) AS BIGINT) AS dup_windows,
+           |  CASE WHEN greatest(len(t.t) - 7, 0) > 0
+           |       THEN CAST(coalesce(perdoc.dup_windows, 0) AS DOUBLE)
+           |            / greatest(len(t.t) - 7, 0)
+           |       ELSE 0.0 END AS dup_ratio
+           |FROM documents d
+           |JOIN toks t USING (doc_id)
+           |LEFT JOIN perdoc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Intra-doc repetition ratios ([[graft.llm.Spans.repetitionStats]],
+    * Gopher / Rae et al. 2021 quality filters): duplicate 2-/3-gram
+    * fractions + top-token fraction, computed entirely map-side (array
+    * arithmetic per row, zero shuffles — the 100 TB shape for a
+    * per-document signal). */
+  val q73 = QueryDef(
+    "q73_repetition_ratios",
+    (s, dir) =>
+      graft.llm.Spans.repetitionStats(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                x -> length(x) > 0) AS t
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id, t,
+           |    [array_to_string(t[i:i+1], ' ')
+           |       for i in generate_series(1, greatest(len(t) - 1, 0))] AS g2,
+           |    [array_to_string(t[i:i+2], ' ')
+           |       for i in generate_series(1, greatest(len(t) - 2, 0))] AS g3
+           |  FROM toks),
+           |tok_counts AS (
+           |  SELECT doc_id, tok, count(*) AS c
+           |  FROM toks, UNNEST(t) AS u(tok) GROUP BY 1, 2),
+           |top AS (SELECT doc_id, max(c) AS topc FROM tok_counts GROUP BY 1)
+           |SELECT g.doc_id,
+           |  CAST(len(g.t) AS INTEGER) AS n_tokens,
+           |  CASE WHEN len(g.g2) > 0
+           |       THEN CAST(len(g.g2) - len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2)
+           |       ELSE 0.0 END AS dup2_ratio,
+           |  CASE WHEN len(g.g3) > 0
+           |       THEN CAST(len(g.g3) - len(list_distinct(g.g3)) AS DOUBLE) / len(g.g3)
+           |       ELSE 0.0 END AS dup3_ratio,
+           |  CASE WHEN len(g.t) > 0
+           |       THEN CAST(coalesce(top.topc, 0) AS DOUBLE) / len(g.t)
+           |       ELSE 0.0 END AS top_token_ratio
+           |FROM grams g LEFT JOIN top ON g.doc_id = top.doc_id
+           |ORDER BY g.doc_id""".stripMargin))
+
+  /** Corpus vocabulary with bounded top-k
+    * ([[graft.llm.Spans.vocabulary]]): term + document frequencies,
+    * the tokenizer-training counting pass; top-k is a
+    * TakeOrderedAndProject with a deterministic (tf desc, token) cut. */
+  val q74 = QueryDef(
+    "q74_vocabulary",
+    (s, dir) =>
+      graft.llm.Spans.vocabulary(Tables.documents(s, dir),
+        "doc_id", "text", topK = 20),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                x -> length(x) > 0) AS t
+           |  FROM documents),
+           |e AS (SELECT doc_id, tok AS token FROM toks, UNNEST(t) AS u(tok)),
+           |p AS (SELECT token, doc_id, count(*) AS occ FROM e GROUP BY 1, 2)
+           |SELECT token, CAST(SUM(occ) AS BIGINT) AS tf,
+           |  CAST(count(*) AS BIGINT) AS df
+           |FROM p GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
-      q65, q66, q67, q70)
+      q65, q66, q67, q70, q72, q73, q74)
 }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.core.Tables
+import graft.llm.Spans
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  private def docs = Tables.documents(spark, SparkTestBase.sf)
+
+  test("positionalNgrams keeps order and multiplicity; short docs have zero windows") {
+    val rows = Seq("a b a b c", "a b", "  x  ", "").toDF("text")
+      .select(Spans.positionalNgrams($"text", 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b a", "b a b", "a b c"))
+    assert(rows(1) == Seq.empty) // shorter than n
+    assert(rows(2) == Seq.empty)
+    assert(rows(3) == Seq.empty)
+    val bi = Seq("a a a a").toDF("text")
+      .select(Spans.positionalNgrams($"text", 2).as("g"))
+      .as[Seq[String]].head()
+    assert(bi == Seq("a a", "a a", "a a")) // multiplicity preserved
+  }
+
+  test("spanDedupStats: hashed-gram scale path is bit-identical to string grams") {
+    val d = docs
+    val hashed = Spans.spanDedupStats(d, "doc_id", "text", n = 8,
+      hashGrams = true).orderBy($"doc_id").collect()
+    val strs = Spans.spanDedupStats(d, "doc_id", "text", n = 8,
+      hashGrams = false).orderBy($"doc_id").collect()
+    assert(hashed.toSeq == strs.toSeq)
+    assert(hashed.exists(_.getLong(2) > 0), "fixture should contain cross-doc dup spans")
+  }
+
+  test("spanDedupStats hand-computed example") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 tail1"),    // shares window w1..w4 with doc 2
+      (2L, "w1 w2 w3 w4 tail2"),
+      (3L, "u1 u2 u3 u4 u5")        // unique
+    ).toDF("doc_id", "text")
+    val out = Spans.spanDedupStats(d, "doc_id", "text", n = 4)
+      .orderBy($"doc_id")
+      .select($"n_windows", $"dup_windows", $"dup_ratio")
+      .as[(Long, Long, Double)].collect()
+    assert(out(0) == ((2L, 1L, 0.5)))  // windows: [w1..w4] dup, [w2..tail1] not
+    assert(out(1) == ((2L, 1L, 0.5)))
+    assert(out(2) == ((2L, 0L, 0.0)))
+  }
+
+  test("repetitionStats hand-computed example") {
+    val d = Seq(
+      (1L, "a a a b"),   // g2 = [a a, a a, a b]: dup2 = 1/3; top = 3/4
+      (2L, "x y z"),     // no repeats
+      (3L, "p p p p p")  // g2 all "p p": dup2 = 3/4; g3 dup = 2/3; top = 1
+    ).toDF("doc_id", "text")
+    val out = Spans.repetitionStats(d, "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"n_tokens", $"dup2_ratio", $"dup3_ratio", $"top_token_ratio")
+      .as[(Int, Double, Double, Double)].collect()
+    assert(out(0) == ((4, 1.0 / 3, 0.0, 0.75)))
+    assert(out(1) == ((3, 0.0, 0.0, 1.0 / 3)))
+    assert(out(2) == ((5, 0.75, 2.0 / 3, 1.0)))
+  }
+
+  test("repetitionStats top-run fold matches the naive per-token count") {
+    val out = Spans.repetitionStats(docs, "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"top_token_ratio")
+    val naive = docs.select($"doc_id",
+        explode(filter(split(lower(trim($"text")), "\\s+"),
+          w => length(w) > 0)).as("tok"))
+      .groupBy($"doc_id", $"tok").count()
+      .groupBy($"doc_id").agg(max($"count").as("topc"))
+    val joined = out.join(naive, Seq("doc_id"))
+      .where(abs($"top_token_ratio" - $"topc".cast("double") / $"n_tokens")
+        > lit(0.0))
+    assert(joined.count() == 0)
+  }
+
+  test("vocabulary: deterministic top-k cut with (tf desc, token) tie-break") {
+    val d = Seq((1L, "b b a a c c c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = Spans.vocabulary(d, "doc_id", "text", topK = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // tf: a=3, b=3, c=3, d=1 → top-3 is the tie broken by token asc
+    assert(out == Seq(("a", 3L, 2L), ("b", 3L, 2L), ("c", 3L, 1L)))
+  }
+}
