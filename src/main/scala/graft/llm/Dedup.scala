@@ -769,7 +769,7 @@ object Dedup {
   /** The integer-domain compare carries t as t·100 exactly — a
     * sub-centi threshold would be silently rounded to the nearest
     * 0.01, changing the selection predicate; reject it instead. */
-  private def checkCentiThreshold(threshold: Double): Long = {
+  private[llm] def checkCentiThreshold(threshold: Double): Long = {
     val tScaled = math.round(threshold * 100)
     require(math.abs(threshold * 100 - tScaled) < 1e-9,
       s"threshold must be a multiple of 0.01 (got $threshold); " +
@@ -778,7 +778,7 @@ object Dedup {
   }
 
   /** 1e-3-quantized vector + its exact integer norm². */
-  private def quantizeWithNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  private[llm] def quantizeWithNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     import graft.functions.VectorKernels.long_dot
     emb.select(col(idCol).as("id"),
         transform(col(vecCol),
@@ -789,7 +789,7 @@ object Dedup {
   /** cosine > t restated in exact decimal(38,0) integer arithmetic:
     * dot > 0 and 10⁴·dot² > (t·10²)²·|a|²·|b|² — free of float
     * nondeterminism, safe past Long range for high-dim vectors. */
-  private def exactCosinePredicate(dot: Column, tScaled: Long,
+  private[llm] def exactCosinePredicate(dot: Column, tScaled: Long,
                                    normA: Column, normB: Column): Column = {
     val dec = "decimal(38,0)"
     dot > 0 &&

@@ -259,4 +259,70 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
       .withColumn("mu", col("sum_q").cast("double") / col("n"))
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate pairs via cluster-then-compare. The corpus is
+    * assigned to its nearest sampled-k-means centroid BY COSINE (so
+    * assignment is scale-free: a vector and any positive rescaling of
+    * it land in the same cluster, deterministically), and exact
+    * pairwise verification runs only WITHIN each cluster.
+    *
+    * Scale shape: candidate pairs are Σ cluster² ≈ n²/nCentroids —
+    * size `nCentroids` ∝ n to hold mean cluster size constant (the
+    * paper runs 50k clusters over 5B embeddings; the same corpus-sized
+    * auto-tuning as [[Dedup.cosineNearDupBucketed]]'s banding applies).
+    * Assignment is n·k map-side cosines over a broadcast centroid
+    * array; the only shuffle is the per-cluster self-join on an
+    * equality key AQE can skew-split; the assigned/quantized frame is
+    * cached once and read by both join sides.
+    *
+    * Verification shares [[Dedup]]'s exact integer-domain cosine
+    * predicate, so every emitted pair IS a true near-dup pair
+    * (precision 1 by construction); recall is the co-cluster
+    * probability — exactly 1 for parallel vectors, measured ≥0.8 on
+    * perturbed near-parallel twins in LlmSpec. Compared to the
+    * sign-LSH route ([[Dedup.cosineNearDupBucketed]]) this trades the
+    * multi-band union-of-buckets recall bound for data-adaptive
+    * single-assignment buckets — the two candidate generators are
+    * complementary; both end in the same exact verifier. */
+  def semanticNearDupPairs(corpus: DataFrame, idCol: String,
+                           vecCol: String, threshold: Double,
+                           nCentroids: Int = 16,
+                           sampleSize: Int = 2048): DataFrame = {
+    import graft.functions.VectorKernels.long_dot
+    val tScaled = Dedup.checkCentiThreshold(threshold)
+    val sample = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(lit("semdedup-sample"), col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centArray = array(sampleKMeans(sample, nCentroids).zipWithIndex
+      .map { case (v, i) =>
+        struct(lit(i).as("cid"), typedLit(v.toSeq).as("cv")) }: _*)
+    // nearest-by-cosine centroid: array_min over (negcos, cid) structs
+    // picks the max-cosine (ties on cid) — same float expression on
+    // every row, so assignment is deterministic per direction
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cent",
+        array_min(transform(centArray, c =>
+          struct((-float_cosine(col("v"), c.getField("cv"))).as("negcos"),
+            c.getField("cid").as("cid")))).getField("cid"))
+      .select(col("id"), col("cent"),
+        transform(col("v"),
+          x => round(x.cast("double") * 1000).cast("long")).as("qv"))
+      .withColumn("norm2", long_dot(col("qv"), col("qv")))
+      .transform(graft.core.Caching.eager)
+    val a = assigned.select(col("cent"), col("id").as("id_a"),
+      col("qv").as("qa"), col("norm2").as("na"))
+    val b = assigned.select(col("cent"), col("id").as("id_b"),
+      col("qv").as("qb"), col("norm2").as("nb"))
+    a.join(b, Seq("cent"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dot", long_dot(col("qa"), col("qb")))
+      .where(Dedup.exactCosinePredicate(col("dot"), tScaled,
+        col("na"), col("nb")))
+      .select(col("id_a"), col("id_b"), col("dot"))
+  }
 }

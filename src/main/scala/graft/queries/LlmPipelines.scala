@@ -915,7 +915,84 @@ object LlmPipelines {
            |  CAST(count(*) AS BIGINT) AS df
            |FROM p GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin))
 
+  /** SemDeDup cluster-based semantic dedup
+    * ([[graft.llm.Similarity.semanticNearDupPairs]]) over the q33
+    * planted-twin union. Oracle pattern follows q70: the exact columns
+    * (corpus size, the all-pairs truth pair count and its id checksum)
+    * are DuckDB-reproducible, and the clustering-dependent part is
+    * reduced to two booleans the oracle pins TRUE — precision (every
+    * emitted pair verifies against the exact integer-domain truth set;
+    * true by construction since the verifier IS the truth predicate)
+    * and recall ≥ 0.8 (twins are parallel, so cosine assignment puts
+    * them in one cluster deterministically — a broken assignment or
+    * join drops this below the floor). Near-parallel recall is
+    * additionally measured in LlmSpec on perturbed twins. */
+  val q75 = QueryDef(
+    "q75_semantic_dedup",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val twins = emb.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * 1.5).cast("float")).as("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(twins)
+      val found = Similarity.semanticNearDupPairs(corpus, "vec_id",
+          "embedding", threshold = 0.9, nCentroids = 16)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__f"))
+      // truth side: the BUCKETED generate∘verify path, not the
+      // all-pairs quantized form — the registered plan must stay free
+      // of inequality-only joins (PlanSpec contract); its pair-for-pair
+      // equality to the all-pairs exact set is already pinned by
+      // LlmSpec and by q33's own hash gate on this same corpus, and
+      // the DuckDB side of THIS oracle recomputes all-pairs truth
+      // independently, so a bucketed recall miss would still fail here
+      val truth = Dedup.cosineNearDupBucketed(corpus, "vec_id",
+          "embedding", threshold = 0.9, dim = 64)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
+      truth.join(found, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(col("__t")).as("n_truth_pairs"),
+          sum(when(col("__t").isNotNull,
+            col("id_a") * 4000000L + col("id_b"))).as("truth_checksum"),
+          (coalesce(sum(when(col("__t") === 1L && col("__f") === 1L, 1L)), lit(0L)) >=
+            sum(col("__t")) * 0.8).as("recall_ge_80"),
+          (coalesce(sum(when(col("__t").isNull, 1L)), lit(0L)) === 0L)
+            .as("precision_exact"))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_vecs")))
+        .select(col("n_vecs"), col("n_truth_pairs"), col("truth_checksum"),
+          col("recall_ge_80"), col("precision_exact"))
+    },
+    Some("""WITH corpus AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000,
+           |    list_transform(embedding,
+           |      x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT))
+           |  FROM embeddings WHERE vec_id % 20 = 0),
+           |q AS (
+           |  SELECT vec_id AS id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM corpus),
+           |n AS (
+           |  SELECT id, qv,
+           |    CAST(list_inner_product(qv, qv) AS BIGINT) AS norm2
+           |  FROM q),
+           |truth AS (
+           |  SELECT a.id AS id_a, b.id AS id_b
+           |  FROM n a JOIN n b ON a.id < b.id
+           |  WHERE CAST(list_inner_product(a.qv, b.qv) AS BIGINT) > 0
+           |    AND CAST(CAST(list_inner_product(a.qv, b.qv) AS BIGINT) AS HUGEINT)
+           |        * CAST(list_inner_product(a.qv, b.qv) AS BIGINT) * 10000
+           |      > 8100 * CAST(a.norm2 AS HUGEINT) * b.norm2)
+           |SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_vecs,
+           |  CAST(count(*) AS BIGINT) AS n_truth_pairs,
+           |  CAST(SUM(id_a * 4000000 + id_b) AS BIGINT) AS truth_checksum,
+           |  TRUE AS recall_ge_80, TRUE AS precision_exact
+           |FROM truth""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
-      q65, q66, q67, q70, q72, q73, q74)
+      q65, q66, q67, q70, q72, q73, q74, q75)
 }

@@ -406,6 +406,49 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall (measured 0.883 at fixture)")
   }
 
+  test("SemDeDup equals the all-pairs exact twin on parallel planted twins") {
+    val twins = emb.where($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding",
+          x => (x.cast("double") * 1.5).cast("float")).as("embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").unionAll(twins)
+    val exact = Dedup.cosineNearDupQuantized(corpus, "vec_id", "embedding", 0.9)
+      .select($"id_a", $"id_b", $"dot").as[(Long, Long, Long)].collect().toSet
+    val sem = Similarity.semanticNearDupPairs(corpus, "vec_id", "embedding",
+        0.9, nCentroids = 16)
+      .select($"id_a", $"id_b", $"dot").as[(Long, Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "planted twins must surface as near-dup pairs")
+    // parallel twins: cosine assignment is scale-invariant, so both
+    // members of every pair share a cluster — recall is exactly 1
+    assert(sem == exact,
+      s"missed=${(exact -- sem).take(3)} extra=${(sem -- exact).take(3)}")
+    spark.catalog.clearCache()
+  }
+
+  test("SemDeDup recall >= 0.8 on near-parallel perturbed twins; precision exact") {
+    // perturbation: coordinate 0 scaled ×8, the rest ×1.5 — the twin's
+    // direction tilts away from the original (cosine ≈ 0.95-0.999
+    // depending on the coordinate's share of the norm), so co-cluster
+    // assignment is no longer guaranteed by scale invariance — this is
+    // the regime the recall claim is ABOUT
+    val twins = emb.where($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", (x, i) =>
+          (x.cast("double") * when(i === 0, 8.0).otherwise(1.5))
+            .cast("float")).as("embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").unionAll(twins)
+    val exact = Dedup.cosineNearDupQuantized(corpus, "vec_id", "embedding", 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sem = Similarity.semanticNearDupPairs(corpus, "vec_id", "embedding",
+        0.9, nCentroids = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "perturbed twins must retain some >=0.9 pairs")
+    assert((sem -- exact).isEmpty, s"precision violation: ${(sem -- exact).take(3)}")
+    val recall = (exact intersect sem).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SemDeDup near-parallel recall $recall")
+    spark.catalog.clearCache()
+  }
+
   test("HLL approx distinct within 5% of exact at rsd=1%") {
     val ev = Tables.events(spark, SparkTestBase.sf)
     val (approx, exact) = ev.agg(
