@@ -75,6 +75,41 @@ object VectorKernels {
       GraftSqlBridge.expression(qv), planesFlat, bands, bandBits, dim))
   }
 
+  /** Nearest centroid of a float vector among `k` UNIT-NORM centroids
+    * (flattened row-major) by maximum dot product — which is maximum
+    * cosine when the centroids are pre-normalized, since the row's own
+    * norm is constant across candidates. One kernel call replaces k
+    * literal-array cosine columns: like [[sign_bands]], the centroid
+    * matrix rides along as ONE reference object, so a corpus-sized k
+    * (SemDeDup auto-sizing) neither grows the plan nor breaks
+    * whole-stage codegen. Ties break to the lowest centroid id;
+    * deterministic for equal inputs across JVMs and retries. */
+  def nearest_centroid(v: Column, centsFlat: Array[Float], k: Int,
+                       dim: Int): Column = {
+    require(centsFlat.length == k * dim,
+      s"centroids length ${centsFlat.length} != $k*$dim")
+    require(k >= 1, s"need at least one centroid, got $k")
+    GraftSqlBridge.column(NearestCentroid(
+      GraftSqlBridge.expression(v), centsFlat, k, dim))
+  }
+
+  def nearestCentroid(v: ArrayData, cents: Array[Float], k: Int,
+                      dim: Int): Int = {
+    val n = math.min(dim, v.numElements())
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getFloat(i).toDouble * cents(off + i); i += 1 }
+      if (acc > bestDot) { bestDot = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
   def signBands(qv: ArrayData, planes: Array[Long], bands: Int,
                 bandBits: Int, dim: Int): ArrayData = {
     val n = math.min(dim, qv.numElements())
@@ -166,6 +201,28 @@ case class SignBandSignatures(child: Expression, planes: Array[Long],
     val planesRef = ctx.addReferenceObj("signPlanes", planes, "long[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.VectorKernels.signBands($c, $planesRef, $bands, $bandBits, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** argmax-dot centroid assignment over an ARRAY<FLOAT> vector against
+  * a flattened unit-norm centroid matrix (see
+  * [[VectorKernels.nearest_centroid]]); reference-object matrix, same
+  * plan-size rationale as [[SignBandSignatures]]. */
+case class NearestCentroid(child: Expression, cents: Array[Float],
+                           k: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected ARRAY<FLOAT>, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCentroid(v.asInstanceOf[ArrayData], cents, k, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", cents, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.nearestCentroid($c, $centsRef, $k, $dim)")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -267,14 +267,17 @@ object Similarity {
     * it land in the same cluster, deterministically), and exact
     * pairwise verification runs only WITHIN each cluster.
     *
-    * Scale shape: candidate pairs are Σ cluster² ≈ n²/nCentroids —
-    * size `nCentroids` ∝ n to hold mean cluster size constant (the
-    * paper runs 50k clusters over 5B embeddings; the same corpus-sized
-    * auto-tuning as [[Dedup.cosineNearDupBucketed]]'s banding applies).
-    * Assignment is n·k map-side cosines over a broadcast centroid
-    * array; the only shuffle is the per-cluster self-join on an
-    * equality key AQE can skew-split; the assigned/quantized frame is
-    * cached once and read by both join sides.
+    * Scale shape: candidate pairs are Σ cluster² ≈ n²/k. By default k
+    * AUTO-SIZES to n/targetClusterSize (one bounded count), holding
+    * mean cluster size — and so candidates-per-row — constant as the
+    * corpus grows (the paper runs 50k clusters over 5B embeddings;
+    * same corpus-sized tuning as [[Dedup.cosineNearDupBucketed]]'s
+    * banding). Assignment is one codegen'd argmax-dot kernel call per
+    * row against a unit-normalized centroid matrix carried as a
+    * reference object (plan size independent of k); the only shuffle
+    * is the per-cluster self-join on an equality key AQE can
+    * skew-split; the assigned/quantized frame is cached once and read
+    * by both join sides.
     *
     * Verification shares [[Dedup]]'s exact integer-domain cosine
     * predicate, so every emitted pair IS a true near-dup pair
@@ -287,28 +290,48 @@ object Similarity {
     * complementary; both end in the same exact verifier. */
   def semanticNearDupPairs(corpus: DataFrame, idCol: String,
                            vecCol: String, threshold: Double,
-                           nCentroids: Int = 16,
-                           sampleSize: Int = 2048): DataFrame = {
-    import graft.functions.VectorKernels.long_dot
+                           nCentroids: Int = 0, sampleSize: Int = 0,
+                           targetClusterSize: Int = 256,
+                           maxCentroids: Int = 1024): DataFrame = {
+    import graft.functions.VectorKernels.{long_dot, nearest_centroid}
     val tScaled = Dedup.checkCentiThreshold(threshold)
-    val sample = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(lit("semdedup-sample"), col(idCol)), col(idCol))
-      .limit(sampleSize)
-      .select(col(vecCol))
+    val src = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // auto-size the cluster count to the corpus, like the adaptive
+    // sign-LSH banding: a FIXED k means candidates grow as n²/k — the
+    // superlinearity class the sf1 harness caught in the fixed 16×8
+    // banding. k = n/targetClusterSize holds mean cluster size (and so
+    // candidates-per-row) constant. The count is one bounded scan; on
+    // a warehouse deployment table stats provide it for free.
+    // maxCentroids bounds the DRIVER k-means (sample·k·dim·iters
+    // flops); past n ≈ maxCentroids·targetClusterSize, swap the
+    // sampled Lloyd for a distributed refresh ([[labelCentroidsQ]] is
+    // the per-iteration centroid update) — the assignment kernel and
+    // join are already cluster-count-agnostic.
+    val k =
+      if (nCentroids > 0) nCentroids
+      else {
+        val n = src.count()
+        math.max(1, math.min(maxCentroids.toLong,
+          n / targetClusterSize).toInt)
+      }
+    val sSize = if (sampleSize > 0) sampleSize else math.max(2048, 8 * k)
+    val sample = src
+      .orderBy(xxhash64(lit("semdedup-sample"), col("id")), col("id"))
+      .limit(sSize)
+      .select(col("v"))
       .collect()
       .map(_.getSeq[Float](0).toArray)
-    val centArray = array(sampleKMeans(sample, nCentroids).zipWithIndex
-      .map { case (v, i) =>
-        struct(lit(i).as("cid"), typedLit(v.toSeq).as("cv")) }: _*)
-    // nearest-by-cosine centroid: array_min over (negcos, cid) structs
-    // picks the max-cosine (ties on cid) — same float expression on
-    // every row, so assignment is deterministic per direction
-    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("cent",
-        array_min(transform(centArray, c =>
-          struct((-float_cosine(col("v"), c.getField("cv"))).as("negcos"),
-            c.getField("cid").as("cid")))).getField("cid"))
+    // pre-normalize centroids to unit vectors: per-row assignment is
+    // then argmax DOT, one flat k·dim loop in the codegen'd
+    // [[graft.functions.NearestCentroid]] kernel (the centroid matrix
+    // is a reference object — corpus-sized k cannot bloat the plan)
+    val centsFlat: Array[Float] = sampleKMeans(sample, k).flatMap { cv =>
+      val norm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      if (norm == 0.0) cv else cv.map(x => (x / norm).toFloat)
+    }
+    val dim = if (k > 0) centsFlat.length / k else 0
+    val assigned = src
+      .withColumn("cent", nearest_centroid(col("v"), centsFlat, k, dim))
       .select(col("id"), col("cent"),
         transform(col("v"),
           x => round(x.cast("double") * 1000).cast("long")).as("qv"))

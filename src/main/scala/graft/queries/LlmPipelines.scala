@@ -938,7 +938,7 @@ object LlmPipelines {
       val corpus = emb.select(col("vec_id"), col("embedding"))
         .unionAll(twins)
       val found = Similarity.semanticNearDupPairs(corpus, "vec_id",
-          "embedding", threshold = 0.9, nCentroids = 16)
+          "embedding", threshold = 0.9) // k auto-sizes to the corpus
         .select(col("id_a"), col("id_b"), lit(1L).as("__f"))
       // truth side: the BUCKETED generate∘verify path, not the
       // all-pairs quantized form — the registered plan must stay free

@@ -86,6 +86,45 @@ class CodegenParitySpec extends AnyFunSuite {
     assert(generated == viaDots)
   }
 
+  // deterministic unit-norm centroids: 5 centroids over dim 64
+  private val parityCents: Array[Float] = {
+    val rnd = new java.util.Random(101L)
+    Array.fill(5)(Array.fill(64)(rnd.nextGaussian())).flatMap { cv =>
+      val norm = math.sqrt(cv.map(x => x * x).sum)
+      cv.map(x => (x / norm).toFloat)
+    }
+  }
+
+  private def runNearestCentroid(): Seq[(Long, Int)] =
+    Tables.embeddings(spark, SparkTestBase.sf).where($"vec_id" < 20)
+      .select($"vec_id",
+        VectorKernels.nearest_centroid($"embedding", parityCents, 5, 64).as("cid"))
+      .as[(Long, Int)].collect().toSeq.sortBy(_._1)
+
+  test("NearestCentroid: codegen == interpreted == per-centroid float_dot argmax") {
+    val generated = withConfs(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(runNearestCentroid())
+    val interpreted = withConfs(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(runNearestCentroid())
+    assert(generated == interpreted)
+    assert(generated.nonEmpty)
+    assert(generated.map(_._2).distinct.size > 1,
+      "fixture should spread across centroids")
+    // ground truth: argmax of per-centroid float_dot columns (strict >,
+    // so ties break to the lowest cid — the kernel's contract)
+    val viaDots = Tables.embeddings(spark, SparkTestBase.sf)
+      .where($"vec_id" < 20)
+      .select($"vec_id", array((0 until 5).map { c =>
+        VectorKernels.float_dot($"embedding",
+          typedLit(parityCents.slice(c * 64, (c + 1) * 64).toSeq))
+      }: _*).as("dots"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      .map { case (id, dots) => (id, dots.indexOf(dots.max)) }
+    assert(generated == viaDots)
+  }
+
   test("SimHash64 / DmsToDecimalDegrees / vector kernels: codegen == interpreted") {
     val generated = withConfs(
       "spark.sql.codegen.wholeStage" -> "true",
