@@ -288,11 +288,74 @@ object Similarity {
     * multi-band union-of-buckets recall bound for data-adaptive
     * single-assignment buckets — the two candidate generators are
     * complementary; both end in the same exact verifier. */
+  /** Distributed Lloyd refinement over the FULL corpus — the at-scale
+    * continuation of [[sampleKMeans]] for cluster counts past the
+    * driver-sample regime (n ≳ maxCentroids·targetClusterSize). Each
+    * iteration is two distributed steps: (1) one map-side assignment
+    * pass through the codegen'd argmax-dot kernel (centroid matrix as
+    * a reference object), (2) one hash-agg centroid update in the
+    * QUANTIZED-LONG domain (`floor(x·10⁶)` partial sums — exact and
+    * order-free, so refined centroids are bit-identical on any
+    * partitioning/cluster size, same rationale as
+    * [[labelCentroidsQ]]). The per-iteration collect is k·dim
+    * aggregated rows — the same order as the centroid model itself,
+    * which must fit on the driver regardless (it ships to executors
+    * as the kernel's reference object).
+    *
+    * Empty clusters keep their previous centroid (standard Lloyd
+    * convention, matches [[sampleKMeans]]). Input centroids need not
+    * be normalized; assignment normalizes internally each round. */
+  def kmeansRefine(corpus: DataFrame, vecCol: String,
+                   centsInit: Array[Array[Float]],
+                   iters: Int): Array[Array[Float]] = {
+    import graft.functions.VectorKernels.nearest_centroid
+    require(centsInit.nonEmpty, "need at least one initial centroid")
+    val k = centsInit.length
+    val dim = centsInit(0).length
+    var cents = centsInit
+    var it = 0
+    while (it < iters) {
+      val flat = unitNormFlat(cents)
+      val agg = corpus
+        .select(nearest_centroid(col(vecCol), flat, k, dim).as("cent"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .select(col("cent"), col("pos"),
+          floor(col("x").cast("double") * 1000000L).cast("long").as("q"))
+        .groupBy(col("cent"), col("pos"))
+        .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.ofDim[Long](k, dim)
+      val counts = new Array[Long](k)
+      agg.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        sums(c)(p) = r.getLong(2)
+        counts(c) = r.getLong(3)
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old
+        else Array.tabulate(dim)(i =>
+          (sums(c)(i).toDouble / 1e6 / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Flatten a centroid matrix row-major with each row scaled to unit
+    * norm (zero rows pass through) — the layout
+    * [[graft.functions.VectorKernels.nearest_centroid]] consumes. */
+  def unitNormFlat(cents: Array[Array[Float]]): Array[Float] =
+    cents.flatMap { cv =>
+      val norm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      if (norm == 0.0) cv else cv.map(x => (x / norm).toFloat)
+    }
+
   def semanticNearDupPairs(corpus: DataFrame, idCol: String,
                            vecCol: String, threshold: Double,
                            nCentroids: Int = 0, sampleSize: Int = 0,
                            targetClusterSize: Int = 256,
-                           maxCentroids: Int = 1024): DataFrame = {
+                           maxCentroids: Int = 1024,
+                           refineIters: Int = 0): DataFrame = {
     import graft.functions.VectorKernels.{long_dot, nearest_centroid}
     val tScaled = Dedup.checkCentiThreshold(threshold)
     val src = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -303,9 +366,9 @@ object Similarity {
     // candidates-per-row) constant. The count is one bounded scan; on
     // a warehouse deployment table stats provide it for free.
     // maxCentroids bounds the DRIVER k-means (sample·k·dim·iters
-    // flops); past n ≈ maxCentroids·targetClusterSize, swap the
-    // sampled Lloyd for a distributed refresh ([[labelCentroidsQ]] is
-    // the per-iteration centroid update) — the assignment kernel and
+    // flops); past n ≈ maxCentroids·targetClusterSize, raise the cap
+    // and set refineIters > 0 so [[kmeansRefine]] continues the
+    // sampled Lloyd over the full corpus — the assignment kernel and
     // join are already cluster-count-agnostic.
     val k =
       if (nCentroids > 0) nCentroids
@@ -324,11 +387,13 @@ object Similarity {
     // pre-normalize centroids to unit vectors: per-row assignment is
     // then argmax DOT, one flat k·dim loop in the codegen'd
     // [[graft.functions.NearestCentroid]] kernel (the centroid matrix
-    // is a reference object — corpus-sized k cannot bloat the plan)
-    val centsFlat: Array[Float] = sampleKMeans(sample, k).flatMap { cv =>
-      val norm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x))
-      if (norm == 0.0) cv else cv.map(x => (x / norm).toFloat)
-    }
+    // is a reference object — corpus-sized k cannot bloat the plan).
+    // refineIters > 0 continues the sampled Lloyd over the FULL corpus
+    // ([[kmeansRefine]]) — the path for sample-starved large k.
+    val sampled = sampleKMeans(sample, k)
+    val centsFlat: Array[Float] = unitNormFlat(
+      if (refineIters > 0) kmeansRefine(src, "v", sampled, refineIters)
+      else sampled)
     val dim = if (k > 0) centsFlat.length / k else 0
     val assigned = src
       .withColumn("cent", nearest_centroid(col("v"), centsFlat, k, dim))

@@ -449,6 +449,39 @@ class LlmSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("kmeansRefine: partitioning-independent and objective-non-worsening") {
+    import graft.functions.VectorKernels.{float_cosine, nearest_centroid}
+    val rnd = new java.util.Random(7L)
+    val init = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val refined = Similarity.kmeansRefine(emb, "embedding", init, iters = 3)
+    // quantized-Long partial sums make the update order-free: a
+    // different physical layout must yield bit-identical centroids
+    val refined2 = Similarity.kmeansRefine(emb.repartition(7), "embedding",
+      init, iters = 3)
+    assert(refined.map(_.toSeq).toSeq == refined2.map(_.toSeq).toSeq)
+    // Lloyd must not worsen the spherical objective: mean cosine of
+    // each row to its assigned (unit-norm) centroid
+    def objective(cents: Array[Array[Float]]): Double = {
+      val flat = Similarity.unitNormFlat(cents)
+      val centArr = (0 until cents.length).map { c =>
+        typedLit(flat.slice(c * 64, (c + 1) * 64).toSeq)
+      }
+      emb.select(
+          element_at(array(centArr: _*),
+            nearest_centroid($"embedding", flat, cents.length, 64) + 1)
+            .as("cv"), $"embedding")
+        .select(float_cosine($"embedding", $"cv").as("cos"))
+        .agg(avg($"cos")).as[Double].head()
+    }
+    val before = objective(init)
+    val after = objective(refined)
+    // spherical Lloyd is monotone in exact arithmetic; the 1e-6
+    // slack covers float evaluation + the quantized update domain
+    assert(after >= before - 1e-6, s"objective worsened: $before -> $after")
+    assert(after > before + 0.01,
+      s"random init should improve materially: $before -> $after")
+  }
+
   test("HLL approx distinct within 5% of exact at rsd=1%") {
     val ev = Tables.events(spark, SparkTestBase.sf)
     val (approx, exact) = ev.agg(
