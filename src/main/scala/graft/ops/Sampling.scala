@@ -82,6 +82,55 @@ object Sampling {
     df.where(bucket(col(idCol)) < threshold)
   }
 
+  /** Mixture sampling: downsample each source so the KEPT corpus
+    * matches a target source distribution — the static data-mixing
+    * step of training-data assembly ("50% web, 30% books, 20% code"),
+    * maximizing total kept volume subject to the mix.
+    *
+    * Weights are exact millionths (they must sum to 1 000 000; a
+    * double-weight overload below rounds and checks). With per-source
+    * counts c_s and weights w_s, the largest achievable total is
+    * T = min_s floor(c_s·10⁶ / w_s), and each source keeps bucket
+    * < floor(w_s·T / c_s) of the SAME portable id-hash as [[sample]] —
+    * so the kept set is stable under repartitioning/append, shrinks and
+    * grows monotonically with a weight tweak, and any engine
+    * reproduces it exactly. Sources with no weight are dropped.
+    *
+    * Scale shape: one count aggregation (|sources| rows to the driver
+    * — dimension-sized, the documented bounded-collect class), then a
+    * map-side filter; threshold arithmetic is BigInt on the driver so
+    * petabyte-scale counts cannot overflow. Kept counts track
+    * w_s·T/10⁶ to hash-bucket uniformity (exact thresholds, not exact
+    * counts — the price of stability; same contract as [[sample]]). */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                    weightsMilli: Map[String, Long]): DataFrame = {
+    require(weightsMilli.nonEmpty && weightsMilli.values.forall(_ >= 0),
+      s"weights must be non-negative: $weightsMilli")
+    require(weightsMilli.values.sum == Buckets,
+      s"weights must sum to $Buckets millionths, got ${weightsMilli.values.sum}")
+    val counts = df.groupBy(col(sourceCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weightsMilli.filter { case (s, w) =>
+      w > 0 && counts.getOrElse(s, 0L) > 0L }
+    require(present.nonEmpty,
+      s"no weighted source present in the data: ${weightsMilli.keySet}")
+    val total = present.map { case (s, w) =>
+      BigInt(counts(s)) * Buckets / w }.min
+    val thresholds = present.map { case (s, w) =>
+      s -> (BigInt(w) * total / counts(s)).min(BigInt(Buckets)).toLong }
+    val thrCol = thresholds.foldLeft(lit(0L)) { case (acc, (s, t)) =>
+      when(col(sourceCol) === s, lit(t)).otherwise(acc) }
+    df.where(bucket(col(idCol)) < thrCol)
+  }
+
+  /** [[mixtureSample]] with double weights, rounded to millionths —
+    * rejects weight sets whose rounded millionths do not sum exactly
+    * (pass millionths directly for full control). */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                    weights: Map[String, Double])(implicit d: DummyImplicit): DataFrame =
+    mixtureSample(df, idCol, sourceCol,
+      weightsMilli = weights.map { case (s, w) => s -> math.round(w * Buckets) })
+
   /** Split label by consecutive half-open bucket ranges; fractions must
     * sum to <= 1, remainder labeled null (caller filters or maps). */
   def splitColumn(id: Column, splits: Seq[(String, Double)]): Column = {

@@ -992,7 +992,43 @@ object LlmPipelines {
            |  TRUE AS recall_ge_80, TRUE AS precision_exact
            |FROM truth""".stripMargin))
 
+  /** Static data mixing ([[graft.ops.Sampling.mixtureSample]]): keep
+    * rates derived so the kept corpus matches a target source
+    * distribution at maximum volume ("50% src0 / 30% src1 / 20% src2"),
+    * selection by the same portable id-hash as q61/q65 — the oracle
+    * recomputes the exact integer threshold derivation AND the exact
+    * kept set (id checksum), so a drift in either the arithmetic or
+    * the hash fails the gate. */
+  val q76 = QueryDef(
+    "q76_mixture_sample",
+    (s, dir) =>
+      graft.ops.Sampling.mixtureSample(Tables.documents(s, dir),
+          "doc_id", "source",
+          weightsMilli = Map("src0" -> 500000L, "src1" -> 300000L,
+            "src2" -> 200000L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("source")),
+    Some("""WITH w(source, wm) AS (
+           |  VALUES ('src0', 500000), ('src1', 300000), ('src2', 200000)),
+           |c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+           |t AS (SELECT min(CAST(c.n AS HUGEINT) * 1000000 // w.wm) AS total
+           |      FROM c JOIN w USING (source)),
+           |thr AS (SELECT w.source,
+           |          least(CAST(w.wm AS HUGEINT) * t.total // c.n, 1000000) AS th
+           |        FROM w JOIN c USING (source) CROSS JOIN t),
+           |b AS (SELECT source, doc_id,
+           |        ((doc_id % 2147483647) * 2654435761
+           |         + ((doc_id // 2147483647) % 2147483647) * 40503)
+           |          % 4294967296 % 1000000 AS bkt
+           |      FROM documents),
+           |k AS (SELECT b.source, b.doc_id
+           |      FROM b JOIN thr ON b.source = thr.source AND b.bkt < thr.th)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+           |FROM k GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
-      q65, q66, q67, q70, q72, q73, q74, q75)
+      q65, q66, q67, q70, q72, q73, q74, q75, q76)
 }

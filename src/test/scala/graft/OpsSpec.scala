@@ -223,6 +223,42 @@ class OpsSpec extends AnyFunSuite {
     assert(neg.getMessage.contains("ids >= 0"), neg.getMessage)
   }
 
+  test("mixtureSample: achieved mix tracks target weights at max volume") {
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+      .select($"doc_id", $"source")
+    val weights = Map("src0" -> 500000L, "src1" -> 300000L, "src2" -> 200000L)
+    val kept = Sampling.mixtureSample(docs, "doc_id", "source", weights)
+    val bySrc = kept.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    // unweighted sources are dropped entirely
+    assert(bySrc.keySet.subsetOf(weights.keySet), bySrc.keySet)
+    // sources are uniform in the fixture, so the scarcest-per-weight
+    // source is the heaviest weight: src0 keeps (nearly) everything
+    val c0 = docs.where($"source" === "src0").count()
+    assert(bySrc("src0") >= c0 - 1, s"src0 kept ${bySrc("src0")} of $c0")
+    // achieved shares track the targets to hash-bucket uniformity
+    val total = bySrc.values.sum.toDouble
+    Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2).foreach { case (s, w) =>
+      val share = bySrc(s) / total
+      assert(math.abs(share - w) < 0.1, s"$s share $share vs target $w")
+    }
+    // stability: same kept set under a different physical layout
+    val keptIds = kept.select($"doc_id").as[Long].collect().toSet
+    val keptIds2 = Sampling.mixtureSample(docs.repartition(7), "doc_id",
+        "source", weights).select($"doc_id").as[Long].collect().toSet
+    assert(keptIds == keptIds2)
+    // malformed weights fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, "doc_id", "source",
+        Map("src0" -> 400000L, "src1" -> 300000L))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, "doc_id", "source",
+        Map("absent_src" -> 1000000L))
+    }
+  }
+
   test("asOfJoin: most recent version at or before, ties, nulls, left mode") {
     import graft.ops.AsOf
     val events = Seq(
