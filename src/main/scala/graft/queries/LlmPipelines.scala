@@ -1028,7 +1028,50 @@ object LlmPipelines {
            |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
            |FROM k GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Sequence packing ([[graft.llm.Packing]]): GPT-style
+    * concat-and-chunk layout of each source's documents into 512-token
+    * training sequences — per-bin document occupancy, starts, and
+    * boundary-crossers, all exact integers over a per-shard prefix
+    * sum (bit-identical on any cluster; the oracle replays the same
+    * window arithmetic). */
+  val q77 = QueryDef(
+    "q77_sequence_packing",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nToks = size(filter(split(lower(trim(col("text"))), "\\s+"),
+        w => length(w) > 0))
+      graft.llm.Packing.packedBins(
+          graft.llm.Packing.packedSpans(d, "doc_id", "source", nToks,
+            budget = 512))
+        .select(col("shard").as("source"), col("bin"), col("n_docs"),
+          col("n_starts"), col("n_crossers"))
+        .orderBy(col("source"), col("bin"))
+    },
+    Some("""WITH t AS (
+           |  SELECT source, doc_id,
+           |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                         x -> length(x) > 0)) AS BIGINT) AS n
+           |  FROM documents),
+           |c AS (
+           |  SELECT source, doc_id, n,
+           |    coalesce(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+           |  FROM t),
+           |s AS (
+           |  SELECT source, doc_id,
+           |    CAST(cum_prev // 512 AS BIGINT) AS bin_start,
+           |    CAST((cum_prev + greatest(n, 1) - 1) // 512 AS BIGINT) AS bin_end
+           |  FROM c),
+           |e AS (
+           |  SELECT source, doc_id, bin_start, bin_end,
+           |    UNNEST(generate_series(bin_start, bin_end)) AS bin
+           |  FROM s)
+           |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN bin = bin_start THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           |  CAST(SUM(CASE WHEN bin < bin_end THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers
+           |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
-      q65, q66, q67, q70, q72, q73, q74, q75, q76)
+      q65, q66, q67, q70, q72, q73, q74, q75, q76, q77)
 }

@@ -78,6 +78,39 @@ class SpansSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("packedSpans/packedBins hand-computed example") {
+    import graft.llm.Packing
+    // shard A, budget 10: docs of 4, 8, 10, 1 tokens at prefix 0/4/12/22
+    //  doc1 spans bin 0; doc2 spans 0-1 (crosses); doc3 spans 1-2
+    //  (crosses); doc4 sits in bin 2
+    val d = Seq(("A", 1L, 4L), ("A", 2L, 8L), ("A", 3L, 10L), ("A", 4L, 1L),
+      ("B", 9L, 0L)) // zero-token doc occupies one position of bin 0
+      .toDF("src", "id", "n")
+    val spans = Packing.packedSpans(d, "id", "src", $"n", budget = 10)
+      .orderBy($"shard", $"id")
+      .select($"shard", $"id", $"cum_prev", $"bin_start", $"bin_end")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq(
+      ("A", 1L, 0L, 0L, 0L), ("A", 2L, 4L, 0L, 1L),
+      ("A", 3L, 12L, 1L, 2L), ("A", 4L, 22L, 2L, 2L),
+      ("B", 9L, 0L, 0L, 0L)))
+    val bins = Packing.packedBins(
+        Packing.packedSpans(d, "id", "src", $"n", budget = 10))
+      .orderBy($"shard", $"bin")
+      .select($"shard", $"bin", $"n_docs", $"n_starts", $"n_crossers")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(bins == Seq(
+      ("A", 0L, 2L, 2L, 1L), ("A", 1L, 2L, 1L, 1L), ("A", 2L, 2L, 1L, 0L),
+      ("B", 0L, 1L, 1L, 0L)))
+    // layout is bit-identical under a different physical partitioning
+    val again = Packing.packedBins(
+        Packing.packedSpans(d.repartition(5), "id", "src", $"n", budget = 10))
+      .orderBy($"shard", $"bin")
+      .select($"shard", $"bin", $"n_docs", $"n_starts", $"n_crossers")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(again == bins)
+  }
+
   test("vocabulary: deterministic top-k cut with (tf desc, token) tie-break") {
     val d = Seq((1L, "b b a a c c c"), (2L, "a b d")).toDF("doc_id", "text")
     val out = Spans.vocabulary(d, "doc_id", "text", topK = 3)
