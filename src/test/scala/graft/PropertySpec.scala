@@ -243,4 +243,60 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val docGen: Gen[List[(Long, String)]] = for {
+    nDocs <- Gen.choose(2, 8)
+    docs <- Gen.listOfN(nDocs, for {
+      nToks <- Gen.choose(0, 15)
+      toks <- Gen.listOfN(nToks, Gen.oneOf("a", "b", "c", "dd", "ee"))
+    } yield toks.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("Spans: repetition/span stats match a direct Scala recomputation") {
+    import graft.llm.Spans
+    forAll(docGen) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        def toks(t: String): Seq[String] =
+          t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        def grams(ts: Seq[String], n: Int): Seq[String] =
+          if (ts.size < n) Seq.empty else ts.sliding(n).map(_.mkString(" ")).toSeq
+        // repetitionStats: ratios equal the sliding-window recomputation
+        val got = Spans.repetitionStats(df, "doc_id", "text")
+          .orderBy($"doc_id")
+          .as[(Long, Int, Double, Double, Double)].collect().toSeq
+        docs.sortBy(_._1).zip(got).foreach { case ((id, t), (gid, n, d2, d3, top)) =>
+          val ts = toks(t)
+          assert(gid == id && n == ts.size)
+          def dupRatio(k: Int): Double = {
+            val g = grams(ts, k)
+            if (g.isEmpty) 0.0 else (g.size - g.distinct.size).toDouble / g.size
+          }
+          assert(d2 == dupRatio(2), s"doc $id dup2")
+          assert(d3 == dupRatio(3), s"doc $id dup3")
+          val wantTop =
+            if (ts.isEmpty) 0.0
+            else ts.groupBy(identity).values.map(_.size).max.toDouble / ts.size
+          assert(top == wantTop, s"doc $id top-token")
+        }
+        // spanDedupStats: dup windows equal the brute-force cross-doc
+        // recount, and never exceed the window count
+        val n = 2
+        val span = Spans.spanDedupStats(df, "doc_id", "text", n = n)
+          .orderBy($"doc_id")
+          .as[(Long, Long, Long, Double)].collect().toSeq
+        val all = docs.map { case (id, t) => id -> grams(toks(t), n) }
+        val docsPerGram = all.flatMap { case (id, g) => g.distinct.map(_ -> id) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+        docs.sortBy(_._1).zip(span).foreach { case ((id, t), (gid, nw, dw, ratio)) =>
+          val g = grams(toks(t), n)
+          assert(gid == id && nw == g.size && dw <= nw)
+          val wantDup = g.count(x => docsPerGram(x) >= 2)
+          assert(dw == wantDup, s"doc $id dup windows")
+          val wantRatio = if (g.isEmpty) 0.0 else wantDup.toDouble / g.size
+          assert(ratio == wantRatio, s"doc $id ratio")
+        }
+      }
+    }
+  }
 }
