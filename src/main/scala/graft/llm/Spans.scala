@@ -152,6 +152,47 @@ object Spans {
         .otherwise(lit(0.0)).as("top_token_ratio"))
   }
 
+  /** Benchmark decontamination: per-corpus-document overlap with a
+    * benchmark/evaluation set's n-gram windows (the GPT-3-style
+    * "remove test-set contamination" curation step — Brown et al.
+    * 2020 §C). A corpus window is contaminated when its gram occurs
+    * ANYWHERE in the benchmark set; the per-doc overlap count and
+    * flag drive either dropping the document or masking the spans.
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus
+    * (eval sets are fixed-size), so its DISTINCT gram set aggregates
+    * small and BROADCASTS — the corpus side then never shuffles: gram
+    * explode, broadcast-hash probe, and the per-doc count's map-side
+    * combine all happen within the scan partition (a document's gram
+    * rows are co-located by construction). `hashGrams` shuffles/
+    * broadcasts 8-byte keys, spec-pinned identical to string grams. */
+  def decontaminationStats(corpus: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 8,
+                           hashGrams: Boolean = true): DataFrame = {
+    val gramKey: Column => Column =
+      if (hashGrams) g => xxhash64(g) else identity
+    val benchGrams = bench
+      .select(explode(positionalNgrams(col(textCol), n)).as("gram"))
+      .select(gramKey(col("gram")).as("g"))
+      .distinct()
+    val overlap = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(positionalNgrams(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), gramKey(col("gram")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("overlap_windows"))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        greatest(size(nonEmptyTokens(col(textCol))) - lit(n - 1), lit(0))
+          .cast("long").as("n_windows"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("overlap_windows"), lit(0L)).as("overlap_windows"),
+        (coalesce(col("overlap_windows"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** Corpus vocabulary: per-token term frequency and document
     * frequency, truncated to the `topK` most frequent (ties broken by
     * token, so the cut is deterministic) — the counting pass a

@@ -1071,7 +1071,47 @@ object LlmPipelines {
            |  CAST(SUM(CASE WHEN bin < bin_end THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers
            |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Benchmark decontamination
+    * ([[graft.llm.Spans.decontaminationStats]], Brown et al. 2020 §C):
+    * every 50th document stands in as the held-out evaluation set;
+    * corpus documents are scored by 8-gram window overlap against the
+    * benchmark's broadcast gram set. Hashed-gram scale path
+    * registered; SpansSpec pins equality to string grams. */
+  val q78 = QueryDef(
+    "q78_decontamination",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bench = d.where(col("doc_id") % 50 === 0)
+      val corpus = d.where(col("doc_id") % 50 =!= 0)
+      graft.llm.Spans.decontaminationStats(corpus, bench,
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                x -> length(x) > 0) AS t
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+           |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS s(i)),
+           |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+           |ov AS (
+           |  SELECT grams.doc_id, count(*) AS overlap_windows
+           |  FROM grams JOIN bg USING (g)
+           |  WHERE grams.doc_id % 50 != 0
+           |  GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(greatest(len(t.t) - 7, 0) AS BIGINT) AS n_windows,
+           |  CAST(coalesce(ov.overlap_windows, 0) AS BIGINT) AS overlap_windows,
+           |  coalesce(ov.overlap_windows, 0) > 0 AS contaminated
+           |FROM documents d
+           |JOIN toks t USING (doc_id)
+           |LEFT JOIN ov USING (doc_id)
+           |WHERE d.doc_id % 50 != 0
+           |ORDER BY d.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
-      q65, q66, q67, q70, q72, q73, q74, q75, q76, q77)
+      q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78)
 }

@@ -78,6 +78,31 @@ class SpansSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("decontaminationStats: hashed == string grams; hand-computed overlap") {
+    val bench = Seq((100L, "w1 w2 w3 w4 other tail")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 x y"),   // one overlapping 4-gram window
+      (2L, "a b c d e f"),       // clean
+      (3L, "w1 w2 w3 w4 w1 w2 w3 w4") // two overlapping windows (repeat)
+    ).toDF("doc_id", "text")
+    val got = Spans.decontaminationStats(corpus, bench, "doc_id", "text", n = 4)
+      .orderBy($"doc_id")
+      .select($"n_windows", $"overlap_windows", $"contaminated")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((3L, 1L, true), (3L, 0L, false), (5L, 2L, true)))
+    // the 8-byte hashed scale path is bit-identical to string grams
+    val d = docs
+    val b = d.where($"doc_id" % 50 === 0)
+    val c = d.where($"doc_id" % 50 =!= 0)
+    val hashed = Spans.decontaminationStats(c, b, "doc_id", "text",
+      n = 8, hashGrams = true).orderBy($"doc_id").collect()
+    val strs = Spans.decontaminationStats(c, b, "doc_id", "text",
+      n = 8, hashGrams = false).orderBy($"doc_id").collect()
+    assert(hashed.toSeq == strs.toSeq)
+    assert(hashed.exists(_.getBoolean(3)),
+      "fixture should contain contaminated docs")
+  }
+
   test("packedSpans/packedBins hand-computed example") {
     import graft.llm.Packing
     // shard A, budget 10: docs of 4, 8, 10, 1 tokens at prefix 0/4/12/22
