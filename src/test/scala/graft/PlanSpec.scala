@@ -124,6 +124,16 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("q78: the benchmark gram set is broadcast, not shuffled") {
+    // the corpus side must stay map-side: the eval set's distinct gram
+    // table is the small side by contract (fixed-size benchmarks vs an
+    // unbounded corpus) and has to reach the join as a broadcast
+    val p = planOf("q78_decontamination")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"q78 lost the benchmark-gram broadcast:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q46: the six slice/dim/audit consumers read the cached projection") {
     // the 4 quarter-month slices, the LINE dim and the audit watermark
     // must all come from ONE cached scan — day-of-month predicates
