@@ -391,12 +391,18 @@ object Similarity {
     // refineIters > 0 continues the sampled Lloyd over the FULL corpus
     // ([[kmeansRefine]]) — the path for sample-starved large k.
     val sampled = sampleKMeans(sample, k)
+    // k-means returns min(k, sample) centroids — and none on an empty
+    // corpus; the effective count is what the kernel must be told
+    if (sampled.isEmpty)
+      return src.limit(0).select(col("id").as("id_a"),
+        col("id").as("id_b"), lit(0L).as("dot"))
+    val kEff = sampled.length
     val centsFlat: Array[Float] = unitNormFlat(
       if (refineIters > 0) kmeansRefine(src, "v", sampled, refineIters)
       else sampled)
-    val dim = if (k > 0) centsFlat.length / k else 0
+    val dim = centsFlat.length / kEff
     val assigned = src
-      .withColumn("cent", nearest_centroid(col("v"), centsFlat, k, dim))
+      .withColumn("cent", nearest_centroid(col("v"), centsFlat, kEff, dim))
       .select(col("id"), col("cent"),
         transform(col("v"),
           x => round(x.cast("double") * 1000).cast("long")).as("qv"))

@@ -176,21 +176,26 @@ object Spans {
       .select(explode(positionalNgrams(col(textCol), n)).as("gram"))
       .select(gramKey(col("gram")).as("g"))
       .distinct()
-    val overlap = corpus
-      .select(col(idCol).as("doc_id"),
-        explode(positionalNgrams(col(textCol), n)).as("gram"))
-      .select(col("doc_id"), gramKey(col("gram")).as("g"))
-      .join(broadcast(benchGrams), Seq("g"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("overlap_windows"))
+    // one-aggregation shape: n_windows rides along map-side and
+    // explode_OUTER keeps a null-gram row for zero-window documents
+    // (the null key never matches the broadcast side), so the single
+    // doc_id hash agg covers every document — no spine re-join. The
+    // same shape runs UNCHANGED on a streaming corpus: stream-static
+    // left join + one streaming aggregation (StreamingSpec pins
+    // stream==batch), where the join-back form would need a
+    // stream-stream join on an aggregate.
     corpus
       .select(col(idCol).as("doc_id"),
         greatest(size(nonEmptyTokens(col(textCol))) - lit(n - 1), lit(0))
-          .cast("long").as("n_windows"))
-      .join(overlap, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"),
-        coalesce(col("overlap_windows"), lit(0L)).as("overlap_windows"),
-        (coalesce(col("overlap_windows"), lit(0L)) > 0L).as("contaminated"))
+          .cast("long").as("n_windows"),
+        explode_outer(positionalNgrams(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), col("n_windows"), gramKey(col("gram")).as("g"))
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_windows")).as("n_windows"),
+        coalesce(sum(col("__hit")), lit(0L)).as("overlap_windows"))
+      .select(col("doc_id"), col("n_windows"), col("overlap_windows"),
+        (col("overlap_windows") > 0L).as("contaminated"))
   }
 
   /** Corpus vocabulary: per-token term frequency and document

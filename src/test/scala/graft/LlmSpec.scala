@@ -449,6 +449,19 @@ class LlmSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("SemDeDup survives k larger than the corpus and an empty corpus") {
+    val tiny = emb.where($"vec_id" < 6).select($"vec_id", $"embedding")
+    // requested 100 centroids, 6 vectors: the effective count is what
+    // k-means could build — must not trip the kernel's length check
+    val pairs = Similarity.semanticNearDupPairs(tiny, "vec_id", "embedding",
+      0.9, nCentroids = 100)
+    assert(pairs.count() >= 0)
+    val empty = emb.where($"vec_id" < 0).select($"vec_id", $"embedding")
+    val none = Similarity.semanticNearDupPairs(empty, "vec_id", "embedding", 0.9)
+    assert(none.collect().isEmpty)
+    assert(none.columns.toSeq == Seq("id_a", "id_b", "dot"))
+  }
+
   test("kmeansRefine: partitioning-independent and objective-non-worsening") {
     import graft.functions.VectorKernels.{float_cosine, nearest_centroid}
     val rnd = new java.util.Random(7L)

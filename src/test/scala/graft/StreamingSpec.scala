@@ -347,6 +347,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.collect { case (u, _, Some(_)) => u } == Set(1L, 4L))
   }
 
+  test("stream-static decontamination equals the batch operator per doc") {
+    // the one-aggregation shape of Spans.decontaminationStats runs
+    // unchanged on a streaming corpus: static broadcast gram set +
+    // one streaming groupBy (Complete mode)
+    val sfDir = SparkTestBase.sf
+    val docSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val bench = Tables.documents(spark, sfDir).where($"doc_id" % 50 === 0)
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .where($"doc_id" % 50 =!= 0)
+    val got = EventStream.runToMemorySink(spark,
+        graft.llm.Spans.decontaminationStats(stream, bench, "doc_id", "text",
+          n = 8),
+        "decon_stream", OutputMode.Complete())
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val want = graft.llm.Spans.decontaminationStats(
+        Tables.documents(spark, sfDir).where($"doc_id" % 50 =!= 0),
+        bench, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(want.exists(_._4), "fixture must contain contaminated docs")
+    assert(got == want,
+      s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("streaming MinHash banding emits exactly the batch candidate pair set") {
     // the continuous-ingest twin of q30's operator: same shingle
     // expression, bit-parity band hashes (Dedup.bandHashesLocal via
