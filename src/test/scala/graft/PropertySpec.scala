@@ -244,6 +244,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private val packGen: Gen[List[(String, Long, Long)]] = for {
+    nShards <- Gen.choose(1, 3)
+    rows <- Gen.listOfN(25, for {
+      shard <- Gen.choose(0, nShards - 1).map(i => s"s$i")
+      id <- Gen.choose(1L, 1000L)
+      n <- Gen.choose(0L, 40L)
+    } yield (shard, id, n))
+  } yield rows.groupBy(r => (r._1, r._2)).values.map(_.head).toList
+
+  test("Packing: bins are contiguous, conserve docs and token budget") {
+    import graft.llm.Packing
+    forAll(packGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val budget = 16
+        val df = rows.toDF("src", "id", "n")
+        val spans = Packing.packedSpans(df, "id", "src", $"n", budget)
+          .select($"shard", $"id", $"n_tokens", $"cum_prev",
+            $"bin_start", $"bin_end")
+          .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+        val byShard = rows.groupBy(_._1)
+        byShard.foreach { case (shard, docs) =>
+          val s = spans.filter(_._1 == shard).sortBy(_._2)
+          // direct Scala recomputation of the concat-and-chunk layout
+          var cum = 0L
+          val want = docs.sortBy(_._2).map { case (_, id, n) =>
+            val span = (id, n, cum, cum / budget,
+              (cum + math.max(n, 1L) - 1L) / budget)
+            cum += n
+            span
+          }
+          assert(s.map(r => (r._2, r._3, r._4, r._5, r._6)) == want,
+            s"$shard spans")
+          // bins are contiguous: every bin in 0..last is touched
+          val lastBin = s.map(_._6).max
+          val touched = s.flatMap(r => r._5 to r._6).toSet
+          assert(touched == (0L to lastBin).toSet, s"$shard holes: $touched")
+          // starts partition the docs: each doc starts exactly once
+          val bins = Packing.packedBins(
+              Packing.packedSpans(df.where($"src" === shard), "id", "src",
+                $"n", budget))
+            .agg(sum($"n_starts"), sum($"n_crossers"))
+            .as[(Long, Long)].head()
+          assert(bins._1 == docs.size, s"$shard starts ${bins._1}")
+          // crossers = total extra bins occupied beyond the first
+          assert(bins._2 == s.map(r => r._6 - r._5).sum)
+        }
+      }
+    }
+  }
+
   private val docGen: Gen[List[(Long, String)]] = for {
     nDocs <- Gen.choose(2, 8)
     docs <- Gen.listOfN(nDocs, for {
