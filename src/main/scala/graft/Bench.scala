@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 import graft.core.Sessions
 
 /** Headline benchmark: times each bench-flagged query end-to-end
-  * (plan + execution, result forced via count) on SPARK_GRAFT_SF_DIR.
+  * (plan + execution, result forced through the noop sink) on SPARK_GRAFT_SF_DIR.
   *
   * Output contract (driver records it as BENCH_r{N}.json):
   *  - ONE JSON line on stdout, prefixed by nothing (run / outputStrategy
@@ -58,10 +58,21 @@ object Bench {
     // broadcast + shuffle blocks NOW instead of at the next full GC —
     // without it, ~90 executions of accumulated blocks made late-bench
     // queries degrade 5-30x (round-1 q26 113s-vs-6s anomaly).
+    // Force through the noop sink, NOT count(): under count() the
+    // optimizer prunes every column and ELIMINATES a left outer join
+    // whose build side is key-unique — several registered plans end in
+    // exactly that shape (doc-spine left-join of a per-key aggregate),
+    // so count() was timing a plan with the query's whole compute
+    // subtree optimizer-deleted (caught at sf10: q72 "ran" 100× data
+    // in flat 0.25 s while its real explode+agg pipeline costs
+    // seconds). The noop writer materializes every output column of
+    // the EXACT registered plan and discards rows at the sink.
+    def force(q: graft.QueryDef): Unit =
+      q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     def timedRun(q: graft.QueryDef): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val runErr =
-        try { q.fn(spark, sfDir).count(); None }
+        try { force(q); None }
         catch {
           case e @ (scala.util.control.NonFatal(_) | _: LinkageError) =>
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
@@ -78,7 +89,7 @@ object Bench {
     // run.
     val firstPass: Map[String, (Double, Option[String])] = picked.map { q =>
       (1 to 2).foreach { _ =>
-        try q.fn(spark, sfDir).count()
+        try force(q)
         catch { case scala.util.control.NonFatal(_) | (_: LinkageError) => () }
         spark.catalog.clearCache()
       }

@@ -75,19 +75,32 @@ object Spans {
     * Nothing is all-pairs; every exchange key is (gram[, doc]).
     *
     * `hashGrams=true` (default, the at-scale path) shuffles 8-byte
-    * xxhash64 gram keys instead of the gram strings — SpansSpec pins
+    * window hashes from the [[graft.functions.NgramHashes]] kernel
+    * (token-hash chaining — no gram strings are ever built; the
+    * string ladder was the dominant measured cost) — SpansSpec pins
     * bit-identical stats vs the string-keyed path; a 64-bit collision
     * (~1e-9 at billions of distinct grams) could only overcount
     * dup_windows by one window pair. */
+  /** The hashed windows of one document: the [[graft.functions.NgramHashes]]
+    * kernel (token-hash chaining, no gram strings) — position-for-
+    * position equal in equality structure to hashing
+    * [[positionalNgrams]]' strings, at a fraction of the cost. */
+  private def hashedNgrams(text: Column, n: Int): Column =
+    graft.functions.NgramHashes.ngram_hashes(nonEmptyTokens(text), n)
+
+  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, hashGrams: Boolean): DataFrame =
+    if (hashGrams)
+      docs.select(col(idCol).as("doc_id"),
+        explode(hashedNgrams(col(textCol), n)).as("g"))
+    else
+      docs.select(col(idCol).as("doc_id"),
+        explode(positionalNgrams(col(textCol), n)).as("g"))
+
   def spanDedupStats(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 8, minDocs: Int = 2,
                      hashGrams: Boolean = true): DataFrame = {
-    val gramKey: Column => Column =
-      if (hashGrams) g => xxhash64(g) else identity
-    val exploded = docs
-      .select(col(idCol).as("doc_id"),
-        explode(positionalNgrams(col(textCol), n)).as("gram"))
-      .select(col("doc_id"), gramKey(col("gram")).as("g"))
+    val exploded = gramRows(docs, idCol, textCol, n, hashGrams)
     val pairOcc = exploded.groupBy(col("g"), col("doc_id"))
       .agg(count(lit(1)).as("occ"))
     val dupGrams = pairOcc.groupBy(col("g"))
@@ -124,7 +137,34 @@ object Spans {
     * Ratios are single divisions of exact integers — bit-identical on
     * any partitioning. */
   def repetitionStats(docs: DataFrame, idCol: String,
-                      textCol: String): DataFrame = {
+                      textCol: String,
+                      useKernel: Boolean = true): DataFrame = {
+    if (useKernel) {
+      // one flat-loop kernel call per document
+      // ([[graft.functions.RepetitionStats64]]): hashed tokens +
+      // sorted-copy distinct counts replace the interpreted HOF/string
+      // ladder (measured 33 s → seconds for 5M docs at sf10); ratios
+      // are the same single integer divisions, so results are
+      // bit-identical to the expression path (spec-pinned) modulo
+      // 64-bit hash collisions
+      val st = graft.functions.RepetitionStats64
+        .repetition_stats(nonEmptyTokens(col(textCol)))
+      def ratio(totalIdx: Int, distinctIdx: Int): Column = {
+        val total = element_at(col("__st"), totalIdx)
+        val dup = total - element_at(col("__st"), distinctIdx)
+        when(total > 0, dup.cast("double") / total).otherwise(lit(0.0))
+      }
+      return docs
+        .select(col(idCol).as("doc_id"), st.as("__st"))
+        .select(col("doc_id"),
+          element_at(col("__st"), 1).cast("int").as("n_tokens"),
+          ratio(2, 3).as("dup2_ratio"),
+          ratio(4, 5).as("dup3_ratio"),
+          when(element_at(col("__st"), 1) > 0,
+            element_at(col("__st"), 6).cast("double") /
+              element_at(col("__st"), 1))
+            .otherwise(lit(0.0)).as("top_token_ratio"))
+    }
     val toks = nonEmptyTokens(col(textCol))
     def dupRatio(n: Int): Column = {
       val grams = positionalNgrams(col(textCol), n)
@@ -165,34 +205,36 @@ object Spans {
     * explode, broadcast-hash probe, and the per-doc count's map-side
     * combine all happen within the scan partition (a document's gram
     * rows are co-located by construction). `hashGrams` shuffles/
-    * broadcasts 8-byte keys, spec-pinned identical to string grams. */
+    * broadcasts the kernel's 8-byte window hashes, spec-pinned
+    * result-identical to string grams. */
   def decontaminationStats(corpus: DataFrame, bench: DataFrame,
                            idCol: String, textCol: String,
                            n: Int = 8,
                            hashGrams: Boolean = true): DataFrame = {
-    val gramKey: Column => Column =
-      if (hashGrams) g => xxhash64(g) else identity
-    val benchGrams = bench
-      .select(explode(positionalNgrams(col(textCol), n)).as("gram"))
-      .select(gramKey(col("gram")).as("g"))
-      .distinct()
-    // one-aggregation shape: n_windows rides along map-side and
-    // explode_OUTER keeps a null-gram row for zero-window documents
-    // (the null key never matches the broadcast side), so the single
-    // doc_id hash agg covers every document — no spine re-join. The
+    val benchGrams = gramRows(bench, idCol, textCol, n, hashGrams)
+      .select(col("g")).distinct()
+    // one-aggregation shape: explode_OUTER keeps a null-gram row for
+    // zero-window documents (the null key never matches the broadcast
+    // side), so the single doc_id hash agg covers every document — no
+    // spine re-join — and n_windows IS count(g) within the group (one
+    // row per window, null for none), so no per-doc expression exists
+    // ABOVE the Generate at all. That last point is a measured
+    // explode pitfall: a projection above Generate re-evaluates per
+    // EXPLODED row and drags its inputs (the full text column) through
+    // the generator — computing n_windows as size(tokens)-n+1 beside
+    // the explode cost 20 s where this shape costs ~3 s at sf10. The
     // same shape runs UNCHANGED on a streaming corpus: stream-static
     // left join + one streaming aggregation (StreamingSpec pins
-    // stream==batch), where the join-back form would need a
+    // stream==batch), where a join-back form would need a
     // stream-stream join on an aggregate.
+    val grams =
+      if (hashGrams) hashedNgrams(col(textCol), n)
+      else positionalNgrams(col(textCol), n)
     corpus
-      .select(col(idCol).as("doc_id"),
-        greatest(size(nonEmptyTokens(col(textCol))) - lit(n - 1), lit(0))
-          .cast("long").as("n_windows"),
-        explode_outer(positionalNgrams(col(textCol), n)).as("gram"))
-      .select(col("doc_id"), col("n_windows"), gramKey(col("gram")).as("g"))
+      .select(col(idCol).as("doc_id"), explode_outer(grams).as("g"))
       .join(broadcast(benchGrams.withColumn("__hit", lit(1L))), Seq("g"), "left")
       .groupBy(col("doc_id"))
-      .agg(max(col("n_windows")).as("n_windows"),
+      .agg(count(col("g")).as("n_windows"),
         coalesce(sum(col("__hit")), lit(0L)).as("overlap_windows"))
       .select(col("doc_id"), col("n_windows"), col("overlap_windows"),
         (col("overlap_windows") > 0L).as("contaminated"))

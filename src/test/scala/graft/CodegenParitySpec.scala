@@ -125,6 +125,41 @@ class CodegenParitySpec extends AnyFunSuite {
     assert(generated == viaDots)
   }
 
+  private def runNgramHashes(): Seq[(Long, Seq[Long])] =
+    Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 30)
+      .select($"doc_id", graft.functions.NgramHashes.ngram_hashes(
+        filter(split(lower(trim($"text")), "\\s+"), w => length(w) > 0), 3)
+        .as("hs"))
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+
+  test("NgramHashes: codegen == interpreted; equality structure == string grams") {
+    val generated = withConfs(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(runNgramHashes())
+    val interpreted = withConfs(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(runNgramHashes())
+    assert(generated == interpreted)
+    assert(generated.nonEmpty && generated.exists(_._2.nonEmpty))
+    // two windows collide in the kernel iff their gram STRINGS match:
+    // group positions by kernel hash and by gram text — same classes
+    val strGrams = Tables.documents(spark, SparkTestBase.sf)
+      .where($"doc_id" < 30)
+      .select($"doc_id", graft.llm.Spans.positionalNgrams($"text", 3).as("gs"))
+      .as[(Long, Seq[String])].collect().toSeq.sortBy(_._1)
+    val byHash = generated.flatMap { case (id, hs) =>
+      hs.zipWithIndex.map { case (h, i) => (id, i) -> h } }.toMap
+    val byStr = strGrams.flatMap { case (id, gs) =>
+      gs.zipWithIndex.map { case (g, i) => (id, i) -> g } }.toMap
+    assert(byHash.keySet == byStr.keySet)
+    byHash.keySet.foreach { a =>
+      byHash.keySet.foreach { b =>
+        assert((byHash(a) == byHash(b)) == (byStr(a) == byStr(b)),
+          s"equality structure diverges at $a vs $b")
+      }
+    }
+  }
+
   test("SimHash64 / DmsToDecimalDegrees / vector kernels: codegen == interpreted") {
     val generated = withConfs(
       "spark.sql.codegen.wholeStage" -> "true",

@@ -64,6 +64,14 @@ class SpansSpec extends AnyFunSuite {
     assert(out(2) == ((5, 0.75, 2.0 / 3, 1.0)))
   }
 
+  test("repetitionStats kernel path equals the expression path corpus-wide") {
+    val kernel = Spans.repetitionStats(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    val exprs = Spans.repetitionStats(docs, "doc_id", "text",
+      useKernel = false).orderBy($"doc_id").collect()
+    assert(kernel.toSeq == exprs.toSeq)
+  }
+
   test("repetitionStats top-run fold matches the naive per-token count") {
     val out = Spans.repetitionStats(docs, "doc_id", "text")
       .select($"doc_id", $"n_tokens", $"top_token_ratio")
