@@ -123,6 +123,65 @@ object TextStats {
     when(text.isNull || total === 0, "und").otherwise(argmax)
   }
 
+  /** [[trigramProfiles]] flattened in profile order — the reference
+    * array [[graft.functions.TrigramCounts.trigram_counts]] consumes. */
+  def profileTrigrams: Array[String] = trigramProfiles.flatMap(_._2).toArray
+
+  /** [[langIdTrigram]]'s voting over kernel-counted trigram occurrences
+    * — identical argmax/tie/und semantics over the same counts (the
+    * kernel's greedy non-overlapping scan measures exactly what the
+    * replace-length expression measures; LlmSpec pins corpus-wide
+    * label equality). `countsCol` must be
+    * `TrigramCounts.trigram_counts(text, profileTrigrams)` materialized
+    * in a prior select so the 20 element_at reads share one kernel
+    * evaluation. */
+  def langIdTrigramFromCounts(text: Column, countsCol: Column): Column = {
+    val offsets = trigramProfiles.scanLeft(0)(_ + _._2.length)
+    val scores = trigramProfiles.zipWithIndex.map { case ((lang, ts), pi) =>
+      lang -> ts.indices
+        .map(j => element_at(countsCol, offsets(pi) + j + 1))
+        .reduce(_ + _)
+    }
+    val total = scores.map(_._2).reduce(_ + _)
+    val argmax = scores.zipWithIndex.foldRight(lit(scores.last._1): Column) {
+      case (((lang, s), i), acc) =>
+        val later = scores.drop(i + 1).map(_._2)
+        if (later.isEmpty) acc
+        else when(later.map(s >= _).reduce(_ && _), lang).otherwise(acc)
+    }
+    when(text.isNull || total === 0, "und").otherwise(argmax)
+  }
+
+  /** The q25 signal set composed from the one-pass
+    * [[graft.functions.TextStats64]] counting kernel instead of the
+    * regex/HOF expression chains — identical columns, identical
+    * arithmetic (the divisions/when-trees are the SAME expressions,
+    * fed by kernel-counted integers; null semantics preserved, e.g.
+    * punct_ratio of empty text is null on both paths). LlmSpec pins
+    * column-for-column equality against the expression functions
+    * corpus-wide plus edge strings. Returns columns named exactly as
+    * q25 emits them; `stCol` must be `TextStats64.text_stats(text)`
+    * materialized in a prior select. */
+  def kernelSignalColumns(stCol: Column): Seq[Column] = {
+    def el(i: Int): Column = element_at(stCol, i)
+    val nTok = el(1)
+    val pr = when(el(4) > 0, el(3).cast("double") / el(4)).otherwise(lit(0.0))
+    val sr = when(nTok > 0, el(5).cast("double") / nTok).otherwise(lit(0.0))
+    val lenScore = when(nTok >= 20 && nTok <= 1000, 1.0)
+      .when(nTok >= 5, 0.5).otherwise(0.0)
+    val punctScore = when(pr < 0.1, 1.0).when(pr < 0.3, 0.5).otherwise(0.0)
+    val stopScore = when(sr > 0.05, 1.0).otherwise(0.3)
+    Seq(
+      nTok.cast("int").as("n_tokens"),
+      el(2).cast("int").as("bpe_tokens"),
+      pr.as("punct_ratio"),
+      sr.as("stopword_ratio"),
+      when(nTok > 0, el(6).cast("double") / nTok).otherwise(lit(0.0))
+        .as("avg_token_len"),
+      round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 4)
+        .as("quality_score"))
+  }
+
   /** Canonical-form document fingerprint: md5 of lowercased,
     * whitespace-collapsed text. Exact-dup detection key. */
   def fingerprint(text: Column): Column =

@@ -24,15 +24,14 @@ object LlmPipelines {
   val q25 = QueryDef(
     "q25_text_stats",
     (s, dir) => {
+      // one kernel call per doc (TextStats64) feeds the SAME ratio/
+      // score expressions the per-signal functions build — LlmSpec
+      // pins the two paths column-identical
       val d = Tables.documents(s, dir)
-      d.select(
-          col("doc_id"),
-          TextStats.tokenCount(col("text")).as("n_tokens"),
-          TextStats.bpeishTokenCount(col("text")).as("bpe_tokens"),
-          TextStats.punctRatio(col("text")).as("punct_ratio"),
-          TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
-          TextStats.avgTokenLen(col("text")).as("avg_token_len"),
-          TextStats.qualityScore(col("text")).as("quality_score"))
+      d.select(col("doc_id"),
+          graft.functions.TextStats64.text_stats(col("text")).as("__st"))
+        .select(col("doc_id") +:
+          TextStats.kernelSignalColumns(col("__st")): _*)
         .orderBy(col("doc_id"))
     },
     // bpe_tokens twin: RE2 (DuckDB) has no lookarounds, so the Spark
@@ -143,8 +142,14 @@ object LlmPipelines {
     QueryDef(
       "q54_lang_trigram_confusion",
       (s, dir) => {
+        // trigram counting through the flat-scan kernel; voting stays
+        // the shared expression fold (spec-pinned == langIdTrigram)
         val d = Tables.documents(s, dir)
-        d.withColumn("lang_guess", TextStats.langIdTrigram(col("text")))
+        d.select(col("lang"), col("text"),
+            graft.functions.TrigramCounts.trigram_counts(col("text"),
+              TextStats.profileTrigrams).as("__tc"))
+          .withColumn("lang_guess",
+            TextStats.langIdTrigramFromCounts(col("text"), col("__tc")))
           .groupBy(col("lang"), col("lang_guess"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("lang_guess"))
@@ -545,11 +550,18 @@ object LlmPipelines {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
-      val gated = d.select(
+      // signal scan through the TextStats64 counting kernel (one char
+      // pass instead of the regex/HOF chains; kernelSignalColumns is
+      // spec-pinned identical to the per-signal expressions)
+      val sig = TextStats.kernelSignalColumns(col("__st"))
+      val gated = d
+        .select(col("doc_id"), col("text"), col("source"),
+          graft.functions.TextStats64.text_stats(col("text")).as("__st"))
+        .select(
           col("doc_id"), col("text"), col("source"),
           TextStats.langIdHeuristic(col("text")).as("lang_guess"),
-          TextStats.tokenCount(col("text")).as("n_tokens"),
-          TextStats.qualityScore(col("text")).as("quality_score"),
+          sig(0), // n_tokens
+          sig(5), // quality_score
           TextStats.fingerprint(col("text")).as("fp"))
         .where(col("quality_score") >= 0.7 && col("lang_guess") === "en")
       // exact dedup: one shuffle on fp. The ONE eager cache carries the

@@ -326,8 +326,8 @@ object ScalarShapes {
         col("l_returnflag"), col("l_linestatus"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
       graft.ops.Distributions
-        .discPercentiles(li, Seq("l_returnflag", "l_linestatus"), col("cents"),
-          Seq(50, 90, 99))
+        .discPercentilesBucketed(li, Seq("l_returnflag", "l_linestatus"),
+          col("cents"), Seq(50, 90, 99))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""WITH v AS (

@@ -406,6 +406,51 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall (measured 0.883 at fixture)")
   }
 
+  test("TextStats64 kernel signals equal the expression path, incl. edges") {
+    import graft.llm.TextStats
+    import graft.functions.TextStats64
+    def both(df: org.apache.spark.sql.DataFrame) = {
+      val kernel = df
+        .select($"doc_id", TextStats64.text_stats($"text").as("__st"))
+        .select($"doc_id" +: TextStats.kernelSignalColumns($"__st"): _*)
+        .orderBy($"doc_id").collect().toSeq
+      val exprs = df.select(
+          $"doc_id",
+          TextStats.tokenCount($"text").as("n_tokens"),
+          TextStats.bpeishTokenCount($"text").as("bpe_tokens"),
+          TextStats.punctRatio($"text").as("punct_ratio"),
+          TextStats.stopwordRatio($"text").as("stopword_ratio"),
+          TextStats.avgTokenLen($"text").as("avg_token_len"),
+          TextStats.qualityScore($"text").as("quality_score"))
+        .orderBy($"doc_id").collect().toSeq
+      (kernel, exprs)
+    }
+    val (k1, e1) = both(docs)
+    assert(k1 == e1, "corpus-wide mismatch")
+    val edges = Seq("", "   ", "a", "the", "a1b2c!x", "ab!!cd the and of",
+      "  x  y\tz\n", "THE The the", "..a..b..", "1a2b3", "!@#$",
+      "word " * 30 + "the " * 5).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val (k2, e2) = both(edges.toDF("doc_id", "text"))
+    assert(k2 == e2, s"edge mismatch:\n${k2.zip(e2).filter(p => p._1 != p._2)}")
+  }
+
+  test("TrigramCounts kernel voting equals langIdTrigram corpus-wide") {
+    import graft.llm.TextStats
+    import graft.functions.TrigramCounts
+    val kernel = docs.select($"doc_id", $"text",
+        TrigramCounts.trigram_counts($"text", TextStats.profileTrigrams)
+          .as("__tc"))
+      .select($"doc_id",
+        TextStats.langIdTrigramFromCounts($"text", $"__tc").as("g"))
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    val exprs = docs.select($"doc_id",
+        TextStats.langIdTrigram($"text").as("g"))
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(kernel == exprs && kernel.nonEmpty)
+    assert(kernel.map(_._2).distinct.size > 1, "labels should vary")
+  }
+
   test("SemDeDup equals the all-pairs exact twin on parallel planted twins") {
     val twins = emb.where($"vec_id" % 20 === 0)
       .select(($"vec_id" + 1000000L).as("vec_id"),

@@ -223,6 +223,30 @@ class OpsSpec extends AnyFunSuite {
     assert(neg.getMessage.contains("ids >= 0"), neg.getMessage)
   }
 
+  test("bucketed exact percentiles equal the full-sort form") {
+    import graft.ops.Distributions
+    val li = Tables.lineitem(spark, SparkTestBase.sf).select(
+      $"l_returnflag", $"l_linestatus",
+      round($"l_extendedprice" * 100).cast("long").as("cents"))
+    val groups = Seq("l_returnflag", "l_linestatus")
+    val full = Distributions.discPercentiles(li, groups, $"cents",
+        Seq(50, 90, 99))
+      .orderBy($"l_returnflag", $"l_linestatus").collect().toSeq
+    val bucketed = Distributions.discPercentilesBucketed(li, groups, $"cents",
+        Seq(50, 90, 99))
+      .orderBy($"l_returnflag", $"l_linestatus").collect().toSeq
+    assert(full.nonEmpty && bucketed == full)
+    // tie-heavy + tiny-bucket stress: values collapse onto few points,
+    // so target ranks land inside tie runs and bucket edges
+    val ties = Seq.tabulate(200)(i => ("g" + (i % 2), (i % 5).toLong))
+      .toDF("g", "v")
+    val f2 = Distributions.discPercentiles(ties, Seq("g"), $"v",
+        Seq(1, 50, 100)).orderBy($"g").collect().toSeq
+    val b2 = Distributions.discPercentilesBucketed(ties, Seq("g"), $"v",
+        Seq(1, 50, 100), buckets = 2).orderBy($"g").collect().toSeq
+    assert(b2 == f2)
+  }
+
   test("mixtureSample: achieved mix tracks target weights at max volume") {
     import graft.ops.Sampling
     val docs = Tables.documents(spark, SparkTestBase.sf)
