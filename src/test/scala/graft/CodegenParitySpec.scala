@@ -160,6 +160,31 @@ class CodegenParitySpec extends AnyFunSuite {
     }
   }
 
+  private def runTextKernels(): (Seq[(Long, Seq[Long])], Seq[(Long, Seq[Long])], Seq[(Long, Seq[Long])]) = {
+    import graft.functions.{RepetitionStats64, TextStats64, TrigramCounts}
+    val d = Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 40)
+    val toks = filter(split(lower(trim($"text")), "\\s+"), w => length(w) > 0)
+    val ts = d.select($"doc_id", TextStats64.text_stats($"text").as("a"))
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    val tc = d.select($"doc_id", TrigramCounts.trigram_counts($"text",
+        graft.llm.TextStats.profileTrigrams).as("a"))
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    val rs = d.select($"doc_id", RepetitionStats64.repetition_stats(toks).as("a"))
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    (ts, tc, rs)
+  }
+
+  test("TextStats64 / TrigramCounts / RepetitionStats64: codegen == interpreted") {
+    val generated = withConfs(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(runTextKernels())
+    val interpreted = withConfs(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(runTextKernels())
+    assert(generated == interpreted)
+    assert(generated._1.nonEmpty && generated._1.exists(_._2.exists(_ > 0)))
+  }
+
   test("SimHash64 / DmsToDecimalDegrees / vector kernels: codegen == interpreted") {
     val generated = withConfs(
       "spark.sql.codegen.wholeStage" -> "true",
