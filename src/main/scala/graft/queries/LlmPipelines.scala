@@ -1123,7 +1123,135 @@ object LlmPipelines {
            |WHERE d.doc_id % 50 != 0
            |ORDER BY d.doc_id""".stripMargin))
 
+  /** Corpus preparation, second generation — the round-7 operator
+    * family composed as ONE plan (the RefinedWeb/Gopher-style recipe,
+    * the way q52 composes the round-3 family):
+    *
+    *   per-doc signals (TextStats64 kernel scan: quality, tokens)
+    *   + intra-doc repetition gate (RepetitionStats64 kernel — same
+    *     map-side scan, zero extra shuffles)
+    *   + benchmark decontamination gate (broadcast gram probe vs the
+    *     q78 eval split)
+    *   + cross-doc span-dedup signal (hashed-gram pipeline, joined
+    *     back on doc_id)
+    *   + exact dedup (keep the smallest doc_id per fingerprint)
+    *
+    * Output: the curated docs with their retained signals. Every
+    * stage is the at-scale shape: two map-side kernel scans fused in
+    * one select, one broadcast probe, the span pipeline's keyed
+    * shuffles, one fingerprint window. Full DuckDB oracle (the gates
+    * recompose the q72/q73/q78 oracle CTEs). */
+  val q79 = QueryDef(
+    "q79_corpus_prep2",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val bench = d.where(col("doc_id") % 50 === 0)
+      val corpus = d.where(col("doc_id") % 50 =!= 0)
+      val toks = graft.llm.Spans.positionalNgrams(col("text"), 1)
+      val sig = TextStats.kernelSignalColumns(col("__st"))
+      val signals = corpus
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextStats64.text_stats(col("text")).as("__st"),
+          graft.functions.RepetitionStats64.repetition_stats(toks).as("__rs"),
+          TextStats.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), col("text"), col("fp"),
+          sig(0), // n_tokens
+          sig(5), // quality_score
+          when(element_at(col("__rs"), 2) > 0,
+            (element_at(col("__rs"), 2) - element_at(col("__rs"), 3))
+              .cast("double") / element_at(col("__rs"), 2))
+            .otherwise(lit(0.0)).as("dup2_ratio"))
+      val decon = graft.llm.Spans.decontaminationStats(corpus, bench,
+          "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("contaminated"))
+      val span = graft.llm.Spans.spanDedupStats(corpus, "doc_id", "text",
+          n = 8)
+        .select(col("doc_id"), col("dup_ratio").as("span_dup_ratio"))
+      signals
+        .join(decon, Seq("doc_id"))
+        .join(span, Seq("doc_id"))
+        .where(col("quality_score") >= 0.7 && col("dup2_ratio") <= 0.4 &&
+          !col("contaminated") && col("span_dup_ratio") <= 0.5)
+        .withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .where(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          col("dup2_ratio"), col("span_dup_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 != 0),
+           |toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                x -> length(x) > 0) AS t
+           |  FROM documents),
+           |sig AS (
+           |  SELECT c.doc_id,
+           |    md5(regexp_replace(lower(trim(c.text)), '\s+', ' ', 'g')) AS fp,
+           |    CAST(len(string_split_regex(lower(trim(c.text)), '\s+'))
+           |      AS INTEGER) AS n_tokens,
+           |    round(
+           |    (CASE WHEN len(string_split_regex(lower(trim(c.text)), '\s+'))
+           |            BETWEEN 20 AND 1000 THEN 1.0
+           |          WHEN len(string_split_regex(lower(trim(c.text)), '\s+'))
+           |            >= 5 THEN 0.5 ELSE 0.0 END) * 0.4 +
+           |    (CASE WHEN (CASE WHEN length(c.text) > 0
+           |                THEN CAST(length(regexp_replace(c.text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(c.text)
+           |                ELSE 0.0 END) < 0.1 THEN 1.0
+           |          WHEN (CASE WHEN length(c.text) > 0
+           |                THEN CAST(length(regexp_replace(c.text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(c.text)
+           |                ELSE 0.0 END) < 0.3 THEN 0.5 ELSE 0.0 END) * 0.3 +
+           |    (CASE WHEN (CASE WHEN len(string_split_regex(lower(trim(c.text)), '\s+')) > 0
+           |                THEN CAST(len(list_filter(string_split_regex(lower(trim(c.text)), '\s+'),
+           |                       x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+           |                     / len(string_split_regex(lower(trim(c.text)), '\s+'))
+           |                ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.3 END) * 0.3,
+           |    4) AS quality_score,
+           |    CASE WHEN greatest(len(t.t) - 1, 0) > 0 THEN
+           |      CAST(greatest(len(t.t) - 1, 0) -
+           |        len(list_distinct([array_to_string(t.t[i:i+1], ' ')
+           |          for i in generate_series(1, greatest(len(t.t) - 1, 0))]))
+           |        AS DOUBLE) / greatest(len(t.t) - 1, 0)
+           |      ELSE 0.0 END AS dup2_ratio
+           |  FROM corpus c JOIN toks t USING (doc_id)),
+           |grams AS (
+           |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+           |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS s(i)),
+           |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+           |contaminated AS (
+           |  SELECT DISTINCT grams.doc_id FROM grams JOIN bg USING (g)
+           |  WHERE grams.doc_id % 50 != 0),
+           |cpair AS (
+           |  SELECT g, doc_id, count(*) AS occ FROM grams
+           |  WHERE doc_id % 50 != 0 GROUP BY 1, 2),
+           |cdupg AS (SELECT g FROM cpair GROUP BY g HAVING count(*) >= 2),
+           |cdup AS (
+           |  SELECT p.doc_id, SUM(p.occ) AS dup_windows
+           |  FROM cpair p JOIN cdupg USING (g) GROUP BY 1),
+           |span AS (
+           |  SELECT c.doc_id,
+           |    CASE WHEN greatest(len(t.t) - 7, 0) > 0
+           |         THEN CAST(coalesce(d.dup_windows, 0) AS DOUBLE)
+           |              / greatest(len(t.t) - 7, 0)
+           |         ELSE 0.0 END AS span_dup_ratio
+           |  FROM corpus c JOIN toks t USING (doc_id)
+           |  LEFT JOIN cdup d USING (doc_id)),
+           |gated AS (
+           |  SELECT s.doc_id, s.fp, s.n_tokens, s.quality_score,
+           |    s.dup2_ratio, sp.span_dup_ratio
+           |  FROM sig s JOIN span sp USING (doc_id)
+           |  WHERE s.quality_score >= 0.7 AND s.dup2_ratio <= 0.4
+           |    AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+           |    AND sp.span_dup_ratio <= 0.5),
+           |kept AS (
+           |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+           |  FROM gated)
+           |SELECT doc_id, n_tokens, quality_score, dup2_ratio, span_dup_ratio
+           |FROM kept WHERE doc_id = keep_id
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
-      q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78)
+      q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79)
 }
