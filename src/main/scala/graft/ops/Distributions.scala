@@ -102,6 +102,11 @@ object Distributions {
       .collect()
       .map { r =>
         val g = groups.indices.map(r.get).toSeq
+        // a NULL group value would alias in the composite key (concat_ws
+        // SKIPS nulls while the driver-side mkString prints them) and
+        // silently route the group's rows to no bucket — fail loudly
+        require(g.forall(_ != null),
+          s"discPercentilesBucketed: NULL group values unsupported: $g")
         val lo = r.getLong(groups.length)
         val hi = r.getLong(groups.length + 1)
         val n = r.getLong(groups.length + 2)
