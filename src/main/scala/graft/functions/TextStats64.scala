@@ -85,7 +85,7 @@ object TextStats64 {
         while (i < hi && !isWs(s.charAt(i))) i += 1
         tokChars += (i - start)
         if (i - start <= 4) { // longest stopword is "that"
-          val t = s.substring(start, i).toLowerCase
+          val t = s.substring(start, i).toLowerCase(java.util.Locale.ROOT)
           if (stopwords.contains(t)) stops += 1
         }
       }

@@ -233,11 +233,17 @@ object Sinks {
       .option("timestampFormat", timestampFormat)
       .option("ignoreLeadingWhiteSpace", "true")
       .option("ignoreTrailingWhiteSpace", "true")
-      // required for UTF-16/32 inputs (whole-file decode through the
-      // charset instead of byte-0x0A line splitting); catalog-sized
-      // files only — a multiLine file is one split, so huge facts
-      // should be transcoded to UTF-8 upstream instead
-      .option("multiLine", multiLine.toString)
+      // UTF-16/32 inputs FORCE whole-file decode through the charset
+      // (byte-0x0A line splitting lands mid-code-unit in a multi-byte
+      // encoding — silent mojibake, not an error), regardless of what
+      // the caller passed; catalog-sized files only — a multiLine file
+      // is one split, so huge facts should be transcoded to UTF-8
+      // upstream instead
+      .option("multiLine",
+        (multiLine || encoding.toUpperCase(java.util.Locale.ROOT)
+          .startsWith("UTF-16") ||
+         encoding.toUpperCase(java.util.Locale.ROOT)
+          .startsWith("UTF-32")).toString)
       .schema(schema)
       .csv(csvPath)
 

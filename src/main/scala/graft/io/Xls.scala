@@ -58,7 +58,11 @@ object Xls {
     private val firstDifat = bb.getInt(68)
 
     private def sector(id: Int): Array[Byte] = {
-      val off = 512 + id.toLong * sz
+      // MS-CFB 2.2: sector n starts at (n+1) << sectorShift — the
+      // 512-byte header occupies "sector -1". For V3 (512-byte
+      // sectors) this equals 512 + n·512; for V4 (4096) the header is
+      // PADDED to a full sector, so sector 0 begins at 4096, not 512.
+      val off = (id.toLong + 1) << sectorShift
       require(off + sz <= bytes.length, s"sector $id past end of file")
       java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + sz)
     }
@@ -372,9 +376,17 @@ object Xls {
           // (string/bool/err/blank) result, else it's an IEEE double
           if ((wb(r.off + 12) & 0xFF) == 0xFF && (wb(r.off + 13) & 0xFF) == 0xFF) {
             wb(r.off + 6) & 0xFF match {
-              case 0 => // string: value arrives in the following STRING record
-                val si = recs.indexWhere(_.typ == RecString, k + 1)
-                if (si > 0) {
+              case 0 =>
+                // string: the value arrives in the STRING record that
+                // IMMEDIATELY follows this FORMULA (after at most a
+                // SHRFMLA/ARRAY/TABLE companion record, BIFF8 §2.5.5).
+                // Bounded lookahead — an unbounded scan would steal a
+                // LATER formula's STRING when this one's is absent.
+                val companions = Set(0x04BC, 0x0221, 0x0236) // SHRFMLA/ARRAY/TABLE
+                var si = k + 1
+                while (si < recs.length && companions.contains(recs(si).typ))
+                  si += 1
+                if (si < recs.length && recs(si).typ == RecString) {
                   val sr = new SegReader(wb, Seq((recs(si).off, recs(si).len)))
                   cells((row, c)) = sr.xlString()
                 }

@@ -461,6 +461,9 @@ object Dedup {
     val bandsCap = 96
     def bandsFor(bb: Int): Int =
       math.max(8, math.ceil(math.log(1.0 / targetMiss) / math.pow(p, bb)).toInt)
+    require(bands == 0 || bandBits > 0,
+      s"pinning bands=$bands requires pinning bandBits too - a lone " +
+      "bands value would be silently discarded by the auto-sizer")
     val (nBits, nBands) =
       if (bandBits > 0 && bands > 0) (bandBits, bands)
       else if (bandBits > 0) (bandBits, bandsFor(bandBits))

@@ -225,11 +225,14 @@ object Multimodal {
     val srcRow = ((w * 3 + 3) / 4) * 4
     if (dataOff < 54 || src.length < dataOff.toLong + srcRow.toLong * h)
       return None
-    val dstRow = ((tw * 3 + 3) / 4) * 4
+    // row stride in LONG: tw*3+3 itself overflows Int near tw ~ 7e8,
+    // which would slip a negative stride past the size guard below
+    val dstRowL = (tw.toLong * 3 + 3) / 4 * 4
     // oversized target dims would overflow the Int array size (and the
     // header's image-size field) into a NegativeArraySizeException;
     // an un-materializable BMP is a None, not a crash
-    if (54L + dstRow.toLong * th > Int.MaxValue.toLong) return None
+    if (54L + dstRowL * th > Int.MaxValue.toLong) return None
+    val dstRow = dstRowL.toInt
     val out = new Array[Byte](54 + dstRow * th)
     out(0) = 'B'; out(1) = 'M'
     def putLeInt(b: Array[Byte], off: Int, v: Int): Unit = {

@@ -40,6 +40,10 @@ object Distributions {
     val wAll = Window.partitionBy(gcols: _*)
     val ranked = df
       .withColumn("__dp_v", value)
+      // NULL measures are excluded from the rank domain (standard SQL
+      // percentile semantics; keeps this form and the bucketed one
+      // pick-for-pick identical on nullable inputs)
+      .where(col("__dp_v").isNotNull)
       .withColumn("__dp_rn", row_number().over(w))
       .withColumn("__dp_n", count(lit(1)).over(wAll))
     val picks = percents.map { p =>
@@ -82,6 +86,23 @@ object Distributions {
     val sp = df.sparkSession
     import sp.implicits._
     val gcols = groups.map(col)
+    // driver-side composite keys require that String.valueOf of the
+    // collected JVM value equals Spark's cast-to-string per row —
+    // true for strings, integrals and booleans, NOT for timestamps
+    // ('...00:00:00.0' vs '...00:00:00'), dates pre-epoch, decimals
+    // with trailing zeros, etc. Fail loudly rather than silently
+    // joining nothing.
+    locally {
+      import org.apache.spark.sql.types._
+      val ok: Set[DataType] = Set(StringType, IntegerType, LongType,
+        ShortType, ByteType, BooleanType)
+      val bad = df.schema.filter(f => groups.contains(f.name) &&
+        !ok.contains(f.dataType))
+      require(bad.isEmpty,
+        s"discPercentilesBucketed: group column types must stringify " +
+        s"identically on driver and executor; unsupported: " +
+        bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
+    }
     // composite key string (NUL separator cannot occur in sane group
     // values, so composite keys never alias). All per-row group
     // decisions below go through BROADCAST joins on this key — NOT
@@ -92,8 +113,11 @@ object Distributions {
     // 7.3 s vs 0.9 s for the identical algorithm through joins.
     def gkey: Column = concat_ws("\u0000", gcols.map(_.cast("string")): _*)
     def gk(g: Seq[Any]): String = g.map(String.valueOf).mkString("\u0000")
+    // NULL measures are excluded from the rank domain (standard SQL
+    // percentile semantics; discPercentiles' window form matches)
     val keyed = df
       .select(gcols :+ value.cast("long").as("__dp_v"): _*)
+      .where(col("__dp_v").isNotNull)
       .withColumn("__gk", gkey)
     // pass 1: per-group bounds — group-count rows to the driver
     val bounds = keyed.groupBy(gcols: _*)

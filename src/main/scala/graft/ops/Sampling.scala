@@ -110,8 +110,13 @@ object Sampling {
       s"weights must sum to $Buckets millionths, got ${weightsMilli.values.sum}")
     val counts = df.groupBy(col(sourceCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val present = weightsMilli.filter { case (s, w) =>
-      w > 0 && counts.getOrElse(s, 0L) > 0L }
+    val present = weightsMilli.filter { case (_, w) => w > 0 }
+    val absent = present.keys.filter(s => counts.getOrElse(s, 0L) == 0L)
+    // a missing weighted source would silently RENORMALIZE the kept
+    // mix over the remaining sources - the contract is the requested
+    // distribution, so fail loudly instead
+    require(absent.isEmpty,
+      s"weighted sources absent from the data: ${absent.mkString(",")}")
     require(present.nonEmpty,
       s"no weighted source present in the data: ${weightsMilli.keySet}")
     val total = present.map { case (s, w) =>

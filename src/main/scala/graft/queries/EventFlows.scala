@@ -321,8 +321,13 @@ object EventFlows {
       // double-width shuffle — measured 2.5 s vs 0.9 s for this form.
       // Over the deduplicated pairs the exact count is a plain count
       // and the HLL still sees each user once per type.
+      // null users are excluded exactly as COUNT(DISTINCT user_id)
+      // excludes them (the pre-distinct form would count a (type,
+      // null) row)
       val perUser = Tables.events(s, dir)
-        .select(col("event_type"), col("user_id")).distinct()
+        .select(col("event_type"), col("user_id"))
+        .where(col("user_id").isNotNull)
+        .distinct()
       perUser
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("exact_users"),

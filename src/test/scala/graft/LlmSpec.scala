@@ -393,6 +393,12 @@ class LlmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.cosineNearDupBucketed(emb, "vec_id", "embedding", 0.35, dim = 64)
     }
+    // a lone bands pin (bandBits left auto) would be silently
+    // discarded by the auto-sizer — rejected loudly instead
+    intercept[IllegalArgumentException] {
+      Dedup.cosineNearDupBucketed(emb, "vec_id", "embedding", 0.9,
+        dim = 64, bands = 32)
+    }
   }
 
   test("IVF with sampled k-means centroids: recall >= 0.8 vs brute force") {

@@ -64,6 +64,10 @@ class MultimodalSpec extends AnyFunSuite {
     val up = Multimodal.resizeBmpBytes(src, 8, 4).get
     assert(Multimodal.decodeBmp(up).contains((8, 4)))
     assert(up(54) == pix(0, 0) && up(54 + 3) == pix(0, 0), "x=0,1 replicate src x=0")
+    // un-materializable target dims (incl. tw*3 Int-overflow territory)
+    // are a None, not a NegativeArraySizeException
+    assert(Multimodal.resizeBmpBytes(src, 800000000, 2).isEmpty)
+    assert(Multimodal.resizeBmpBytes(src, 30000, 30000).isEmpty)
     // top-down orientation (negative height) is preserved
     val td = src.clone(); putLe(td, 22, -h)
     val tdOut = Multimodal.resizeBmpBytes(td, 2, 1).get

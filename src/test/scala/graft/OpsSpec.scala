@@ -236,6 +236,22 @@ class OpsSpec extends AnyFunSuite {
         Seq(50, 90, 99))
       .orderBy($"l_returnflag", $"l_linestatus").collect().toSeq
     assert(full.nonEmpty && bucketed == full)
+    // driver/executor stringification divergence (timestamps etc.)
+    // fails loudly instead of silently joining nothing
+    intercept[IllegalArgumentException] {
+      Distributions.discPercentilesBucketed(
+        li.withColumn("ts", current_timestamp()),
+        Seq("ts"), $"cents", Seq(50))
+    }
+    // null measures are excluded on BOTH forms (standard SQL
+    // percentile semantics), not an NPE on the bucketed driver pass
+    val withNulls = Seq(("g", Some(1L)), ("g", None), ("g", Some(3L)),
+      ("g", Some(2L))).toDF("g", "v")
+    val fN = Distributions.discPercentiles(withNulls, Seq("g"), $"v",
+      Seq(50, 100)).collect().toSeq
+    val bN = Distributions.discPercentilesBucketed(withNulls, Seq("g"), $"v",
+      Seq(50, 100), buckets = 2).collect().toSeq
+    assert(fN == bN && fN.head.getLong(1) == 3L, s"$fN vs $bN") // n=3, nulls out
     // tie-heavy + tiny-bucket stress: values collapse onto few points,
     // so target ranks land inside tie runs and bucket edges
     val ties = Seq.tabulate(200)(i => ("g" + (i % 2), (i % 5).toLong))
