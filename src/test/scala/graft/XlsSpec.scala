@@ -92,19 +92,27 @@ class XlsSpec extends AnyFunSuite {
     * is under the 4096-byte mini cutoff, so it lives in 64-byte mini
     * sectors — the generated fixture exercises the mini-FAT path the
     * big reference file doesn't. */
-  private def buildCfb(workbook: Array[Byte]): Array[Byte] = {
+  private def buildCfb(workbook: Array[Byte], shift: Int = 9): Array[Byte] = {
     require(workbook.length < 4096, "fixture workbook must stay mini-stream-sized")
+    require(shift == 9 || shift == 12, s"CFB shift must be 9 or 12: $shift")
+    val sz = 1 << shift
+    val entries = sz / 4               // FAT entries per sector
+    val dirSlots = sz / 128            // directory entries per sector
     val miniSecs = (workbook.length + 63) / 64
     val miniBytes = miniSecs * 64
-    val containerSecs = (miniBytes + 511) / 512
-    // sectors: 0 = FAT, 1 = directory, 2 = mini-FAT, 3.. = mini-stream container
+    val containerSecs = (miniBytes + sz - 1) / sz
+    // sectors: 0 = FAT, 1 = directory, 2 = mini-FAT, 3.. = mini-stream
+    // container. MS-CFB: sector n starts at (n+1) << shift — for V4
+    // the 512-byte header pads to a full 4096-byte sector.
     val totalSecs = 3 + containerSecs
-    val out = ByteBuffer.allocate(512 + totalSecs * 512).order(ByteOrder.LITTLE_ENDIAN)
+    def secOff(n: Int): Int = (n + 1) << shift
+    val out = ByteBuffer.allocate(secOff(totalSecs)).order(ByteOrder.LITTLE_ENDIAN)
     // header
     out.putLong(0, 0xE11AB1A1E011CFD0L)
-    out.putShort(24, 0x003E.toShort); out.putShort(26, 3.toShort) // version
+    out.putShort(24, 0x003E.toShort)
+    out.putShort(26, (if (shift == 9) 3 else 4).toShort)         // version
     out.putShort(28, 0xFFFE.toShort)                             // little-endian
-    out.putShort(30, 9.toShort); out.putShort(32, 6.toShort)     // 512 / 64
+    out.putShort(30, shift.toShort); out.putShort(32, 6.toShort) // sz / 64
     out.putInt(44, 1)            // one FAT sector
     out.putInt(48, 1)            // first directory sector
     out.putInt(56, 4096)         // mini cutoff
@@ -115,7 +123,7 @@ class XlsSpec extends AnyFunSuite {
     out.putInt(76, 0)            // DIFAT[0] -> FAT at sector 0
     (1 until 109).foreach(i => out.putInt(76 + 4 * i, 0xFFFFFFFF))
     // FAT (sector 0)
-    val fat = 512
+    val fat = secOff(0)
     out.putInt(fat + 0, 0xFFFFFFFD)  // sector 0: FAT marker
     out.putInt(fat + 4, 0xFFFFFFFE)  // directory: single-sector chain
     out.putInt(fat + 8, 0xFFFFFFFE)  // mini-FAT: single-sector chain
@@ -123,7 +131,7 @@ class XlsSpec extends AnyFunSuite {
       out.putInt(fat + 12 + 4 * i,
         if (i == containerSecs - 1) 0xFFFFFFFE else 3 + i + 1)
     }
-    (3 + containerSecs until 128).foreach(i => out.putInt(fat + 4 * i, 0xFFFFFFFF))
+    (3 + containerSecs until entries).foreach(i => out.putInt(fat + 4 * i, 0xFFFFFFFF))
     // directory (sector 1): Root Entry + Workbook
     def dirEntry(base: Int, name: String, typ: Int, start: Int, size: Int,
                  child: Int): Unit = {
@@ -137,17 +145,34 @@ class XlsSpec extends AnyFunSuite {
       out.putInt(base + 116, start)
       out.putInt(base + 120, size)
     }
-    dirEntry(1024, "Root Entry", 5, 3, miniBytes, child = 1)
-    dirEntry(1024 + 128, "Workbook", 2, 0, workbook.length, child = 0xFFFFFFFF)
+    val dir = secOff(1)
+    dirEntry(dir, "Root Entry", 5, 3, miniBytes, child = 1)
+    dirEntry(dir + 128, "Workbook", 2, 0, workbook.length, child = 0xFFFFFFFF)
+    // remaining directory slots stay zeroed (type 0 = unused)
     // mini-FAT (sector 2)
-    val mf = 512 + 2 * 512
+    val mf = secOff(2)
     (0 until miniSecs).foreach { i =>
       out.putInt(mf + 4 * i, if (i == miniSecs - 1) 0xFFFFFFFE else i + 1)
     }
-    (miniSecs until 128).foreach(i => out.putInt(mf + 4 * i, 0xFFFFFFFF))
+    (miniSecs until entries).foreach(i => out.putInt(mf + 4 * i, 0xFFFFFFFF))
     // mini-stream container (sectors 3..)
-    workbook.indices.foreach(i => out.put(512 + 3 * 512 + i, workbook(i)))
+    workbook.indices.foreach(i => out.put(secOff(3) + i, workbook(i)))
     out.array()
+  }
+
+  test("V4 compound file (4096-byte sectors) parses identically to V3") {
+    // regression: sector offsets are (n+1)<<shift per MS-CFB — the
+    // 512+n*512 shortcut coincides with V3 only, and read V4 FAT/
+    // directory/streams from the wrong bytes
+    val wb = buildBiff()
+    val p3 = Files.createTempFile("graft_xls_v3", ".xls")
+    val p4 = Files.createTempFile("graft_xls_v4", ".xls")
+    Files.write(p3, buildCfb(wb, shift = 9))
+    Files.write(p4, buildCfb(wb, shift = 12))
+    assert(Xls.sheetNames(p4.toString) == Xls.sheetNames(p3.toString))
+    val r3 = Xls.readSheet(spark, p3.toString).collect().map(_.toSeq).toSeq
+    val r4 = Xls.readSheet(spark, p4.toString).collect().map(_.toSeq).toSeq
+    assert(r4 == r3 && r3.nonEmpty)
   }
 
   test("generated BIFF8 fixture parses: every cell record type + mini-FAT + SST CONTINUE flip") {
