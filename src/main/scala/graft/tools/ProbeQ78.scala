@@ -4,9 +4,10 @@ import graft.core.{Sessions, Tables}
 import graft.llm.Spans
 import org.apache.spark.sql.functions._
 
-/** Dev probe: stage-by-stage timing of q78's decontamination plan at a
-  * given scale dir, to localize the sf10 superlinearity (corpus gram
-  * explode vs benchmark gram distinct vs broadcast vs join+agg). */
+/** Dev probe backing SCALE.md round-7: decontamination cost breakdown
+  * (kernel gram explode, benchmark distinct, full operator) — all
+  * forced through the noop sink, the bench's semantics; count() would
+  * let the optimizer delete the join/agg subtree being measured. */
 object ProbeQ78 {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,82 +15,30 @@ object ProbeQ78 {
     val d = Tables.documents(s, dir)
     val bench = d.where(col("doc_id") % 50 === 0)
     val corpus = d.where(col("doc_id") % 50 =!= 0)
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
-    }
     import graft.functions.NgramHashes
     def toks = filter(split(lower(trim(col("text"))), "\\s+"),
       w => length(w) > 0)
-    // warm the scans
-    d.count()
-    time("corpus kernel explode") {
-      corpus.select(col("doc_id"),
-          explode(NgramHashes.ngram_hashes(toks, 8)).as("g"))
-        .select(xxhash64(col("g"))).count()
+    d.count() // warm the scan
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    time("corpus kernel explode_outer + n_windows") {
-      corpus.select(col("doc_id"),
-          greatest(size(toks) - lit(7), lit(0)).cast("long").as("n_windows"),
-          explode_outer(NgramHashes.ngram_hashes(toks, 8)).as("g"))
-        .select(xxhash64(col("g"))).count()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    time("corpus kernel gram explode") {
+      noop(corpus.select(col("doc_id"),
+        explode(NgramHashes.ngram_hashes(toks, 8)).as("g")))
     }
     time("bench grams distinct") {
-      bench.select(explode(NgramHashes.ngram_hashes(toks, 8)).as("g"))
-        .distinct().count()
+      noop(bench.select(explode(NgramHashes.ngram_hashes(toks, 8)).as("g"))
+        .distinct())
     }
     time("full decontaminationStats") {
-      Spans.decontaminationStats(corpus, bench, "doc_id", "text", n = 8).count()
+      noop(Spans.decontaminationStats(corpus, bench, "doc_id", "text", n = 8))
     }
     time("full again (warm)") {
-      Spans.decontaminationStats(corpus, bench, "doc_id", "text", n = 8).count()
+      noop(Spans.decontaminationStats(corpus, bench, "doc_id", "text", n = 8))
     }
-    time("full via noop sink") {
-      Spans.decontaminationStats(corpus, bench, "doc_id", "text", n = 8)
-        .write.mode("overwrite").format("noop").save(); 0L
-    }
-    time("noop again (warm)") {
-      Spans.decontaminationStats(corpus, bench, "doc_id", "text", n = 8)
-        .write.mode("overwrite").format("noop").save(); 0L
-    }
-    // isolate: outer vs inner Generate under the full (unpruned) plan
-    val grams = NgramHashes.ngram_hashes(toks, 8)
-    time("explode_outer via noop") {
-      corpus.select(col("doc_id"),
-          greatest(size(toks) - lit(7), lit(0)).cast("long").as("n_windows"),
-          explode_outer(grams).as("g"))
-        .write.mode("overwrite").format("noop").save(); 0L
-    }
-    time("padded inner explode via noop") {
-      corpus.select(col("doc_id"),
-          greatest(size(toks) - lit(7), lit(0)).cast("long").as("n_windows"),
-          explode(when(size(grams) === 0,
-              array(lit(null).cast("long"))).otherwise(grams)).as("g"))
-        .write.mode("overwrite").format("noop").save(); 0L
-    }
-    time("explode_outer via toRdd.count") {
-      corpus.select(col("doc_id"),
-          greatest(size(toks) - lit(7), lit(0)).cast("long").as("n_windows"),
-          explode_outer(grams).as("g"))
-        .queryExecution.toRdd.count()
-    }
-    time("full decon via toRdd.count") {
-      Spans.decontaminationStats(corpus, bench, "doc_id", "text", n = 8)
-        .queryExecution.toRdd.count()
-    }
-    time("narrow explode via toRdd.count") {
-      corpus.select(explode(grams).as("g")).queryExecution.toRdd.count()
-    }
-    println("=== SLOW PLAN (with pass-through cols) ===")
-    corpus.select(col("doc_id"),
-        greatest(size(toks) - lit(7), lit(0)).cast("long").as("n_windows"),
-        explode_outer(grams).as("g"))
-      .explain("formatted")
-    println("=== FAST PLAN (narrow) ===")
-    corpus.select(col("doc_id"),
-        explode(NgramHashes.ngram_hashes(toks, 8)).as("gram"))
-      .select(xxhash64(col("gram")).as("g")).explain("formatted")
     s.stop()
   }
 }
