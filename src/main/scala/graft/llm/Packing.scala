@@ -25,11 +25,20 @@ object Packing {
     * count n (documents of zero tokens occupy one position), the doc
     * spans bins floor(p/budget) .. floor((p+max(n,1)-1)/budget) of its
     * shard. Output: (shard, id, n_tokens, cum_prev, bin_start,
-    * bin_end). */
+    * bin_end).
+    *
+    * Determinism: the prefix sum orders by (id, n_tokens) — with
+    * unique ids per shard (the normal case) the layout is
+    * bit-identical on any partitioning; if ids DO repeat within a
+    * shard, the secondary n_tokens key still fixes the order, and any
+    * rows tied on both keys are identical in every output column, so
+    * the result stays deterministic rather than silently depending on
+    * partition order. */
   def packedSpans(docs: DataFrame, idCol: String, shardCol: String,
                   nTokens: Column, budget: Int): DataFrame = {
     require(budget > 0, s"token budget must be positive: $budget")
-    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("id"), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col(shardCol).as("shard"), col(idCol).as("id"),

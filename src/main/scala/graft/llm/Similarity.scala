@@ -316,9 +316,14 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val flat = unitNormFlat(cents)
+      // Assignment is materialized in its OWN select below the explode:
+      // projected beside posexplode it would plan above the Generate and
+      // re-run the argmax-dot kernel once per vector element (the
+      // projection-above-Generate pitfall; see Spans.decontaminationStats).
       val agg = corpus
-        .select(nearest_centroid(col(vecCol), flat, k, dim).as("cent"),
-          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .select(col(vecCol).as("v"),
+          nearest_centroid(col(vecCol), flat, k, dim).as("cent"))
+        .select(col("cent"), posexplode(col("v")).as(Seq("pos", "x")))
         .select(col("cent"), col("pos"),
           floor(col("x").cast("double") * 1000000L).cast("long").as("q"))
         .groupBy(col("cent"), col("pos"))

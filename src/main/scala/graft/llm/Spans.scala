@@ -54,9 +54,11 @@ object Spans {
   }
 
   /** Cross-document duplicated-span rates: for each document, how many
-    * of its `n`-token windows also occur in at least `minDocs` OTHER
-    * documents (i.e. the window's gram appears in >= minDocs distinct
-    * docs corpus-wide). Output per doc: total window count, duplicated
+    * of its `n`-token windows carry a gram that appears in at least
+    * `minDocs` distinct documents corpus-wide — a count that INCLUDES
+    * the window's own document, so the default `minDocs = 2` means
+    * "appears in at least one OTHER document". Output per doc: total
+    * window count, duplicated
     * window count, and their ratio — the curation signal for "this doc
     * is mostly boilerplate seen elsewhere".
     *

@@ -59,17 +59,32 @@ object Distributions {
     * per-group sort whose parallelism is the group count — with few
     * groups it is a handful of single-threaded sorts of the whole
     * table (measured: 19× slower than the in-process oracle on a
-    * 6-group table). This form never sorts the table:
+    * 6-group table). This form never sorts the table, and (since
+    * round 8) never ships group-scaled state to the driver — every
+    * pass is a distributed aggregate, so group cardinality is bounded
+    * only by executor memory:
     *
-    *  1. one agg for per-group (min, max, n) — group-count rows;
-    *  2. one agg over fixed-width value buckets — group·B rows; the
-    *     driver accumulates each group's bucket histogram and locates,
-    *     for every requested percentile rank, the bucket holding it
-    *     and the rank REMAINING within that bucket (both bounded,
-    *     dimension-sized collects);
+    *  1. one agg for per-group (min, max, n) — group-count rows,
+    *     broadcast back onto the fact;
+    *  2. one agg over fixed-width key buckets (group·B rows) whose
+    *     per-group running total (a window over the TINY histogram,
+    *     not the fact) locates, for each requested percentile rank,
+    *     the bucket holding it and the rank REMAINING within it;
     *  3. one scan filtered to the target buckets (~n/B rows each)
     *     whose values sort per (group, bucket) — tiny — and a
     *     conditional aggregate picks the remaining-rank row.
+    *
+    * Buckets are assigned on a DERIVED long key that is monotone
+    * non-decreasing in the measure (the identity for integral
+    * measures; NaN-aware truncation for float/double), while the
+    * within-bucket rank and the picked output value use the ORIGINAL
+    * measure — so fractional measures are supported exactly and the
+    * output column types match [[discPercentiles]]. Non-numeric
+    * measures fail loudly (use [[discPercentiles]], which only needs
+    * an ordering). Group columns may be ANY type including NULL
+    * values: joins go through a null-safe composite key built
+    * Spark-side on both ends, so there is no driver/executor
+    * stringification parity to maintain.
     *
     * Exactness is unconditional — bucketing only NARROWS where each
     * order statistic lives; the final pick is positional within the
@@ -80,104 +95,94 @@ object Distributions {
   def discPercentilesBucketed(df: DataFrame, groups: Seq[String],
                               value: Column, percents: Seq[Int],
                               buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.types._
     require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
       s"percents must be in (0,100]: $percents")
     require(buckets >= 2, s"need at least 2 buckets: $buckets")
-    val sp = df.sparkSession
-    import sp.implicits._
+    val reserved = Set("__dp_v", "__dp_k", "__dp_b", "__dp_rn",
+      "__gk", "__lo", "__w", "__n", "__c", "__cum", "__p", "__t", "__rw")
+    require(df.columns.forall(c => !reserved.contains(c)),
+      s"input already has a reserved column: " +
+        df.columns.toSet.intersect(reserved))
     val gcols = groups.map(col)
-    // driver-side composite keys require that String.valueOf of the
-    // collected JVM value equals Spark's cast-to-string per row —
-    // true for strings, integrals and booleans, NOT for timestamps
-    // ('...00:00:00.0' vs '...00:00:00'), dates pre-epoch, decimals
-    // with trailing zeros, etc. Fail loudly rather than silently
-    // joining nothing.
-    locally {
-      import org.apache.spark.sql.types._
-      val ok: Set[DataType] = Set(StringType, IntegerType, LongType,
-        ShortType, ByteType, BooleanType)
-      val bad = df.schema.filter(f => groups.contains(f.name) &&
-        !ok.contains(f.dataType))
-      require(bad.isEmpty,
-        s"discPercentilesBucketed: group column types must stringify " +
-        s"identically on driver and executor; unsupported: " +
-        bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
+    // Monotone derived bucket key. Truncation toward zero (Spark's
+    // numeric→long cast) is monotone non-decreasing, so every value in
+    // bucket b is ≤ every value in bucket b+1 and the histogram walk
+    // below locates ranks correctly; the ORIGINAL value still decides
+    // within-bucket order. Float/double: NaN sorts greatest in Spark
+    // but casts to 0 — map it to Long.MaxValue; clamp ±9.0e18 keeps
+    // the cast in Long range (monotone, ties resolved by value rank).
+    val vType = df.select(value.as("__dp_v")).schema.head.dataType
+    val keyExpr: Column = vType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+        col("__dp_v").cast("long")
+      case _: FloatType | _: DoubleType =>
+        val v = col("__dp_v").cast("double")
+        when(isnan(v), lit(Long.MaxValue)).otherwise(
+          least(greatest(v, lit(-9.0e18)), lit(9.0e18)).cast("long"))
+      case other => throw new IllegalArgumentException(
+        s"discPercentilesBucketed: measure must be numeric (got " +
+          s"${other.simpleString}); use discPercentiles for other " +
+          "orderable types")
     }
-    // composite key string (NUL separator cannot occur in sane group
-    // values, so composite keys never alias). All per-row group
-    // decisions below go through BROADCAST joins on this key — NOT
-    // when-chain expressions: CollapseProject inlines a derived
-    // column into every consumer, so a when-chain keyed on a concat
-    // re-expands the whole CASE tree (×2 arithmetic operands ×18
-    // filter terms) into one enormous per-row expression — measured
-    // 7.3 s vs 0.9 s for the identical algorithm through joins.
-    def gkey: Column = concat_ws("\u0000", gcols.map(_.cast("string")): _*)
-    def gk(g: Seq[Any]): String = g.map(String.valueOf).mkString("\u0000")
+    // Null-safe composite group key, built IN SPARK on both sides of
+    // every join (no driver round-trip): NULL → \u0002, non-null →
+    // 'v'+cast-to-string. NUL separator assumed absent from group
+    // values (same caveat as any delimiter-composite key).
+    val gkey: Column = concat_ws("\u0000", gcols.map(c =>
+      coalesce(concat(lit("v"), c.cast("string")), lit("\u0002"))): _*)
     // NULL measures are excluded from the rank domain (standard SQL
     // percentile semantics; discPercentiles' window form matches)
     val keyed = df
-      .select(gcols :+ value.cast("long").as("__dp_v"): _*)
+      .select(gcols :+ value.as("__dp_v"): _*)
       .where(col("__dp_v").isNotNull)
+      .withColumn("__dp_k", keyExpr)
       .withColumn("__gk", gkey)
-    // pass 1: per-group bounds — group-count rows to the driver
-    val bounds = keyed.groupBy(gcols: _*)
-      .agg(min(col("__dp_v")).as("lo"), max(col("__dp_v")).as("hi"),
-        count(lit(1)).as("n"))
-      .collect()
-      .map { r =>
-        val g = groups.indices.map(r.get).toSeq
-        // a NULL group value would alias in the composite key (concat_ws
-        // SKIPS nulls while the driver-side mkString prints them) and
-        // silently route the group's rows to no bucket — fail loudly
-        require(g.forall(_ != null),
-          s"discPercentilesBucketed: NULL group values unsupported: $g")
-        val lo = r.getLong(groups.length)
-        val hi = r.getLong(groups.length + 1)
-        val n = r.getLong(groups.length + 2)
-        // ceil width so hi maps to bucket B-1
-        g -> (lo, math.max(1L, (hi - lo) / buckets + 1), n)
-      }.toMap
-    val boundsDf = broadcast(
-      bounds.toSeq.map { case (g, (lo, w, n)) => (gk(g), lo, w, n) }
-        .toDF("__gk", "__lo", "__w", "__n"))
-    val prepared = keyed.join(boundsDf, Seq("__gk"))
+    // pass 1 (distributed): per-group bounds; width computed in double
+    // so extreme long ranges (hi−lo beyond Long.MaxValue) cannot
+    // overflow — bucket ids only need monotone consistency, which the
+    // double rounding preserves
+    val bounds = keyed.groupBy(col("__gk"))
+      .agg(min(col("__dp_k")).as("__lo"), max(col("__dp_k")).as("__hi"),
+        count(lit(1)).as("__n"))
+      .select(col("__gk"), col("__lo"), col("__n"),
+        greatest(lit(1.0),
+          (col("__hi").cast("double") - col("__lo").cast("double"))
+            / buckets).as("__w"))
+    val prepared = keyed.join(broadcast(bounds), Seq("__gk"))
       .withColumn("__dp_b",
-        Cleaning.intDiv(col("__dp_v") - col("__lo"), col("__w")))
-    // pass 2: bucket histogram — group·B rows to the driver
+        floor((col("__dp_k").cast("double") - col("__lo").cast("double"))
+          / col("__w")).cast("long"))
+    // pass 2 (distributed): bucket histogram with per-group running
+    // totals — the window runs over group·B histogram rows, never the
+    // fact table
     val hist = prepared
       .groupBy(col("__gk"), col("__dp_b"))
-      .agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1)
-      .map { case (g, rows) =>
-        g -> rows.toSeq.map(t => (t._2, t._3)).sortBy(_._1)
-      }
-    // locate each percentile's bucket + remaining rank within it
-    // (rankWithin is 1-based among the bucket's value-sorted rows)
-    val wanted: Seq[(String, Long, Int, Long)] =
-      bounds.toSeq.flatMap { case (g, (_, _, n)) =>
-        val h = hist.getOrElse(gk(g), Seq.empty[(Long, Long)])
-        percents.map { p =>
-          val target = (n * p + 99) / 100
-          var cum = 0L
-          var found: Option[(Long, Long)] = None
-          h.foreach { case (b, c) =>
-            if (found.isEmpty && cum + c >= target)
-              found = Some((b, target - cum))
-            if (found.isEmpty) cum += c
-          }
-          val (b, rw) = found.getOrElse(
-            (h.lastOption.map(_._1).getOrElse(0L), 1L))
-          (gk(g), b, p, rw)
-        }
-      }
-    val wantedDf = broadcast(
-      wanted.toDF("__gk", "__dp_b", "__p", "__rw"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col("__gk")).orderBy(col("__dp_b"))))
+    // each percentile's target rank per group (group·P rows), then the
+    // smallest bucket whose running total reaches it + the rank
+    // remaining within that bucket (1-based among its sorted rows)
+    val targets = bounds
+      .select(col("__gk"), col("__n"),
+        explode(array(percents.map(lit): _*)).as("__p"))
+      .withColumn("__t",
+        Cleaning.intDiv(col("__n") * col("__p") + 99, lit(100)))
+    val wanted = hist.join(broadcast(targets), Seq("__gk"))
+      .where(col("__cum") >= col("__t"))
+      .groupBy(col("__gk"), col("__p"))
+      .agg(min_by(
+        struct(col("__dp_b"),
+          (col("__t") - (col("__cum") - col("__c"))).as("__rw")),
+        col("__dp_b")).as("__loc"))
+      .select(col("__gk"), col("__p"),
+        col("__loc.__dp_b").as("__dp_b"), col("__loc.__rw").as("__rw"))
     // pass 3: only the target buckets sort — a per-(group, bucket)
     // window over ~n/B rows each
+    val wantedB = broadcast(wanted)
     val cand = prepared
-      .join(wantedDf.select(col("__gk"), col("__dp_b")).distinct(),
+      .join(wantedB.select(col("__gk"), col("__dp_b")).distinct(),
         Seq("__gk", "__dp_b"))
       .withColumn("__dp_rn",
         row_number().over(Window.partitionBy(col("__gk"), col("__dp_b"))
@@ -186,7 +191,7 @@ object Distributions {
       max(when(col("__p") === p, col("__dp_v"))).as(s"p$p")
     }
     cand
-      .join(wantedDf, Seq("__gk", "__dp_b"))
+      .join(wantedB, Seq("__gk", "__dp_b"))
       .where(col("__dp_rn") === col("__rw"))
       .groupBy(gcols: _*)
       .agg(max(col("__n")).as("n"), pickCols: _*)

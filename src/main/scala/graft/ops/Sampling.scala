@@ -108,6 +108,15 @@ object Sampling {
       s"weights must be non-negative: $weightsMilli")
     require(weightsMilli.values.sum == Buckets,
       s"weights must sum to $Buckets millionths, got ${weightsMilli.values.sum}")
+    // weights are keyed by String, and the threshold dispatch compares
+    // col(sourceCol) === <string literal> — a non-string source column
+    // would otherwise surface as a ClassCastException at collect time
+    locally {
+      val st = df.select(col(sourceCol)).schema.head.dataType
+      require(st == org.apache.spark.sql.types.StringType,
+        s"mixtureSample: source column '$sourceCol' must be StringType " +
+          s"(got ${st.simpleString}); cast it before sampling")
+    }
     val counts = df.groupBy(col(sourceCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weightsMilli.filter { case (_, w) => w > 0 }

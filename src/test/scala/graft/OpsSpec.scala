@@ -236,13 +236,44 @@ class OpsSpec extends AnyFunSuite {
         Seq(50, 90, 99))
       .orderBy($"l_returnflag", $"l_linestatus").collect().toSeq
     assert(full.nonEmpty && bucketed == full)
-    // driver/executor stringification divergence (timestamps etc.)
-    // fails loudly instead of silently joining nothing
-    intercept[IllegalArgumentException] {
+    // group columns of ANY type (here timestamp) work — every join
+    // builds its composite key Spark-side, so there is no
+    // driver/executor stringification parity to break (pre-round-8
+    // this failed loudly; now it is simply supported)
+    val tsGrouped = Distributions.discPercentilesBucketed(
+      li.withColumn("ts",
+        to_timestamp(lit("2024-01-01 00:00:00"))),
+      Seq("ts"), $"cents", Seq(50)).collect().toSeq
+    assert(tsGrouped.size == 1 &&
+      tsGrouped.head.getLong(2) ==
+        Distributions.discPercentiles(li, Nil, $"cents", Seq(50))
+          .collect().head.getLong(1))
+    // a NON-NUMERIC measure fails loudly (no monotone long key exists
+    // to bucket on) instead of silently mis-bucketing
+    val mEx = intercept[IllegalArgumentException] {
       Distributions.discPercentilesBucketed(
-        li.withColumn("ts", current_timestamp()),
-        Seq("ts"), $"cents", Seq(50))
+        li.withColumn("s", $"l_returnflag"), groups, $"s", Seq(50))
     }
+    assert(mEx.getMessage.contains("discPercentiles"))
+    // fractional measures bucket on a derived long key but rank and
+    // return the ORIGINAL double — no silent truncation (values below
+    // 1.0 all share derived key 0 yet still rank exactly)
+    val fracs = Seq(("a", 0.13), ("a", 0.11), ("a", 0.92), ("a", 0.57),
+      ("b", 1.5), ("b", -2.25), ("b", 0.75)).toDF("g", "v")
+    val fFr = Distributions.discPercentiles(fracs, Seq("g"), $"v",
+        Seq(25, 50, 100)).orderBy($"g").collect().toSeq
+    val bFr = Distributions.discPercentilesBucketed(fracs, Seq("g"), $"v",
+        Seq(25, 50, 100), buckets = 4).orderBy($"g").collect().toSeq
+    assert(bFr == fFr && fFr.head.getDouble(2) == 0.11)
+    // NULL group values group together (matching the window form's
+    // partitionBy semantics) instead of being rejected
+    val nullG = Seq((Some("x"), 1L), (None, 5L), (None, 7L), (Some("x"), 3L))
+      .toDF("g", "v")
+    val fNg = Distributions.discPercentiles(nullG, Seq("g"), $"v",
+      Seq(50, 100)).orderBy($"g").collect().toSeq
+    val bNg = Distributions.discPercentilesBucketed(nullG, Seq("g"), $"v",
+      Seq(50, 100), buckets = 2).orderBy($"g").collect().toSeq
+    assert(bNg == fNg && bNg.exists(_.isNullAt(0)))
     // null measures are excluded on BOTH forms (standard SQL
     // percentile semantics), not an NPE on the bucketed driver pass
     val withNulls = Seq(("g", Some(1L)), ("g", None), ("g", Some(3L)),
