@@ -52,14 +52,31 @@ object Geo {
       lit(")"))
   }
 
-  /** Parse `POLYGON ((x y, x y, ...))` outer-ring WKT into parallel
-    * coordinate arrays (driver-side; polygons are dimension data). */
-  def parseWktPolygonRing(wkt: String): (Array[Double], Array[Double]) = {
-    val inner = wkt.trim
-      .replaceFirst("(?i)^POLYGON\\s*\\(\\(", "")
-      .replaceFirst("\\)\\).*$", "")
-    val pts = inner.split(",").map(_.trim.split("\\s+"))
-    (pts.map(_(0).toDouble), pts.map(_(1).toDouble))
+  /** Parse `POLYGON ((x y, ...))` outer-ring WKT into parallel
+    * coordinate arrays (driver-side; polygons are dimension data).
+    * Single-ring view — holes and multipolygon parts need
+    * [[parseWktRings]]. */
+  def parseWktPolygonRing(wkt: String): (Array[Double], Array[Double]) =
+    parseWktRings(wkt).head
+
+  /** Parse POLYGON or MULTIPOLYGON WKT into ALL of its rings (outer
+    * rings, interior hole rings, and every multipolygon part's rings,
+    * in textual order). Rings are exactly the innermost parenthesis
+    * groups in both WKT forms, so one extraction handles
+    * `POLYGON ((outer), (hole))` and
+    * `MULTIPOLYGON (((outer), (hole)), ((outer2)))` uniformly —
+    * even-odd containment ([[pointInRings]]) needs no ring roles. */
+  def parseWktRings(wkt: String): Array[(Array[Double], Array[Double])] = {
+    val t = wkt.trim
+    require(t.toUpperCase.startsWith("POLYGON") ||
+      t.toUpperCase.startsWith("MULTIPOLYGON"),
+      s"expected POLYGON/MULTIPOLYGON WKT: ${t.take(40)}")
+    val rings = "\\(([^()]+)\\)".r.findAllMatchIn(t).map { m =>
+      val pts = m.group(1).split(",").map(_.trim.split("\\s+"))
+      (pts.map(_(0).toDouble), pts.map(_(1).toDouble))
+    }.toArray
+    require(rings.nonEmpty, s"no rings in WKT: ${t.take(40)}")
+    rings
   }
 
   /** Even-odd ray casting on a closed ring; boundary-inclusive on
@@ -80,17 +97,44 @@ object Geo {
     inside
   }
 
+  /** Even-odd containment across ALL rings of one region: crossing
+    * parity XORs over rings, so holes carve out and disjoint
+    * multipolygon parts add in, independent of ring orientation. */
+  def pointInRings(lon: Double, lat: Double,
+                   rings: Array[(Array[Double], Array[Double])]): Boolean =
+    rings.foldLeft(false) { case (acc, (xs, ys)) =>
+      acc ^ pointInRing(lon, lat, xs, ys)
+    }
+
   /** J12 — spatial join: assign each point row the region_id of the
-    * first polygon containing it (left join semantics: no match →
-    * null). `polygons` must be small — it is collected and broadcast
-    * inside a codegen'd predicate; the point side never shuffles. */
+    * first region (POLYGON or MULTIPOLYGON WKT, holes included)
+    * containing it (left join semantics: no match → null). `polygons`
+    * must be small — every ring rides into a codegen'd
+    * [[graft.functions.PointRegionIndex]] kernel as flat primitive
+    * reference arrays; the point side never shuffles and stays inside
+    * WholeStageCodegen. */
   def assignRegion(points: DataFrame, lonCol: String, latCol: String,
                    polygons: Seq[(String, String)]): DataFrame = {
+    import graft.functions.GeoKernels
+    val idx = GeoKernels.buildIndex(
+      polygons.map { case (rid, wkt) => (rid, parseWktRings(wkt)) })
+    val g = GeoKernels.region_index(
+      col(lonCol).cast("double"), col(latCol).cast("double"), idx)
+    // get() is 0-based and yields NULL on -1 (no containing region) —
+    // the left-join-no-match convention, without an ANSI element_at trap
+    points.withColumn("region_id", get(typedLit(idx.ids.toSeq), g))
+  }
+
+  /** The boxed-UDF twin of [[assignRegion]] — kept as the
+    * CodegenParitySpec oracle for the [[graft.functions.GeoKernels]]
+    * kernel (same first-match and even-odd multi-ring semantics). */
+  def assignRegionUdf(points: DataFrame, lonCol: String, latCol: String,
+                      polygons: Seq[(String, String)]): DataFrame = {
     val parsed = polygons.map { case (rid, wkt) =>
-      val (xs, ys) = parseWktPolygonRing(wkt); (rid, xs, ys) }
+      (rid, parseWktRings(wkt)) }
     val pip = udf((lon: Double, lat: Double) =>
       parsed.collectFirst {
-        case (rid, xs, ys) if pointInRing(lon, lat, xs, ys) => rid
+        case (rid, rings) if pointInRings(lon, lat, rings) => rid
       }.orNull)
     points.withColumn("region_id", pip(col(lonCol), col(latCol)))
   }

@@ -327,21 +327,34 @@ object SystemShapes {
             |    'name':'VARCHAR','notnull':'VARCHAR'})
             |GROUP BY relname ORDER BY relname""".stripMargin))
 
-  /** S13 — deterministic GeoJSON FeatureCollection fixture (the three
-    * region polygons as Polygon features), materialized to tmp on
-    * first use; read by [[graft.io.GeoJson]] in q35. */
+  /** S13 — deterministic GeoJSON FeatureCollection fixture,
+    * materialized to tmp on first use; read by [[graft.io.GeoJson]] in
+    * q35. Five Polygon regions (three rectangles, a convex triangle, a
+    * concave dart), plus — since round 8 — a Polygon WITH AN INTERIOR
+    * RING ("Donut": points in the hole fall through to Unassigned) and
+    * a MULTIPOLYGON of two disjoint islands ("Isles"), putting the
+    * full ring/part generality of the GeoJSON reader and the even-odd
+    * kernel on the q35 oracle path. */
   private[graft] lazy val geoJsonFixturePath: String = {
     val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_regions.geojson")
-    def feature(rid: String, ring: String) =
+    def feature(rid: String, kind: String, coords: String) =
       s"""{"type": "Feature", "properties": {"region_id": "$rid"},
-         | "geometry": {"type": "Polygon", "coordinates": [[$ring]]}}""".stripMargin
+         | "geometry": {"type": "$kind", "coordinates": $coords}}""".stripMargin
+    def polygon(rid: String, rings: String*) =
+      feature(rid, "Polygon", rings.mkString("[[", "], [", "]]"))
     val content =
       s"""{"type": "FeatureCollection", "features": [
-         |${feature("AbuDhabi", "[54.0, 24.0], [54.5, 24.0], [54.5, 24.6], [54.0, 24.6], [54.0, 24.0]")},
-         |${feature("AlAin", "[55.5, 24.0], [56.0, 24.0], [56.0, 24.5], [55.5, 24.5], [55.5, 24.0]")},
-         |${feature("AlDhafra", "[52.5, 23.0], [54.0, 23.0], [54.0, 24.0], [52.5, 24.0], [52.5, 23.0]")},
-         |${feature("Central", "[54.6, 23.2], [55.3, 23.4], [55.0, 24.1], [54.6, 23.2]")},
-         |${feature("Dart", "[54.5, 24.2], [55.0, 24.4], [55.4, 24.2], [55.1, 24.6], [54.5, 24.2]")}
+         |${polygon("AbuDhabi", "[54.0, 24.0], [54.5, 24.0], [54.5, 24.6], [54.0, 24.6], [54.0, 24.0]")},
+         |${polygon("AlAin", "[55.5, 24.0], [56.0, 24.0], [56.0, 24.5], [55.5, 24.5], [55.5, 24.0]")},
+         |${polygon("AlDhafra", "[52.5, 23.0], [54.0, 23.0], [54.0, 24.0], [52.5, 24.0], [52.5, 23.0]")},
+         |${polygon("Central", "[54.6, 23.2], [55.3, 23.4], [55.0, 24.1], [54.6, 23.2]")},
+         |${polygon("Dart", "[54.5, 24.2], [55.0, 24.4], [55.4, 24.2], [55.1, 24.6], [54.5, 24.2]")},
+         |${polygon("Donut",
+             "[55.6, 23.1], [56.0, 23.1], [56.0, 23.9], [55.6, 23.9], [55.6, 23.1]",
+             "[55.7, 23.3], [55.9, 23.3], [55.9, 23.6], [55.7, 23.6], [55.7, 23.3]")},
+         |${feature("Isles", "MultiPolygon",
+             "[[[[54.1, 23.1], [54.4, 23.1], [54.4, 23.4], [54.1, 23.4], [54.1, 23.1]]], " +
+             "[[[54.6, 23.7], [54.9, 23.7], [54.9, 23.9], [54.6, 23.9], [54.6, 23.7]]]]")}
          |]}""".stripMargin
     materialize(p, content)
   }
@@ -399,7 +412,15 @@ object SystemShapes {
     * 105-residue lattice, `scripts/verify_q35_dart.py` re-runs the
     * proof) no reachable point lies on any edge, vertex, or the open
     * diagonal, so "strictly inside either triangle" equals the quad's
-    * even-odd interior. GeoSpec keeps the remaining edge cases. */
+    * even-odd interior. The sixth fixture ("Donut") is a rectangle
+    * with a rectangular INTERIOR RING: even-odd parity XORs the hole
+    * out, so its oracle twin is outer-box AND NOT hole-box (both
+    * half-open, same edge argument as the plain rectangles) and
+    * hole-interior points fall through to Unassigned. The seventh
+    * ("Isles") is a MULTIPOLYGON of two disjoint rectangles — oracle
+    * twin is the OR of the two half-open boxes — putting multi-part
+    * geometry on the hash-gated path. GeoSpec keeps the remaining
+    * edge cases. */
   val q35 = QueryDef(
     "q35_geo_region_assign",
     (s, dir) => {
@@ -441,6 +462,14 @@ object SystemShapes {
            |          OR (4*(lat_e1-244) + 2*(lon_e1-550) > 0
            |          AND -3*(lat_e1-242) - 4*(lon_e1-554) > 0
            |          AND -(lat_e1-246) + 2*(lon_e1-551) > 0) THEN 'Dart'
+           |         WHEN lon_e1 >= 556 AND lon_e1 < 560
+           |          AND lat_e1 >= 231 AND lat_e1 < 239
+           |          AND NOT (lon_e1 >= 557 AND lon_e1 < 559
+           |           AND lat_e1 >= 233 AND lat_e1 < 236) THEN 'Donut'
+           |         WHEN (lon_e1 >= 541 AND lon_e1 < 544
+           |           AND lat_e1 >= 231 AND lat_e1 < 234)
+           |          OR (lon_e1 >= 546 AND lon_e1 < 549
+           |           AND lat_e1 >= 237 AND lat_e1 < 239) THEN 'Isles'
            |         ELSE 'Unassigned' END AS region_id
            |  FROM pts)
            |SELECT region_id, CAST(count(*) AS BIGINT) AS n_stops,

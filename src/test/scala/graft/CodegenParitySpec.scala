@@ -125,6 +125,45 @@ class CodegenParitySpec extends AnyFunSuite {
     assert(generated == viaDots)
   }
 
+  private val parityRegions = Seq(
+    "donut" -> "POLYGON ((54.0 24.0, 55.0 24.0, 55.0 25.0, 54.0 25.0, 54.0 24.0), (54.3 24.3, 54.7 24.3, 54.7 24.7, 54.3 24.7, 54.3 24.3))",
+    "isles" -> "MULTIPOLYGON (((52.0 23.0, 53.0 23.0, 53.0 23.5, 52.0 23.5, 52.0 23.0)), ((55.5 24.5, 56.0 24.5, 56.0 25.0, 55.5 25.0, 55.5 24.5)))",
+    "tri"   -> "POLYGON ((53.0 24.0, 54.0 24.2, 53.5 25.0, 53.0 24.0))")
+
+  private def runPointRegion(): Seq[(Long, String)] =
+    Tables.customer(spark, SparkTestBase.sf).where($"c_custkey" < 400)
+      .select($"c_custkey",
+        (lit(52.0) + ($"c_custkey" % 41) * 0.1).as("lon"),
+        (lit(23.0) + ($"c_custkey" % 21) * 0.1).as("lat"))
+      .transform(graft.ops.Geo.assignRegion(_, "lon", "lat", parityRegions))
+      .select($"c_custkey", $"region_id")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+
+  test("PointRegionIndex: codegen == interpreted == boxed-UDF twin") {
+    val generated = withConfs(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(runPointRegion())
+    val interpreted = withConfs(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(runPointRegion())
+    assert(generated == interpreted)
+    assert(generated.nonEmpty)
+    // spread across regions AND the hole/no-match null branch
+    val byRegion = generated.groupBy(_._2)
+    assert(Seq("donut", "isles", "tri", null).forall(byRegion.contains),
+      s"fixture must hit every region + null, got ${byRegion.keySet}")
+    // the boxed-UDF twin (same rings, collectFirst) decides identically
+    val viaUdf = Tables.customer(spark, SparkTestBase.sf)
+      .where($"c_custkey" < 400)
+      .select($"c_custkey",
+        (lit(52.0) + ($"c_custkey" % 41) * 0.1).as("lon"),
+        (lit(23.0) + ($"c_custkey" % 21) * 0.1).as("lat"))
+      .transform(graft.ops.Geo.assignRegionUdf(_, "lon", "lat", parityRegions))
+      .select($"c_custkey", $"region_id")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(generated == viaUdf)
+  }
+
   private def runNgramHashes(): Seq[(Long, Seq[Long])] =
     Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 30)
       .select($"doc_id", graft.functions.NgramHashes.ngram_hashes(
