@@ -166,6 +166,83 @@ object Multimodal {
       .toDF()
   }
 
+  /** Gray level of the deterministic synthetic image: pixel (x, y) of
+    * doc `id`'s 9×8 test pattern. Families (id % 50) share a base
+    * gradient (same dHash backbone); a sparse per-id perturbation
+    * ((id·31 + x·17 + y·7) mod 97 < 2 → +60) flips a few comparisons,
+    * so same-family images are near-dups at small Hamming distance.
+    * Pure integer arithmetic — the q80 DuckDB oracle replays it
+    * term for term. */
+  private[graft] def synthGray(id: Long, x: Int, y: Int): Int = {
+    val base = 7L * (3L + id % 50L) * x + 29L * y + 5L * x * y
+    val bump = if (Math.floorMod(id * 31L + x * 17L + y * 7L, 97L) < 2L) 60L else 0L
+    Math.floorMod(base + bump, 256L).toInt
+  }
+
+  /** A REAL 9×8 24bpp bottom-up BMP whose gray levels are
+    * [[synthGray]] — every pixel BGR = (g, g, g), so channel-sum
+    * grayscale is 3g and every perceptual-hash comparison reduces to
+    * comparing g, which the SQL oracle recomputes from id alone. */
+  private[graft] def syntheticBmp(id: Long): Array[Byte] = {
+    def putLeInt(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    val w = 9; val h = 8
+    val rowStride = ((w * 3 + 3) / 4) * 4
+    val b = new Array[Byte](54 + rowStride * h)
+    b(0) = 'B'; b(1) = 'M'
+    putLeInt(b, 2, b.length)
+    putLeInt(b, 10, 54)
+    putLeInt(b, 14, 40)
+    putLeInt(b, 18, w)
+    putLeInt(b, 22, h)          // positive height: bottom-up storage
+    b(26) = 1
+    b(28) = 24                  // bits per pixel
+    putLeInt(b, 34, rowStride * h)
+    var yImg = 0
+    while (yImg < h) {
+      val fileRow = h - 1 - yImg
+      var x = 0
+      while (x < w) {
+        val g = synthGray(id, x, yImg).toByte
+        val o = 54 + fileRow * rowStride + x * 3
+        b(o) = g; b(o + 1) = g; b(o + 2) = g
+        x += 1
+      }
+      yImg += 1
+    }
+    b
+  }
+
+  /** Deterministic image fixture table: (media_id, payload) with a
+    * real decodable BMP per input id (see [[syntheticBmp]]). */
+  def syntheticImageTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticBmp(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** Image near-dup candidate pairs by perceptual dHash + Hamming
+    * banding: fingerprint once through the codegen'd
+    * [[graft.functions.PerceptualHash]] kernel (non-decodable
+    * payloads drop out as NULL), then reuse the SimHash
+    * block-permutation banding ([[Dedup.simhashCandidatesFromFp]]) —
+    * EXHAUSTIVE for hamming <= maxHamming < bands, one equi-join
+    * shuffle per band, never all-pairs. Output: (id_a, id_b,
+    * hamming). */
+  def imageNearDupPairs(media: DataFrame, idCol: String,
+                        payloadCol: String, bands: Int = 8,
+                        maxHamming: Int = 7): DataFrame = {
+    val fp = graft.core.Caching.eager(media.select(
+        col(idCol).cast("long").as("id"),
+        graft.functions.PerceptualHash.d_hash(col(payloadCol)).as("sh"))
+      .where(col("sh").isNotNull))
+    Dedup.simhashCandidatesFromFp(fp, bands, maxHamming)
+  }
+
   /** STUB feature hash: stands in for an embedding/perceptual hash. */
   private def featureHashStub(payload: Array[Byte]): Long = {
     var h = 0xCBF29CE484222325L

@@ -1251,7 +1251,88 @@ object LlmPipelines {
            |FROM kept WHERE doc_id = keep_id
            |ORDER BY doc_id""".stripMargin))
 
+  /** DuckDB replica of [[graft.llm.Multimodal.synthGray]] for pixel
+    * (x, y) of doc `id`'s synthetic 9×8 image — every coefficient
+    * folded to a literal so the oracle is pure integer arithmetic. */
+  private def q80Gray(x: Int, y: Int): String = {
+    val k = 17 * x + 7 * y
+    s"((${7 * x}*(3 + id % 50) + ${29 * y + 5 * x * y} + " +
+      s"(CASE WHEN (id*31 + $k) % 97 < 2 THEN 60 ELSE 0 END)) % 256)"
+  }
+
+  /** The q80 oracle, GENERATED: a CTE computes, per doc, the 64 dHash
+    * comparison bits (gray(x,y) > gray(x+1,y) on the 9×8 grid) and the
+    * 64 aHash gray samples (the 8×8 grid = the first eight columns,
+    * since NN maps 8→9 as sx = x·9/8 = x); the pair join then counts
+    * bit DISAGREEMENTS directly — Hamming distance without ever
+    * materializing the 64-bit hash, which sidesteps the bit-63 BIGINT
+    * overflow a SUM-of-powers-of-two encoding would hit. */
+  private def q80Oracle: String = {
+    val dhBits = (0 until 64).map { k =>
+      val x = k % 8; val y = k / 8
+      s"(${q80Gray(x, y)} > ${q80Gray(x + 1, y)}) AS db$k"
+    }.mkString(",\n    ")
+    val ahGrays = (0 until 64).map { k =>
+      val x = k % 8; val y = k / 8
+      s"${q80Gray(x, y)} AS g$k"
+    }.mkString(",\n    ")
+    val ahTotal = (0 until 64).map(k => s"g$k").mkString(" + ")
+    val dhHam = (0 until 64).map(k =>
+      s"CASE WHEN a.db$k <> b.db$k THEN 1 ELSE 0 END").mkString(" +\n      ")
+    val ahHam = (0 until 64).map(k =>
+      s"CASE WHEN (64*a.g$k > a.s) <> (64*b.g$k > b.s) THEN 1 ELSE 0 END")
+      .mkString(" +\n      ")
+    s"""WITH bits AS (
+       |  SELECT doc_id AS id,
+       |    $dhBits,
+       |    $ahGrays
+       |  FROM documents),
+       |tot AS (SELECT *, ($ahTotal) AS s FROM bits)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(($dhHam) AS INTEGER) AS dh_hamming,
+       |  CAST(($ahHam) AS INTEGER) AS ah_hamming
+       |FROM tot a JOIN tot b ON a.id < b.id
+       |WHERE ($dhHam) <= 7
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Image near-dup dedup by perceptual hash — the multimodal leg of
+    * the dedup mandate: REAL 24bpp BMP payloads (gray levels an
+    * integer function of doc_id, [[graft.llm.Multimodal.synthGray]])
+    * are fingerprinted through the codegen'd dHash/aHash kernel
+    * ([[graft.functions.PerceptualHash]]) and deduped with the SAME
+    * Hamming-banding infrastructure as SimHash text dedup — exhaustive
+    * for hamming <= 7 < 8 bands, one equi-join shuffle per band, never
+    * all-pairs (the oracle's a.id < b.id join is the n² shape this
+    * operator exists to avoid). Families (doc_id % 50) share a base
+    * gradient, so each family yields a near-dup clique at small
+    * Hamming distance; the sparse perturbation keeps pairs nonzero.
+    * Output: every pair at dHash Hamming <= 7 with both Hamming
+    * distances — the aHash distance rides along so both kernels sit on
+    * the hash-gated path. */
+  val q80 = QueryDef(
+    "q80_image_neardup",
+    (s, dir) => {
+      import graft.functions.PerceptualHash
+      val imgs = graft.llm.Multimodal.syntheticImageTable(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+      val fp = graft.core.Caching.eager(imgs.select(
+        col("media_id").as("id"),
+        PerceptualHash.d_hash(col("payload")).as("sh"),
+        PerceptualHash.a_hash(col("payload")).as("ah")))
+      Dedup.simhashCandidatesFromFp(fp.select(col("id"), col("sh")),
+          bands = 8, maxHamming = 7)
+        .join(fp.select(col("id").as("id_a"), col("ah").as("ah_a")), "id_a")
+        .join(fp.select(col("id").as("id_b"), col("ah").as("ah_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("dh_hamming"),
+          bit_count(col("ah_a").bitwiseXOR(col("ah_b")))
+            .cast("int").as("ah_hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(q80Oracle))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
-      q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79)
+      q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80)
 }

@@ -164,6 +164,37 @@ class CodegenParitySpec extends AnyFunSuite {
     assert(generated == viaUdf)
   }
 
+  private def runBmpHashes(): Seq[(Long, Option[Long], Option[Long])] =
+    Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 120)
+      .select($"doc_id")
+      .transform(graft.llm.Multimodal.syntheticImageTable(_, "doc_id"))
+      // one junk payload exercises the null branch under both modes
+      .union(Seq((999999L, "jpeg-shaped junk".getBytes))
+        .toDF("media_id", "payload"))
+      .select($"media_id",
+        graft.functions.PerceptualHash.d_hash($"payload").as("dh"),
+        graft.functions.PerceptualHash.a_hash($"payload").as("ah"))
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq.sortBy(_._1)
+
+  test("BmpHash64 (dHash/aHash): codegen == interpreted, incl. null branch") {
+    val generated = withConfs(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(runBmpHashes())
+    val interpreted = withConfs(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(runBmpHashes())
+    assert(generated == interpreted)
+    assert(generated.nonEmpty)
+    assert(generated.find(_._1 == 999999L).exists(r =>
+      r._2.isEmpty && r._3.isEmpty), "junk payload must hash to NULL")
+    // and both agree with the driver-side kernels
+    generated.filter(_._1 < 120).foreach { case (id, dh, ah) =>
+      val b = graft.llm.Multimodal.syntheticBmp(id)
+      assert(dh.contains(graft.functions.PerceptualHash.dhash64(b)))
+      assert(ah.contains(graft.functions.PerceptualHash.ahash64(b)))
+    }
+  }
+
   private def runNgramHashes(): Seq[(Long, Seq[Long])] =
     Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 30)
       .select($"doc_id", graft.functions.NgramHashes.ngram_hashes(

@@ -154,4 +154,89 @@ class MultimodalSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) =>
       assert(math.abs(g._4 - w._4) < 1e-9, s"avg_width ${g._1}") }
   }
+
+  test("perceptual hashes match a direct reference implementation") {
+    import graft.functions.PerceptualHash
+    // reference: recompute both hashes straight from synthGray —
+    // independent of the BMP builder AND the byte-walk kernel
+    def refDhash(id: Long): Long = {
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (Multimodal.synthGray(id, x, y) > Multimodal.synthGray(id, x + 1, y))
+          h |= 1L << (y * 8 + x)
+      h
+    }
+    def refAhash(id: Long): Long = {
+      val g = for (y <- 0 until 8; x <- 0 until 8)
+        yield Multimodal.synthGray(id, x, y)
+      val s = g.map(_.toLong).sum
+      var h = 0L
+      for (k <- 0 until 64) if (64L * g(k) > s) h |= 1L << k
+      h
+    }
+    (0L until 200L).foreach { id =>
+      val b = Multimodal.syntheticBmp(id)
+      assert(PerceptualHash.isHashable(b))
+      assert(PerceptualHash.dhash64(b) == refDhash(id), s"dhash id=$id")
+      assert(PerceptualHash.ahash64(b) == refAhash(id), s"ahash id=$id")
+    }
+    // bit 63 is reachable (the BIGINT-overflow corner the oracle's
+    // disagreement-count form exists to avoid)
+    assert((0L until 500L).exists(id => refDhash(id) < 0L),
+      "fixture population should exercise the sign bit")
+  }
+
+  test("perceptual hashes are invariant under NN 2x upscale and brightness shift") {
+    import graft.functions.PerceptualHash
+    (1L to 40L).foreach { id =>
+      val b = Multimodal.syntheticBmp(id)
+      // 2x NN upscale: the downsample grid lands on the same source
+      // pixels, so both hashes are bit-identical
+      val up = Multimodal.resizeBmpBytes(b, 18, 16).get
+      assert(PerceptualHash.dhash64(up) == PerceptualHash.dhash64(b), s"id=$id")
+      assert(PerceptualHash.ahash64(up) == PerceptualHash.ahash64(b), s"id=$id")
+      // uniform brightness lift (no wrap): every comparison unchanged
+      val lifted = b.clone()
+      var o = 54
+      while (o < lifted.length) {
+        lifted(o) = math.min(255, (lifted(o) & 0xFF) + 1).toByte; o += 1
+      }
+      if (!(54 until b.length).exists(i => (b(i) & 0xFF) == 255)) {
+        assert(PerceptualHash.dhash64(lifted) == PerceptualHash.dhash64(b))
+        assert(PerceptualHash.ahash64(lifted) == PerceptualHash.ahash64(b))
+      }
+    }
+  }
+
+  test("image near-dup banding: full recall vs brute force, perturbed images close") {
+    import graft.functions.PerceptualHash
+    val ids = (0L until 300L).toSeq
+    val imgs = ids.toDF("doc_id")
+      .transform(Multimodal.syntheticImageTable(_, "doc_id"))
+    val got = Multimodal.imageNearDupPairs(imgs, "media_id", "payload",
+        bands = 8, maxHamming = 7)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    // brute force over the driver-side hashes
+    val hashes = ids.map(id =>
+      id -> PerceptualHash.dhash64(Multimodal.syntheticBmp(id))).toMap
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if h <= 7
+    } yield (a, b, h)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "fixture families must produce near-dup pairs")
+    // same-family perturbed twins sit close; a cross-family pair is
+    // typically far — the signal the perceptual hash exists to carry
+    val sameFam = want.filter { case (a, b, _) => a % 50 == b % 50 }
+    assert(sameFam.size >= want.size / 2,
+      s"family cliques should dominate: ${sameFam.size}/${want.size}")
+    // undecodable payloads fingerprint to NULL and drop out
+    val withJunk = imgs.union(Seq((9999L, "not a bmp".getBytes))
+      .toDF("media_id", "payload"))
+    val gotJunk = Multimodal.imageNearDupPairs(withJunk, "media_id",
+        "payload", bands = 8, maxHamming = 7)
+      .where($"id_a" === 9999L || $"id_b" === 9999L).count()
+    assert(gotJunk == 0L)
+  }
 }
