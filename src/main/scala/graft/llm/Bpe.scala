@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BPE merge training (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units" §3.2) — the
+  * iterative continuation of [[Spans.vocabulary]]'s counting pass: in
+  * each round, count adjacent symbol-pair frequencies across the word
+  * table (weighted by word occurrence count), merge the most frequent
+  * pair everywhere, record it. The merge list IS the tokenizer model.
+  *
+  * Scale shape (100 TB): training runs over the DISTINCT-WORD table
+  * (one explode + hash-agg over the corpus builds it — vocabulary
+  * grows sub-linearly in corpus size), so each round is
+  *  1. one map-side pair explode + hash agg over the word table,
+  *  2. a `limit(1)` TakeOrdered collect — ONE row to the driver,
+  *  3. one codegen'd rewrite pass
+  *     ([[graft.functions.BpeKernels.merge_pair]]) over the word
+  *     table, `localCheckpoint`ed to cut the growing lineage —
+  *     the same one-job-per-round discipline as
+  *     [[Dedup.connectedComponents]]'s pointer jumping.
+  * Nothing per-round scales with the CORPUS — only with the
+  * vocabulary, which must fit the cluster anyway to train any
+  * tokenizer on it.
+  *
+  * Determinism: ties on pair count break by (left, right) symbol
+  * order — byte order on both engines for the alnum-filtered
+  * alphabet — so the merge SEQUENCE is reproducible anywhere; the
+  * q81 oracle replays all rounds in DuckDB (bounded unrolling) and
+  * hash-gates the full sequence.
+  */
+object Bpe {
+
+  /** One trained merge: rank (1-based round), the pair, its
+    * concatenation, and the pair's weighted frequency when chosen. */
+  final case class Merge(merge_rank: Int, lhs: String, rhs: String,
+                         merged: String, pair_count: Long)
+
+  /** The word table BPE trains on: occurrence-counted alnum tokens,
+    * each split into single-character symbols. The `[a-z0-9]+` filter
+    * keeps the symbol alphabet ASCII so the space-joined DuckDB
+    * oracle twin and byte-order tie-breaks are exact. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(Spans.nonEmptyTokens(col(textCol))).as("w"))
+      .where(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))))
+
+  /** Train `rounds` merges; returns them as a DataFrame ordered by
+    * rank (row count = rounds, or fewer if the vocabulary exhausts —
+    * no mergeable pair remains). */
+  def trainMerges(docs: DataFrame, textCol: String,
+                  rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10000,
+      s"rounds out of range: $rounds")
+    val spark = docs.sparkSession
+    var words = wordCounts(docs, textCol)
+      .select(col("cnt"), col("syms")).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      // pair counts: map-side explode + hash agg over the word table;
+      // the argmax is a TakeOrdered over (count desc, pair) — one row
+      // ships to the driver per round
+      val top = words
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+                        element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        val c = top(0).getLong(2)
+        merges += Merge(round, l, r, l + r, c)
+        val old = words
+        words = words
+          .withColumn("syms",
+            graft.functions.BpeKernels.merge_pair(col("syms"), l, r))
+          .localCheckpoint()
+        old.unpersist()
+        round += 1
+      }
+    }
+    mergesToDf(spark, merges.toSeq)
+  }
+
+  private def mergesToDf(spark: SparkSession,
+                         merges: Seq[Merge]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("merge_rank", IntegerType, nullable = false),
+      StructField("lhs", StringType, nullable = false),
+      StructField("rhs", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.map(m =>
+        Row(m.merge_rank, m.lhs, m.rhs, m.merged, m.pair_count)), 1),
+      schema)
+  }
+
+  /** Apply a trained merge sequence to a token column — the ENCODE
+    * side of the tokenizer: split to characters, then replay every
+    * merge in rank order through the codegen'd rewrite kernel. */
+  def encodeTokens(docs: DataFrame, tokenCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val chars = transform(sequence(lit(1), length(col(tokenCol))),
+      i => col(tokenCol).substr(i, lit(1)))
+    val encoded = merges.foldLeft(chars) { case (syms, (l, r)) =>
+      graft.functions.BpeKernels.merge_pair(syms, l, r)
+    }
+    docs.withColumn("bpe_symbols", encoded)
+  }
+}

@@ -29,7 +29,7 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   */
 object Spans {
 
-  private def nonEmptyTokens(text: Column): Column =
+  private[llm] def nonEmptyTokens(text: Column): Column =
     coalesce(filter(TextStats.tokens(text), w => length(w) > 0),
       lit(Array.empty[String]).cast(ArrayType(StringType)))
 

@@ -1332,7 +1332,67 @@ object LlmPipelines {
     },
     Some(q80Oracle))
 
+  /** How many BPE merge rounds q81 trains (and its oracle unrolls). */
+  private val BpeRounds = 10
+
+  /** The q81 oracle, GENERATED: DuckDB replays every training round by
+    * BOUNDED UNROLLING — round i recounts adjacent pairs from round
+    * i-1's word table (symbols as a space-joined, space-padded string;
+    * the alphabet is alnum-filtered so the separator cannot collide),
+    * picks the (count desc, pair) argmax, and rewrites via replace(),
+    * whose left-to-right non-overlapping scan is exactly the kernel's
+    * greedy merge. An iterative algorithm has no fixed-point SQL form,
+    * but a FIXED ROUND COUNT does — the same move as q80's generated
+    * bit table. */
+  private def q81Oracle: String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |    ' ' || array_to_string(list_transform(
+        |      generate_series(1, length(w)), i -> substr(w, i, 1)), ' ')
+        |      || ' ' AS s
+        |  FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> regexp_matches(x, '^[a-z0-9]+$'))) AS w
+        |    FROM documents)
+        |  GROUP BY w)""".stripMargin
+    val rounds = (1 to BpeRounds).map { i =>
+      s"""y$i AS (SELECT cnt, string_split(trim(s), ' ') AS sym FROM w${i - 1}),
+         |p$i AS (
+         |  SELECT sym[j] AS l, sym[j + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM y$i, UNNEST(generate_series(1, len(sym) - 1)) AS u(j)
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |w$i AS (
+         |  SELECT cnt, replace(s, ' '||l||' '||r||' ', ' '||l||r||' ') AS s
+         |  FROM w${i - 1}, t$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeRounds).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS merge_rank, l AS lhs, r AS rhs, " +
+        s"l||r AS merged, c AS pair_count FROM t$i"
+    }.mkString("\n  UNION ALL ")
+    s"WITH $w0,\n$rounds\nSELECT * FROM (\n  $union\n) ORDER BY merge_rank"
+  }
+
+  /** BPE merge training ([[graft.llm.Bpe]], Sennrich et al. 2016) —
+    * the iterative tokenizer-training continuation of q74's vocabulary
+    * counting pass: $BpeRounds rounds of pair-count → argmax → rewrite
+    * over the distinct-word table, one TakeOrdered row to the driver
+    * and one codegen'd merge pass per round. The oracle hash-gates the
+    * ENTIRE merge sequence (pairs, concatenations, and weighted
+    * counts), so a tie-break, greedy-overlap, or rewrite divergence in
+    * any round cascades into a mismatch. */
+  val q81 = QueryDef(
+    "q81_bpe_merges",
+    (s, dir) =>
+      graft.llm.Bpe.trainMerges(Tables.documents(s, dir), "text",
+          rounds = BpeRounds)
+        .orderBy(col("merge_rank")),
+    Some(q81Oracle))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
-      q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80)
+      q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
+      q81)
 }

@@ -151,4 +151,74 @@ class SpansSpec extends AnyFunSuite {
     // tf: a=3, b=3, c=3, d=1 → top-3 is the tie broken by token asc
     assert(out == Seq(("a", 3L, 2L), ("b", 3L, 2L), ("c", 3L, 1L)))
   }
+
+  test("BPE merge training matches a direct reference implementation") {
+    import graft.llm.Bpe
+    // reference: the textbook algorithm, straight from the paper's
+    // pseudocode — dict of symbol tuples, full recount every round
+    def refBpe(wordCnt: Map[String, Long], rounds: Int)
+        : Seq[(String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        wordCnt.map { case (w, c) => w.map(_.toString).toVector -> c }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var i = 0
+      var done = false
+      while (i < rounds && !done) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.sliding(2).foreach {
+            case Seq(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c
+            case _ =>
+          }
+        }
+        if (pairs.isEmpty) done = true
+        else {
+          val ((l, r), c) = pairs.minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((l, r, c))
+          vocab = vocab.groupMapReduce { case (syms, _) =>
+            val buf = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+                buf += l + r; j += 2
+              } else { buf += syms(j); j += 1 }
+            }
+            buf.result()
+          }(_._2)(_ + _)
+          i += 1
+        }
+      }
+      out.toSeq
+    }
+    val wordCnt = docs
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .where($"w".rlike("^[a-z0-9]+$"))
+      .groupBy($"w").count()
+      .as[(String, Long)].collect().toMap
+    val want = refBpe(wordCnt, 10)
+    assert(want.size == 10, "fixture corpus must sustain 10 rounds")
+    val got = Bpe.trainMerges(docs, "text", rounds = 10)
+      .select($"lhs", $"rhs", $"pair_count")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+    // monotone non-increasing? NOT guaranteed by BPE (merges create new
+    // pairs) — but every chosen count must be positive
+    assert(got.forall(_._3 > 0))
+  }
+
+  test("BPE merge kernel: greedy left-to-right, overlaps, exhaustion") {
+    import graft.llm.Bpe
+    // greedy overlap: "aaa" with merge (a,a) -> [aa, a]
+    val enc = Bpe.encodeTokens(Seq("aaa", "abab", "ba").toDF("tok"),
+        "tok", Seq(("a", "a"), ("a", "b")))
+      .select($"bpe_symbols").as[Seq[String]].collect().toSeq
+    assert(enc(0) == Seq("aa", "a"))
+    assert(enc(1) == Seq("ab", "ab"))
+    assert(enc(2) == Seq("b", "a"))
+    // a corpus that exhausts before the requested rounds stops early
+    val tiny = Seq("ab ab").toDF("text")
+    val merges = Bpe.trainMerges(tiny, "text", rounds = 10)
+      .select($"merge_rank", $"merged").as[(Int, String)].collect().toSeq
+    assert(merges == Seq((1, "ab")), s"got $merges")
+  }
 }
