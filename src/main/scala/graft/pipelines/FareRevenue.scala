@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * pipeline implements the DOCUMENTED schema — the missing product
   * table a reference user would expect:
   *
-  *   fare grain (orders) + inspection grain (order lines), each
-  *   aggregated at month × region ⊕ Overall in one GROUPING SETS pass
-  *   (A8/A9) → left-join merge (J3, zero-filled) → days-in-month fold
+  *   fare grain (orders) + inspection grain (order lines), tag-unioned
+  *   with mutually-zeroed metrics into ONE month × region ⊕ Overall
+  *   GROUPING SETS pass (A8/A9; zero fills ARE the left-join
+  *   semantics, since every trip's keys exist among the fare rows)
+  *   → days-in-month fold
   *   for average_daily_revenue (F13) → guarded round-4 ratios
   *   (A16/F25) → round-2 money columns → literal audit columns (F15,
   *   the reference family hardcodes author+timestamp — mirrored).
@@ -35,27 +37,23 @@ object FareRevenue {
     val region = broadcast(Tables.region(s, dir)
       .select(col("r_regionkey"), col("r_name").as("region_id")))
 
-    // ONE projected scan of orders feeds both grains (fares and the
-    // inspection join) — eagerly cached per the shared-subplan rule.
-    // Fares aggregate in exact integer CENTS (o_totalprice is
+    // the projected orders subplan feeds both grains (fare rows and
+    // the inspection key join). NOT cached (round-8 change, same
+    // rationale as q55): a column-pruned scan + broadcast dim join
+    // recomputed inside one job beats Caching.eager's serial barrier
+    // build. Fares aggregate in exact integer CENTS (o_totalprice is
     // 2-decimal money; double sums differ across engines in the last
     // bit by summation order, flipping round-half boundaries — the
     // same tie class q51 hit on minute-sums).
-    val orders = graft.core.Caching.eager(Tables.orders(s, dir)
-      .join(region, col("o_custkey") % 5 === col("r_regionkey"))
-      .select(col("o_orderkey"),
+    // region_id derives from o_custkey AFTER the union (one broadcast
+    // join on the unioned stream instead of one per branch; the
+    // orderkey join's orders side stays a plain scan, so its smaller
+    // size estimate makes it the build side)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
         date_format(col("o_orderdate"), "yyyy-MM").as("t_date"),
-        col("region_id"),
         round(col("o_totalprice") * 100).cast("long").as("fare_cents"),
-        dayofmonth(last_day(col("o_orderdate"))).as("dim")))
-
-    val fareAgg = Rollups.withOverall(orders,
-      keepCols = Seq(col("t_date")), overallCol = "region_id",
-      overallLabel = "Overall",
-      aggs = Seq(
-        sum(col("fare_cents")).as("fare_cents"),
-        count(lit(1)).as("passenger_num"),
-        max(col("dim")).as("days_in_month")))
+        dayofmonth(last_day(col("o_orderdate"))).as("dim"))
 
     // Two-phase distinct (the ops/Skew shape, exact here): each order
     // belongs to exactly ONE (month, region) — region derives from
@@ -68,21 +66,47 @@ object FareRevenue {
     // per-trip table.
     val perTrip = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_returnflag"))
-      .join(orders.select(col("o_orderkey"), col("t_date"), col("region_id")),
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("t_date")),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("t_date"), col("region_id"), col("l_orderkey"))
+      // o_custkey (the region key) and t_date are functions of the
+      // trip, so adding them to the per-trip keys changes nothing
+      .groupBy(col("t_date"), col("o_custkey"), col("l_orderkey"))
       .agg(
         sum(when(col("l_returnflag") =!= "N", 1L).otherwise(0L)).as("insp_legs"),
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("evade_legs"),
         count(lit(1)).as("legs"))
-    val inspAgg = Rollups.withOverall(perTrip,
+
+    // TAGGED UNION, ONE GROUPING SETS PASS (round-8 restructure): fare
+    // rows (one per order) and per-trip inspection rows carry
+    // mutually-zeroed metric columns, so a single Expand + hash agg
+    // produces BOTH metric families at BOTH grains — replacing the
+    // former two withOverall aggregations meeting in a broadcast join.
+    // Zero fills reproduce the old LEFT join exactly: every per-trip
+    // key combination exists among the fare rows (a trip's order IS a
+    // fare row). The Expand row volume is unchanged (both inputs were
+    // already expanded); one exchange and the join stage disappear.
+    val fareRows = orders.select(col("t_date"), col("o_custkey"),
+      col("fare_cents"), lit(1L).as("pax"), col("dim"),
+      lit(0L).as("insp_legs"), lit(0L).as("evade_legs"),
+      lit(0L).as("insp_trip"), lit(0L).as("trip_n"), lit(0L).as("legs"))
+    val tripRows = perTrip.select(col("t_date"), col("o_custkey"),
+      lit(0L).as("fare_cents"), lit(0L).as("pax"), lit(0).as("dim"),
+      col("insp_legs"), col("evade_legs"),
+      when(col("insp_legs") > 0, 1L).otherwise(0L).as("insp_trip"),
+      lit(1L).as("trip_n"), col("legs"))
+
+    val merged = Rollups.withOverall(fareRows.union(tripRows)
+        .join(region, col("o_custkey") % 5 === col("r_regionkey")),
       keepCols = Seq(col("t_date")), overallCol = "region_id",
       overallLabel = "Overall",
       aggs = Seq(
+        sum(col("fare_cents")).as("fare_cents"),
+        sum(col("pax")).as("passenger_num"),
+        max(col("dim")).as("days_in_month"),
         sum(col("insp_legs")).as("passengers_inspection_num"),
         sum(col("evade_legs")).as("fare_evasion_passenger_num"),
-        sum(when(col("insp_legs") > 0, 1L).otherwise(0L)).as("inspected_trips"),
-        count(lit(1)).as("total_scheduled_trips"),
+        sum(col("insp_trip")).as("inspected_trips"),
+        sum(col("trip_n")).as("total_scheduled_trips"),
         sum(col("insp_legs")).as("actual_inspections_num"),
         sum(col("legs")).as("planned_inspections_num")))
 
@@ -94,10 +118,7 @@ object FareRevenue {
       when(den > 0, Cleaning.roundHalfUpRatio(num * 10000L, den, 4))
         .otherwise(0.0)
 
-    // both sides are post-aggregation smalls (months × regions rows);
-    // the static planner sees no stats, so hint the broadcast rather
-    // than rely on AQE's runtime conversion
-    fareAgg.join(broadcast(inspAgg), Seq("t_date", "region_id"), "left")
+    merged
       .select(
         col("t_date"), lit("month").as("date_type"), col("region_id"),
         round(col("fare_cents").cast("double") / 100.0, 2).as("fare_revenue"),

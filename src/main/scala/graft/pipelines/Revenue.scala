@@ -57,43 +57,62 @@ object Revenue {
     val region = broadcast(Tables.region(s, dir)
       .select(col("r_regionkey"), col("r_name").as("region_id")))
 
-    // ONE projected orders scan feeds both grains (fares and the
-    // fines join) — eagerly cached per the shared-subplan rule.
-    val orders = graft.core.Caching.eager(Tables.orders(s, dir)
-      .join(region, col("o_custkey") % 5 === col("r_regionkey"))
-      .select(col("o_orderkey"),
+    // the projected orders subplan appears twice below (fare rows +
+    // the fine-leg key join). NOT cached (round-8 change): the
+    // projection is a column-pruned scan — both occurrences run inside
+    // ONE job, while Caching.eager's build is a SERIAL barrier job
+    // (measured 0.37 s of q55's 1.8 s at sf0.1) that also forces
+    // downstream stages onto the cache's (single) partitioning.
+    // region_id / service_type derive from carried order attributes
+    // (o_custkey, priority) AFTER the union, so the region broadcast
+    // join happens ONCE on the unioned stream instead of once per
+    // branch — and the orderkey join's orders side stays a plain
+    // scan whose (smaller) size estimate makes it the build side.
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
         date_format(col("o_orderdate"), "yyyy-MM").as("t_date"),
-        col("region_id"),
-        Cleaning.serviceType(col("region_id"),
-          when(col("o_orderpriority") === "1-URGENT", "Link")
-            .when(col("o_orderpriority") === "2-HIGH", "Regional")
-            .otherwise("Local")).as("service_type"),
-        round(col("o_totalprice") * 100).cast("long").as("fare_cents")))
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("fare_cents"))
 
-    val fareAgg = orders
-      .groupBy(col("t_date"), col("region_id"), col("service_type"))
-      .agg(sum(col("fare_cents")).as("fare_cents"),
-           count(lit(1)).as("passenger_num"))
-
-    val finesAgg = Tables.lineitem(s, dir)
+    // TAGGED UNION, ONE AGGREGATION (round-8 restructure, the q42/J5
+    // conditional-agg trick): fare rows (one per order) and fine rows
+    // (one per inspected leg) carry mutually-zeroed metric columns, so
+    // a single hash agg on the grain keys replaces the former
+    // two-aggregations-meeting-in-a-join plan — one exchange and no
+    // post-agg join stage. Zero-filled metrics reproduce the old LEFT
+    // join exactly: a leg's keys always exist among the fare rows (its
+    // order IS a fare row), so no group appears or disappears.
+    val fareRows = orders.select(
+      col("o_custkey"), col("t_date"), col("prio"),
+      col("fare_cents"), lit(1L).as("pax"),
+      lit(0L).as("fine_n"), lit(0L).as("fine_cents"), lit(0L).as("evade_n"))
+    val fineRows = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
         round(col("l_quantity")).cast("long").as("qty"))
-      .join(orders.select(col("o_orderkey"), col("t_date"),
-          col("region_id"), col("service_type")),
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+          col("t_date"), col("prio")),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("t_date"), col("region_id"), col("service_type"))
-      .agg(
-        sum(when(col("l_returnflag") === "R" && col("l_linestatus") === "F", 1L)
-          .otherwise(0L)).as("passenger_fines_issued_num"),
-        sum(when(col("l_returnflag") === "R" && col("l_linestatus") === "F",
-          col("qty") * 1000L).otherwise(0L)).as("fine_cents"),
-        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
-          .as("fare_evasion_passenger_num"))
+      .select(col("o_custkey"), col("t_date"), col("prio"),
+        lit(0L).as("fare_cents"), lit(0L).as("pax"),
+        when(col("l_returnflag") === "R" && col("l_linestatus") === "F", 1L)
+          .otherwise(0L).as("fine_n"),
+        when(col("l_returnflag") === "R" && col("l_linestatus") === "F",
+          col("qty") * 1000L).otherwise(0L).as("fine_cents"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("evade_n"))
 
-    // post-aggregation smalls (months × regions × 3 labels): hint the
-    // broadcast — the static planner has no stats here
-    fareAgg.join(broadcast(finesAgg),
-        Seq("t_date", "region_id", "service_type"), "left")
+    fareRows.union(fineRows)
+      .join(region, col("o_custkey") % 5 === col("r_regionkey"))
+      .withColumn("service_type",
+        Cleaning.serviceType(col("region_id"),
+          when(col("prio") === "1-URGENT", "Link")
+            .when(col("prio") === "2-HIGH", "Regional")
+            .otherwise("Local")))
+      .groupBy(col("t_date"), col("region_id"), col("service_type"))
+      .agg(sum(col("fare_cents")).as("fare_cents"),
+        sum(col("pax")).as("passenger_num"),
+        sum(col("fine_n")).as("passenger_fines_issued_num"),
+        sum(col("fine_cents")).as("fine_cents"),
+        sum(col("evade_n")).as("fare_evasion_passenger_num"))
       .select(Seq(
         col("t_date"), lit("month").as("date_type"),
         col("region_id"), col("service_type"),
@@ -131,11 +150,13 @@ object Revenue {
       lit("Student"), lit("T-Purse Annonymous"), lit("Monthly Pass"),
       lit("Weekly Pass"))
 
+    // region joins AFTER the orderkey join (round-8, same rationale as
+    // q55/q47): the orders side stays a plain two-column scan whose
+    // smaller size estimate makes it the hash build side, and the
+    // region broadcast probes the joined stream once
     val ord = Tables.orders(s, dir)
-      .join(region, col("o_custkey") % 5 === col("r_regionkey"))
-      .select(col("o_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("t_date"),
-        col("region_id"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("t_date"))
 
     val legs = Tables.lineitem(s, dir)
       .select(col("l_orderkey"),
@@ -145,6 +166,7 @@ object Revenue {
         round(col("l_extendedprice") * 100).cast("long").as("ext_cents"),
         round(col("l_discount") * 100).cast("long").as("disc_pct"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(region, col("o_custkey") % 5 === col("r_regionkey"))
 
     legs
       .withColumn("net_cents",

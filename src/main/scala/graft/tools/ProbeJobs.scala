@@ -26,11 +26,14 @@ object ProbeJobs {
         }
     })
     val q = graft.SparkEntry.queries(qname)
+    // noop-forced (count() lets the optimizer delete compute subtrees)
+    def force(): Unit =
+      q(s, dir).write.mode("overwrite").format("noop").save()
     // warm run (codegen/JIT), then the timed profile run
-    q(s, dir).count(); s.catalog.clearCache(); System.gc()
+    force(); s.catalog.clearCache(); System.gc()
     println("=== timed run ===")
     val t0 = System.nanoTime()
-    q(s, dir).count()
+    force()
     Thread.sleep(500)
     println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%7.3f s")
     s.stop()
