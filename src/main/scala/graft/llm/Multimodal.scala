@@ -167,14 +167,20 @@ object Multimodal {
   }
 
   /** Gray level of the deterministic synthetic image: pixel (x, y) of
-    * doc `id`'s 9×8 test pattern. Families (id % 50) share a base
-    * gradient (same dHash backbone); a sparse per-id perturbation
-    * ((id·31 + x·17 + y·7) mod 97 < 2 → +60) flips a few comparisons,
-    * so same-family images are near-dups at small Hamming distance.
-    * Pure integer arithmetic — the q80 DuckDB oracle replays it
-    * term for term. */
+    * doc `id`'s 9×8 test pattern. Families of 100 CONSECUTIVE ids
+    * (id / 100) share a base gradient (same dHash backbone); a sparse
+    * per-id perturbation ((id·31 + x·17 + y·7) mod 97 < 2 → +60)
+    * flips a few comparisons, so same-family images are near-dups at
+    * small Hamming distance. Family size is BOUNDED by construction —
+    * dup-clique size must not grow with corpus size, or near-dup PAIR
+    * output (inherently quadratic in clique size) goes quadratic in n;
+    * the per-family slope and offset terms decorrelate different
+    * families' wrap-line bit patterns. Pure integer arithmetic — the
+    * q80 DuckDB oracle replays it term for term. */
   private[graft] def synthGray(id: Long, x: Int, y: Int): Int = {
-    val base = 7L * (3L + id % 50L) * x + 29L * y + 5L * x * y
+    val fam = id / 100L
+    val base = 7L * (3L + fam % 50L) * x + 29L * y + 5L * x * y +
+      fam * 37L % 256L
     val bump = if (Math.floorMod(id * 31L + x * 17L + y * 7L, 97L) < 2L) 60L else 0L
     Math.floorMod(base + bump, 256L).toInt
   }

@@ -1256,7 +1256,8 @@ object LlmPipelines {
     * folded to a literal so the oracle is pure integer arithmetic. */
   private def q80Gray(x: Int, y: Int): String = {
     val k = 17 * x + 7 * y
-    s"((${7 * x}*(3 + id % 50) + ${29 * y + 5 * x * y} + " +
+    s"((${7 * x}*(3 + (id // 100) % 50) + ${29 * y + 5 * x * y} + " +
+      s"((id // 100) * 37 % 256) + " +
       s"(CASE WHEN (id*31 + $k) % 97 < 2 THEN 60 ELSE 0 END)) % 256)"
   }
 
@@ -1304,9 +1305,11 @@ object LlmPipelines {
     * Hamming-banding infrastructure as SimHash text dedup — exhaustive
     * for hamming <= 7 < 8 bands, one equi-join shuffle per band, never
     * all-pairs (the oracle's a.id < b.id join is the n² shape this
-    * operator exists to avoid). Families (doc_id % 50) share a base
-    * gradient, so each family yields a near-dup clique at small
-    * Hamming distance; the sparse perturbation keeps pairs nonzero.
+    * operator exists to avoid). Families of 100 consecutive ids share
+    * a base gradient, so each family yields a BOUNDED near-dup clique
+    * at small Hamming distance (clique size must not grow with corpus
+    * size — pair output is quadratic in clique size by definition);
+    * the sparse perturbation keeps pairs nonzero.
     * Output: every pair at dHash Hamming <= 7 with both Hamming
     * distances — the aHash distance rides along so both kernels sit on
     * the hash-gated path. */

@@ -228,7 +228,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture families must produce near-dup pairs")
     // same-family perturbed twins sit close; a cross-family pair is
     // typically far — the signal the perceptual hash exists to carry
-    val sameFam = want.filter { case (a, b, _) => a % 50 == b % 50 }
+    val sameFam = want.filter { case (a, b, _) => a / 100 == b / 100 }
     assert(sameFam.size >= want.size / 2,
       s"family cliques should dominate: ${sameFam.size}/${want.size}")
     // undecodable payloads fingerprint to NULL and drop out
