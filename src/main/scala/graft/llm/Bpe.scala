@@ -42,10 +42,15 @@ object Bpe {
     * each split into single-character symbols. The `[a-z0-9]+` filter
     * keeps the symbol alphabet ASCII so the space-joined DuckDB
     * oracle twin and byte-order tie-breaks are exact. */
+  /** The corpus tokens BPE sees: whitespace tokens of lower(trim())
+    * restricted to the alnum alphabet (see [[wordCounts]]). Public so
+    * the encode-side query tokenizes identically to training. */
+  def alnumTokens(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(Spans.nonEmptyTokens(text), w => w.rlike("^[a-z0-9]+$"))
+
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .select(explode(Spans.nonEmptyTokens(col(textCol))).as("w"))
-      .where(col("w").rlike("^[a-z0-9]+$"))
+      .select(explode(alnumTokens(col(textCol))).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("syms",

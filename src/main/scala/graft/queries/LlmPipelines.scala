@@ -1394,8 +1394,70 @@ object LlmPipelines {
         .orderBy(col("merge_rank")),
     Some(q81Oracle))
 
+  /** The q82 oracle: replay q81's ten training rounds (same generated
+    * CTE chain), segment every word from the final round's rewrite
+    * state (the word itself is the segmentation with spaces removed),
+    * and roll corpus tokens up per source through that segmentation. */
+  private def q82Oracle: String = {
+    val base = q81Oracle
+    val upToRounds = base.substring(0, base.indexOf("\nSELECT * FROM ("))
+    // the embedded CTE chain must NOT pass through a second
+    // stripMargin: its continuation lines begin with the `||` concat
+    // operator, which a margin strip would truncate to `|`
+    upToRounds + "," + "\n" + s"""seg AS (
+       |  SELECT replace(trim(s), ' ', '') AS w,
+       |    CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+       |  FROM w$BpeRounds),
+       |toks AS (
+       |  SELECT source, unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'),
+       |    x -> regexp_matches(x, '^[a-z0-9]+$$'))) AS tok
+       |  FROM documents)
+       |SELECT t.source,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(g.n_sym) AS BIGINT) AS n_symbols,
+       |  CAST(SUM(length(t.tok)) AS BIGINT) AS n_chars,
+       |  CAST((2 * SUM(g.n_sym) * 10000 + count(*)) // (2 * count(*))
+       |       AS DOUBLE) / 10000.0 AS symbols_per_token
+       |FROM toks t JOIN seg g ON t.tok = g.w
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+  }
+
+  /** BPE ENCODE — the apply side of q81's trained tokenizer: replay
+    * the merge list in rank order over every corpus token through the
+    * codegen'd rewrite kernel ([[graft.llm.Bpe.encodeTokens]]) and
+    * report per-source fertility (symbols per token). This is the
+    * 100 TB-relevant half: training is vocabulary-sized, but encoding
+    * touches every token of the corpus — here it is a pure MAP-SIDE
+    * pass (a fixed merge list folded into the projection, zero
+    * shuffles before the final per-source rollup). Sequential replay
+    * in rank order reproduces training's final segmentation exactly,
+    * which is what the oracle checks word for word via the round-10
+    * rewrite state. */
+  val q82 = QueryDef(
+    "q82_bpe_encode",
+    (s, dir) => {
+      import graft.llm.Bpe
+      val docs = Tables.documents(s, dir)
+      val merges = Bpe.trainMerges(docs, "text", rounds = BpeRounds)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val toks = docs.select(col("source"),
+          explode(Bpe.alnumTokens(col("text"))).as("tok"))
+      Bpe.encodeTokens(toks, "tok", merges)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(size(col("bpe_symbols")).cast("long")).as("n_symbols"),
+          sum(length(col("tok")).cast("long")).as("n_chars"))
+        .withColumn("symbols_per_token",
+          graft.ops.Cleaning.roundHalfUpRatio(
+            col("n_symbols") * 10000L, col("n_tokens"), 4))
+        .orderBy(col("source"))
+    },
+    Some(q82Oracle))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-      q81)
+      q81, q82)
 }

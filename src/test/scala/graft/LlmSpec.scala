@@ -544,6 +544,28 @@ class LlmSpec extends AnyFunSuite {
     assert(after >= before - 1e-6, s"objective worsened: $before -> $after")
     assert(after > before + 0.01,
       s"random init should improve materially: $before -> $after")
+    // plan pin (round-8 advice): the assignment kernel must evaluate
+    // BELOW the posexplode Generate — projected beside the explode it
+    // plans above it and re-runs once per vector ELEMENT. Rebuild the
+    // iteration's exact select chain and check the optimized plan.
+    val flat = Similarity.unitNormFlat(init)
+    val iterDf = emb
+      .select($"embedding".as("v"),
+        nearest_centroid($"embedding", flat, 8, 64).as("cent"))
+      .select($"cent", posexplode($"v").as(Seq("pos", "x")))
+    val plan = iterDf.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val gen = plan.collectFirst { case g: Generate => g }.get
+    assert(gen.child.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.NearestCentroid])) ||
+      gen.child.collect { case n => n }.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.NearestCentroid]))),
+      "argmax-dot kernel must sit below the Generate")
+    val aboveGen = plan.collect { case n => n }
+      .filterNot(n => gen.collect { case c => c }.exists(_ eq n))
+    assert(!aboveGen.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.NearestCentroid]))),
+      "kernel must NOT be re-evaluated above the Generate (per element)")
   }
 
   test("HLL approx distinct within 5% of exact at rsd=1%") {
