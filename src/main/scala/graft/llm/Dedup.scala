@@ -361,19 +361,77 @@ object Dedup {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands,
       s"banding is only exhaustive for hamming < bands: bands=$bands maxHamming=$maxHamming")
-    val bits = 64 / bands
-    val banded = fp.select(col("id"), col("sh"), posexplode(
-      array((0 until bands).map { b =>
-        shiftrightunsigned(col("sh"), b * bits).bitwiseAND(lit((1L << bits) - 1))
-      }: _*)).as(Seq("band", "band_bits")))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_bits") === col("b.band_bits") &&
+    hammingCandidatesFromFp(fp, bands, maxHamming, keyBlocks = 1)
+  }
+
+  /** [[simhashCandidatesFromFp]] generalized to MULTI-BLOCK join keys
+    * (Manku et al., WWW'07 §3 "block permutations", in join form) —
+    * the fix for the fixed-key-space saturation that single-block
+    * banding hits at scale: with `blocks` blocks over 64 bits, a
+    * single block key has only 2^(64/blocks) values, so bucket
+    * occupancy — and the candidate join's output — grows LINEARLY in
+    * n per bucket, i.e. quadratically overall, no matter how few true
+    * near-dups exist (the q33 fixed-banding class, re-measured here
+    * on q80 at sf10: 391 s). Keying on every combination of
+    * `keyBlocks` blocks widens the key space to
+    * 2^(keyBlocks·64/blocks) at the price of C(blocks, keyBlocks)
+    * probe keys per row, and stays EXHAUSTIVE by pigeonhole: a pair
+    * at Hamming distance d ≤ maxHamming dirties at most d blocks, so
+    * with keyBlocks ≤ blocks − maxHamming at least one combination is
+    * entirely clean and the pair collides there. keyBlocks = 1 is
+    * exactly the classic scheme.
+    *
+    * Sizing: keyBlocks·(64/blocks) should land near log2(n) — e.g.
+    * blocks=9, maxHamming=7 forces keyBlocks ≤ 2; 36 combinations of
+    * ~15-bit keys hold bucket sizes flat to n ≈ 10^6-10^7 where the
+    * single-block form saturated at 2^8 buckets by n ≈ 10^5. */
+  def hammingCandidatesFromFp(fp: DataFrame, blocks: Int,
+                              maxHamming: Int, keyBlocks: Int): DataFrame = {
+    require(blocks >= 2 && blocks <= 64, s"blocks out of range: $blocks")
+    require(maxHamming >= 0 && maxHamming < blocks,
+      s"exhaustive only for hamming < blocks: blocks=$blocks maxHamming=$maxHamming")
+    require(keyBlocks >= 1 && keyBlocks <= blocks - maxHamming,
+      s"pigeonhole needs keyBlocks <= blocks - maxHamming: " +
+        s"blocks=$blocks maxHamming=$maxHamming keyBlocks=$keyBlocks")
+    // nearly-equal contiguous blocks: the first 64 % blocks get the
+    // extra bit; any fixed partition preserves the pigeonhole argument
+    val base = 64 / blocks
+    val widths = Array.tabulate(blocks)(i => if (i < 64 % blocks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockBits(b: Int): Column =
+      shiftrightunsigned(col("sh"), offsets(b))
+        .bitwiseAND(lit((1L << widths(b)) - 1))
+    val combos = (0 until blocks).combinations(keyBlocks).toSeq
+    val comboKeys = combos.map { combo =>
+      combo.foldLeft(lit(0L)) { (acc, b) =>
+        shiftleft(acc, widths(b)).bitwiseOR(blockBits(b))
+      }
+    }
+    val keyed = fp.select(col("id"), col("sh"),
+      posexplode(array(comboKeys: _*)).as(Seq("combo", "key")))
+    // CANONICAL-COMBO dedup instead of a distinct(): a near-identical
+    // pair collides in MANY combinations (up to all of them), so the
+    // join emits up to C(blocks, keyBlocks) copies per pair — a
+    // distinct() would shuffle that entire multiplied volume. Instead
+    // each pair keeps only the row of its FIRST all-clean combination
+    // (a per-row bitwise when-chain over precomputed block masks,
+    // evaluated map-side on the join output), so every pair survives
+    // exactly once and no dedup exchange exists at all.
+    val comboMasks = combos.map(_.map(b =>
+      ((1L << widths(b)) - 1) << offsets(b)).reduce(_ | _))
+    val xor = col("a.sh").bitwiseXOR(col("b.sh"))
+    val canonical = comboMasks.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((m, i), els) =>
+        when(xor.bitwiseAND(lit(m)) === 0L, lit(i)).otherwise(els)
+    }
+    keyed.as("a").join(keyed.as("b"),
+        col("a.combo") === col("b.combo") &&
+        col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
+      .where(col("a.combo") === canonical &&
+        bit_count(xor) <= maxHamming)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
   }
 
   /** Embedding cosine near-dup in the exact integer domain: vectors

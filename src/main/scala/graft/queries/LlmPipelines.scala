@@ -1255,10 +1255,17 @@ object LlmPipelines {
     * (x, y) of doc `id`'s synthetic 9×8 image — every coefficient
     * folded to a literal so the oracle is pure integer arithmetic. */
   private def q80Gray(x: Int, y: Int): String = {
+    // murmur-style avalanche over the family id, term-for-term the
+    // Scala kernel (Multimodal.synthGray) — xor/shift/multiply/mod
+    // only, every intermediate under 2^63
+    val seed = s"((id // 100) * 2654435761 + ${(9 * y + x + 1) * 40503L})"
+    val v0 = s"($seed % 2147483647)"
+    val v1 = s"(xor($v0, $v0 >> 15) * 2246822519 % 2147483647)"
+    val v2 = s"(xor($v1, $v1 >> 13) * 3266489917 % 2147483647)"
+    val par = s"(xor($v2, $v2 >> 16) % 2)"
     val k = 17 * x + 7 * y
-    s"((${7 * x}*(3 + (id // 100) % 50) + ${29 * y + 5 * x * y} + " +
-      s"((id // 100) * 37 % 256) + " +
-      s"(CASE WHEN (id*31 + $k) % 97 < 2 THEN 60 ELSE 0 END)) % 256)"
+    s"(30 + 100*$par + " +
+      s"(CASE WHEN (id*31 + $k) % 97 < 2 THEN 60 ELSE 0 END))"
   }
 
   /** The q80 oracle, GENERATED: a CTE computes, per doc, the 64 dHash
@@ -1269,13 +1276,17 @@ object LlmPipelines {
     * materializing the 64-bit hash, which sidesteps the bit-63 BIGINT
     * overflow a SUM-of-powers-of-two encoding would hit. */
   private def q80Oracle: String = {
+    // pixel grays hoisted into one CTE (72 columns, p{y*9+x}) so each
+    // avalanche chain is written once, not once per comparison
+    val pixCols = (for (y <- 0 until 8; x <- 0 until 9)
+      yield s"${q80Gray(x, y)} AS p${y * 9 + x}").mkString(",\n    ")
     val dhBits = (0 until 64).map { k =>
       val x = k % 8; val y = k / 8
-      s"(${q80Gray(x, y)} > ${q80Gray(x + 1, y)}) AS db$k"
+      s"(p${y * 9 + x} > p${y * 9 + x + 1}) AS db$k"
     }.mkString(",\n    ")
     val ahGrays = (0 until 64).map { k =>
       val x = k % 8; val y = k / 8
-      s"${q80Gray(x, y)} AS g$k"
+      s"p${y * 9 + x} AS g$k"
     }.mkString(",\n    ")
     val ahTotal = (0 until 64).map(k => s"g$k").mkString(" + ")
     val dhHam = (0 until 64).map(k =>
@@ -1283,11 +1294,15 @@ object LlmPipelines {
     val ahHam = (0 until 64).map(k =>
       s"CASE WHEN (64*a.g$k > a.s) <> (64*b.g$k > b.s) THEN 1 ELSE 0 END")
       .mkString(" +\n      ")
-    s"""WITH bits AS (
+    s"""WITH pix AS (
        |  SELECT doc_id AS id,
+       |    $pixCols
+       |  FROM documents),
+       |bits AS (
+       |  SELECT id,
        |    $dhBits,
        |    $ahGrays
-       |  FROM documents),
+       |  FROM pix),
        |tot AS (SELECT *, ($ahTotal) AS s FROM bits)
        |SELECT a.id AS id_a, b.id AS id_b,
        |  CAST(($dhHam) AS INTEGER) AS dh_hamming,
@@ -1323,8 +1338,8 @@ object LlmPipelines {
         col("media_id").as("id"),
         PerceptualHash.d_hash(col("payload")).as("sh"),
         PerceptualHash.a_hash(col("payload")).as("ah")))
-      Dedup.simhashCandidatesFromFp(fp.select(col("id"), col("sh")),
-          bands = 8, maxHamming = 7)
+      Dedup.hammingCandidatesFromFp(fp.select(col("id"), col("sh")),
+          blocks = 9, maxHamming = 7, keyBlocks = 2)
         .join(fp.select(col("id").as("id_a"), col("ah").as("ah_a")), "id_a")
         .join(fp.select(col("id").as("id_b"), col("ah").as("ah_b")), "id_b")
         .select(col("id_a"), col("id_b"),

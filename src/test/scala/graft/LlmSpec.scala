@@ -308,11 +308,29 @@ class LlmSpec extends AnyFunSuite {
       s"missed=${(exact -- cands).take(3)} extra=${(cands -- exact).take(3)} " +
         s"(pigeonhole guarantees equality for maxHamming < bands)")
     assert(exact.nonEmpty, "fixture should contain close simhash pairs")
+    // the multi-block-key generalization is exhaustive too — same
+    // exact pair set through C(9,2)=36 two-block probe keys (wider
+    // buckets, the at-scale form) and through an uneven partition
+    val fpDf = graft.core.Caching.eager(docs
+      .select($"doc_id".as("id"), graft.functions.SimHash64.simhash64(
+        graft.llm.TextStats.tokens($"text")).as("sh")))
+    Seq((9, 2), (10, 3), (11, 1)).foreach { case (blocks, kb) =>
+      val combo = Dedup.hammingCandidatesFromFp(fpDf, blocks, maxHamming, kb)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(combo == exact, s"blocks=$blocks keyBlocks=$kb diverged: " +
+        s"missed=${(exact -- combo).take(3)} extra=${(combo -- exact).take(3)}")
+    }
   }
 
   test("simhashCandidates rejects unsound parameters (bands <= maxHamming)") {
     intercept[IllegalArgumentException] {
       Dedup.simhashCandidates(docs, "doc_id", "text", bands = 8, maxHamming = 16)
+    }
+    // combo form: keyBlocks beyond the pigeonhole budget is unsound
+    intercept[IllegalArgumentException] {
+      Dedup.hammingCandidatesFromFp(
+        docs.select($"doc_id".as("id"), lit(0L).as("sh")),
+        blocks = 9, maxHamming = 7, keyBlocks = 3)
     }
   }
 

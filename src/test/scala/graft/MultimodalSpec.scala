@@ -213,8 +213,7 @@ class MultimodalSpec extends AnyFunSuite {
     val ids = (0L until 300L).toSeq
     val imgs = ids.toDF("doc_id")
       .transform(Multimodal.syntheticImageTable(_, "doc_id"))
-    val got = Multimodal.imageNearDupPairs(imgs, "media_id", "payload",
-        bands = 8, maxHamming = 7)
+    val got = Multimodal.imageNearDupPairs(imgs, "media_id", "payload")
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
       .collect().toSet
     // brute force over the driver-side hashes
@@ -235,7 +234,7 @@ class MultimodalSpec extends AnyFunSuite {
     val withJunk = imgs.union(Seq((9999L, "not a bmp".getBytes))
       .toDF("media_id", "payload"))
     val gotJunk = Multimodal.imageNearDupPairs(withJunk, "media_id",
-        "payload", bands = 8, maxHamming = 7)
+        "payload")
       .where($"id_a" === 9999L || $"id_b" === 9999L).count()
     assert(gotJunk == 0L)
   }
