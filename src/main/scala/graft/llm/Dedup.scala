@@ -393,20 +393,8 @@ object Dedup {
     require(keyBlocks >= 1 && keyBlocks <= blocks - maxHamming,
       s"pigeonhole needs keyBlocks <= blocks - maxHamming: " +
         s"blocks=$blocks maxHamming=$maxHamming keyBlocks=$keyBlocks")
-    // nearly-equal contiguous blocks: the first 64 % blocks get the
-    // extra bit; any fixed partition preserves the pigeonhole argument
-    val base = 64 / blocks
-    val widths = Array.tabulate(blocks)(i => if (i < 64 % blocks) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _)
-    def blockBits(b: Int): Column =
-      shiftrightunsigned(col("sh"), offsets(b))
-        .bitwiseAND(lit((1L << widths(b)) - 1))
     val combos = (0 until blocks).combinations(keyBlocks).toSeq
-    val comboKeys = combos.map { combo =>
-      combo.foldLeft(lit(0L)) { (acc, b) =>
-        shiftleft(acc, widths(b)).bitwiseOR(blockBits(b))
-      }
-    }
+    val comboKeys = comboKeyExprs(col("sh"), blocks, keyBlocks)
     val keyed = fp.select(col("id"), col("sh"),
       posexplode(array(comboKeys: _*)).as(Seq("combo", "key")))
     // CANONICAL-COMBO dedup instead of a distinct(): a near-identical
@@ -417,6 +405,7 @@ object Dedup {
     // (a per-row bitwise when-chain over precomputed block masks,
     // evaluated map-side on the join output), so every pair survives
     // exactly once and no dedup exchange exists at all.
+    val (widths, offsets) = blockLayout(blocks)
     val comboMasks = combos.map(_.map(b =>
       ((1L << widths(b)) - 1) << offsets(b)).reduce(_ | _))
     val xor = col("a.sh").bitwiseXOR(col("b.sh"))
@@ -432,6 +421,32 @@ object Dedup {
         bit_count(xor) <= maxHamming)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+  }
+
+  /** Nearly-equal contiguous bit-block layout over a 64-bit
+    * fingerprint: (widths, bit offsets); the first 64 % blocks blocks
+    * carry the extra bit. Shared by the batch combo join and the
+    * streaming twin so their bucket keys are bit-identical. */
+  private[graft] def blockLayout(blocks: Int): (Array[Int], Array[Int]) = {
+    val base = 64 / blocks
+    val widths = Array.tabulate(blocks)(i => if (i < 64 % blocks) base + 1 else base)
+    (widths, widths.scanLeft(0)(_ + _))
+  }
+
+  /** The C(blocks, keyBlocks) combination-key expressions over a
+    * 64-bit fingerprint column (see [[hammingCandidatesFromFp]]),
+    * in combination-enumeration order. */
+  private[graft] def comboKeyExprs(sh: Column, blocks: Int,
+                                   keyBlocks: Int): Seq[Column] = {
+    val (widths, offsets) = blockLayout(blocks)
+    def blockBits(b: Int): Column =
+      shiftrightunsigned(sh, offsets(b))
+        .bitwiseAND(lit((1L << widths(b)) - 1))
+    (0 until blocks).combinations(keyBlocks).map { combo =>
+      combo.foldLeft(lit(0L)) { (acc, b) =>
+        shiftleft(acc, widths(b)).bitwiseOR(blockBits(b))
+      }
+    }.toSeq
   }
 
   /** Embedding cosine near-dup in the exact integer domain: vectors

@@ -257,6 +257,94 @@ object EventStream {
       .toDF("id_a", "id_b", "band")
   }
 
+  /** One Hamming-bucket's state: (id, fingerprint) members inside the
+    * horizon — the fingerprint rides along so the EXACT Hamming
+    * verification happens at emission (the streaming twin has no
+    * post-hoc verify join to lean on). */
+  final case class HashBucketState(members: List[(Long, Long)], n: Int,
+                                   overflowed: Boolean)
+
+  /** Streaming perceptual-hash image near-dup — the continuous-ingest
+    * twin of [[graft.llm.Multimodal.imageNearDupPairs]] (q80's
+    * operator): media payloads arriving on a stream are fingerprinted
+    * by the SAME codegen'd dHash kernel and emit VERIFIED near-dup
+    * pairs (hamming <= maxHamming) against every image sharing a
+    * multi-block combination key within the watermark horizon. Key
+    * construction is [[graft.llm.Dedup.comboKeyExprs]] — bit-identical
+    * with the batch join's buckets — so below the bucket cap the
+    * DISTINCT emitted pair set equals the batch output exactly
+    * (StreamingSpec pins it); a pair sharing several combinations
+    * emits once per combination (the batch path's canonical-combo
+    * filter needs both hashes per candidate, which a stream has at
+    * emission — the exact check subsumes it; callers dedup downstream
+    * as with [[streamingMinhashCandidates]]). Non-decodable payloads
+    * hash to NULL and drop out, as in batch. State and eviction follow
+    * the MinHash twin: O(cap) per bucket, idle buckets evicted once
+    * the watermark passes `idleTimeout` past their last arrival. */
+  def streamingImageNearDupCandidates(media: DataFrame, idCol: String,
+                                      payloadCol: String, tsCol: String,
+                                      blocks: Int = 9, maxHamming: Int = 7,
+                                      keyBlocks: Int = 2,
+                                      maxBucketSize: Int = 500,
+                                      watermark: String = "2 hours",
+                                      idleTimeout: String = "24 hours"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fp = media.select(col(idCol).cast("long").as("id"),
+        col(tsCol).as("ts"),
+        graft.functions.PerceptualHash.d_hash(col(payloadCol)).as("sh"))
+      .where(col("id").isNotNull && col("ts").isNotNull && col("sh").isNotNull)
+    val banded = fp.select(col("id"), col("ts"), col("sh"),
+        posexplode(array(
+          graft.llm.Dedup.comboKeyExprs(col("sh"), blocks, keyBlocks): _*))
+          .as(Seq("combo", "key")))
+    banded
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Long, Int, Long)]
+      .groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long),
+         arrivals: Iterator[(Long, java.sql.Timestamp, Long, Int, Long)],
+         st: GroupState[HashBucketState]) =>
+          if (st.hasTimedOut) {
+            st.remove()
+            Iterator.empty
+          } else {
+            val wm = st.getCurrentWatermarkMs()
+            var s = st.getOption.getOrElse(HashBucketState(Nil, 0, false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+            var maxTs = Long.MinValue
+            arrivals.foreach { case (id, ts, sh, _, _) =>
+              if (ts.getTime >= wm) {
+                maxTs = math.max(maxTs, ts.getTime)
+                if (!s.overflowed && !s.members.exists(_._1 == id)) {
+                  if (s.n + 1 > maxBucketSize)
+                    s = HashBucketState(Nil, s.n + 1, overflowed = true)
+                  else {
+                    s.members.foreach { case (otherId, otherSh) =>
+                      val h = java.lang.Long.bitCount(sh ^ otherSh)
+                      if (h <= maxHamming)
+                        out += ((math.min(id, otherId),
+                          math.max(id, otherId), h))
+                    }
+                    s = HashBucketState((id, sh) :: s.members, s.n + 1,
+                      overflowed = false)
+                  }
+                }
+              }
+            }
+            if (maxTs == Long.MinValue) Iterator.empty
+            else {
+              st.update(s)
+              st.setTimeoutTimestamp(maxTs, idleTimeout)
+              out.iterator
+            }
+          }
+      }
+      .toDF("id_a", "id_b", "hamming")
+  }
+
   /** Stream-stream INTERVAL join: each tap (left) enriched with the
     * same user's follow-up events (right) arriving within `horizon`
     * after it — the continuous form of the reference's

@@ -404,6 +404,42 @@ class StreamingSpec extends AnyFunSuite {
       s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("streaming perceptual-hash dedup emits exactly the batch pair set") {
+    // the continuous-ingest twin of q80: same codegen'd dHash kernel,
+    // bit-identical multi-block combination keys (Dedup.comboKeyExprs),
+    // exact Hamming verification AT EMISSION (both hashes live in the
+    // bucket state). Distinct-set equality against the batch operator,
+    // which MultimodalSpec already proves equal to brute force.
+    val sfDir = SparkTestBase.sf
+    val dir = Files.createTempDirectory("graft_stream_phash")
+    val ids = Tables.documents(spark, sfDir)
+      .select($"doc_id").as[Long].collect().toSeq
+    // media parquet: payload bytes + synthetic event time from the id
+    ids.grouped(ids.length / 2 + 1).foreach { chunk =>
+      chunk.map(id => (id,
+          new java.sql.Timestamp(1700000000000L + id * 1000L),
+          graft.llm.Multimodal.syntheticBmp(id)))
+        .toDF("media_id", "ts", "payload")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    }
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val got = EventStream.runToMemorySink(spark,
+        EventStream.streamingImageNearDupCandidates(stream,
+          "media_id", "payload", "ts"),
+        "phash_stream", OutputMode.Append())
+      .select($"id_a", $"id_b", $"hamming").distinct()
+      .as[(Long, Long, Int)].collect().toSet
+    val want = graft.llm.Multimodal.imageNearDupPairs(
+        ids.toDF("doc_id").transform(
+          graft.llm.Multimodal.syntheticImageTable(_, "doc_id")),
+        "media_id", "payload")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(want.nonEmpty, "fixture must contain image near-dups")
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("streaming MinHash bucket cap poisons hot buckets and bounds state") {
     // 4 identical docs with cap 3: members 1..3 emit C(3,2)=3 pairs per
     // band; member 4 overflows — no new pairs, list dropped. Identical
