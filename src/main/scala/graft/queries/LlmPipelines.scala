@@ -1471,8 +1471,88 @@ object LlmPipelines {
     },
     Some(q82Oracle))
 
+  /** PII redaction scrub ([[graft.llm.Scrub]]) over a corpus with
+    * deterministically injected PII (emails/URLs/IPs/phone runs as
+    * arithmetic functions of doc_id — the q80 pattern: real payloads
+    * the oracle can regenerate), rolled up per source: exact match
+    * counts per pattern plus before/after character totals. Pure
+    * map-side until the rollup; the oracle replays the same injection,
+    * the same stage-ordered regexp_replace chain, and the same counts
+    * in DuckDB's RE2 — the patterns are restricted to the
+    * Java∩RE2 dialect intersection precisely so this is an exact
+    * replay, not a rows-only check. */
+  val q83 = QueryDef(
+    "q83_pii_scrub",
+    (s, dir) => {
+      import graft.llm.Scrub
+      val id = col("doc_id")
+      val inject = when(id % 4 === 0,
+          concat(lit(" contact user"), id.cast("string"),
+            lit("@example.com now")))
+        .when(id % 4 === 1,
+          concat(lit(" visit https://example.org/p/"), id.cast("string"),
+            lit(" today")))
+        .when(id % 4 === 2,
+          concat(lit(" call 050-"),
+            (id % 9000000 + 1000000).cast("string"), lit(" now")))
+        .otherwise(concat(lit(" host 10.0."), (id % 256).cast("string"),
+          lit("."), (id % 100).cast("string"), lit(" up")))
+      val seeded = Tables.documents(s, dir)
+        .select(col("source"), concat(col("text"), inject).as("t"))
+      Scrub.scrubWithCounts(seeded, "t")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("emails"),
+          sum(col("n_url")).as("urls"),
+          sum(col("n_ip")).as("ips"),
+          sum(col("n_phone")).as("phones"),
+          sum(length(col("t")).cast("long")).as("chars_before"),
+          sum(length(col("scrubbed_t")).cast("long")).as("chars_after"))
+        .orderBy(col("source"))
+    },
+    Some {
+      // one CTE per scrub stage, mirroring the Scala fold: counts are
+      // taken on the stage's INPUT text, then the replacement rewrites
+      // `t` for the next stage; earlier counts ride along by name
+      val stages = graft.llm.Scrub.patterns.zipWithIndex.map {
+        case ((name, p, r), i) =>
+          val carried = ("chars_before" +:
+            graft.llm.Scrub.patterns.take(i).map(x => s"n_${x._1}"))
+            .mkString(", ")
+          s"""s${i + 1} AS (
+             |  SELECT source, $carried,
+             |    len(regexp_extract_all(t, '$p')) AS n_$name,
+             |    regexp_replace(t, '$p', '$r', 'g') AS t
+             |  FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s0 AS (
+         |  SELECT source, length(t) AS chars_before, t FROM (
+         |    SELECT source,
+         |      text || CASE CAST(doc_id % 4 AS INTEGER)
+         |        WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |          || '@example.com now'
+         |        WHEN 1 THEN ' visit https://example.org/p/'
+         |          || CAST(doc_id AS VARCHAR) || ' today'
+         |        WHEN 2 THEN ' call 050-'
+         |          || CAST(doc_id % 9000000 + 1000000 AS VARCHAR) || ' now'
+         |        ELSE ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |          || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
+         |      END AS t
+         |    FROM documents)),
+         |$stages
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_email) AS BIGINT) AS emails,
+         |  CAST(SUM(n_url) AS BIGINT) AS urls,
+         |  CAST(SUM(n_ip) AS BIGINT) AS ips,
+         |  CAST(SUM(n_phone) AS BIGINT) AS phones,
+         |  CAST(SUM(chars_before) AS BIGINT) AS chars_before,
+         |  CAST(SUM(length(t)) AS BIGINT) AS chars_after
+         |FROM s${graft.llm.Scrub.patterns.size}
+         |GROUP BY source ORDER BY source""".stripMargin
+    })
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-      q81, q82)
+      q81, q82, q83)
 }

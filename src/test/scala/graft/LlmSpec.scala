@@ -586,6 +586,40 @@ class LlmSpec extends AnyFunSuite {
       "kernel must NOT be re-evaluated above the Generate (per element)")
   }
 
+  test("Scrub: stage-ordered redaction with exact counts") {
+    import graft.llm.Scrub
+    val rows = Seq(
+      (1L, "mail bob.smith+x@corp.example.org and visit https://a.b/c?d=1 ok"),
+      (2L, "server 192.168.0.1 dialed +9715-0123-4567 twice"),
+      (3L, "overlap: a@b.co ip 10.0.0.2 call 050-1234567 end"),
+      (4L, "nothing to redact here"),
+      (5L, "edge 1.2.3.4.5 is not a clean ip but contains one"))
+      .toDF("id", "t")
+    val out = Scrub.scrubWithCounts(rows, "t")
+      .select($"id", $"scrubbed_t", $"n_email", $"n_url", $"n_ip", $"n_phone")
+      .as[(Long, String, Int, Int, Int, Int)].collect().sortBy(_._1)
+    assert(out(0)._2 == "mail <EMAIL> and visit <URL> ok")
+    assert((out(0)._3, out(0)._4, out(0)._5, out(0)._6) == ((1, 1, 0, 0)))
+    assert(out(1)._2 == "server <IP> dialed <PHONE> twice")
+    assert(out(2)._2 == "overlap: <EMAIL> ip <IP> call <PHONE> end")
+    assert(out(3)._2 == "nothing to redact here")
+    assert((out(3)._3, out(3)._4, out(3)._5, out(3)._6) == ((0, 0, 0, 0)))
+    // counts equal replacements actually performed: scrubbed text
+    // contains exactly n_<p> occurrences of each token
+    out.foreach { case (_, t, ne, nu, ni, np) =>
+      def occ(tok: String) = t.sliding(tok.length).count(_ == tok)
+      assert(occ("<EMAIL>") == ne && occ("<URL>") == nu &&
+        occ("<IP>") == ni && occ("<PHONE>") == np, t)
+    }
+    // ordering semantics: an email's digits are <EMAIL> before the
+    // phone stage runs, so they are never double-counted as a phone
+    val tricky = Scrub.scrubWithCounts(
+      Seq((1L, "reach 0501234567890@digits.example.com now")).toDF("id", "t"), "t")
+      .select($"scrubbed_t", $"n_email", $"n_phone")
+      .as[(String, Int, Int)].head()
+    assert(tricky == (("reach <EMAIL> now", 1, 0)), tricky)
+  }
+
   test("HLL approx distinct within 5% of exact at rsd=1%") {
     val ev = Tables.events(spark, SparkTestBase.sf)
     val (approx, exact) = ev.agg(
