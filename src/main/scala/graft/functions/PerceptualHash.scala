@@ -50,9 +50,14 @@ object PerceptualHash {
       val dataOff = leInt(b, 10)
       val w = leInt(b, 18)
       val h = math.abs(leInt(b, 22))
-      w > 0 && h > 0 && leShort(b, 28) == 24 && leInt(b, 30) == 0 &&
+      // row stride in LONG: w*3+3 overflows Int near w ~ 7e8, which
+      // would slip a wrapped stride past this size guard (the same
+      // hardening as resizeBmpBytes) — and |Int.MinValue| is itself
+      // negative, so reject that height outright
+      w > 0 && h > 0 && leInt(b, 22) != Int.MinValue &&
+        leShort(b, 28) == 24 && leInt(b, 30) == 0 &&
         dataOff >= 54 &&
-        b.length >= dataOff.toLong + (((w * 3 + 3) / 4) * 4).toLong * h
+        b.length >= dataOff.toLong + ((w.toLong * 3 + 3) / 4) * 4 * h
     }
 
   /** Grayscale (channel sum) of source pixel (x, yImg) in IMAGE

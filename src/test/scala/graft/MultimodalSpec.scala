@@ -180,6 +180,22 @@ class MultimodalSpec extends AnyFunSuite {
       assert(PerceptualHash.dhash64(b) == refDhash(id), s"dhash id=$id")
       assert(PerceptualHash.ahash64(b) == refAhash(id), s"ahash id=$id")
     }
+    // adversarial headers: an Int-overflowing width (w*3 wraps) and
+    // the |Int.MinValue| height must fail the size guard, not wrap
+    // into a bounds-check bypass
+    def hdr(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](64)
+      b(0) = 'B'; b(1) = 'M'
+      def putLe(off: Int, v: Int): Unit = {
+        b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+        b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+      }
+      putLe(10, 54); putLe(18, w); putLe(22, h); b(28) = 24
+      b
+    }
+    assert(!PerceptualHash.isHashable(hdr(0x40000000, 1)))
+    assert(!PerceptualHash.isHashable(hdr(4, Int.MinValue)))
+    assert(PerceptualHash.isHashable(Multimodal.syntheticBmp(1L)))
     // bit 63 is reachable (the BIGINT-overflow corner the oracle's
     // disagreement-count form exists to avoid)
     assert((0L until 500L).exists(id => refDhash(id) < 0L),
