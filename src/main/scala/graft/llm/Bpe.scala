@@ -122,8 +122,13 @@ object Bpe {
     * merge in rank order through the codegen'd rewrite kernel. */
   def encodeTokens(docs: DataFrame, tokenCol: String,
                    merges: Seq[(String, String)]): DataFrame = {
-    val chars = transform(sequence(lit(1), length(col(tokenCol))),
-      i => col(tokenCol).substr(i, lit(1)))
+    // sequence(1, 0) generates DESCENDING [1, 0] in Spark, so an
+    // empty token must short-circuit to an empty symbol array rather
+    // than two empty-string symbols
+    val chars = when(length(col(tokenCol)) > 0,
+      transform(sequence(lit(1), length(col(tokenCol))),
+        i => col(tokenCol).substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
     val encoded = merges.foldLeft(chars) { case (syms, (l, r)) =>
       graft.functions.BpeKernels.merge_pair(syms, l, r)
     }

@@ -387,12 +387,25 @@ object Dedup {
     * single-block form saturated at 2^8 buckets by n ≈ 10^5. */
   def hammingCandidatesFromFp(fp: DataFrame, blocks: Int,
                               maxHamming: Int, keyBlocks: Int): DataFrame = {
-    require(blocks >= 2 && blocks <= 64, s"blocks out of range: $blocks")
+    require(blocks >= 1 && blocks <= 64, s"blocks out of range: $blocks")
     require(maxHamming >= 0 && maxHamming < blocks,
       s"exhaustive only for hamming < blocks: blocks=$blocks maxHamming=$maxHamming")
     require(keyBlocks >= 1 && keyBlocks <= blocks - maxHamming,
       s"pigeonhole needs keyBlocks <= blocks - maxHamming: " +
         s"blocks=$blocks maxHamming=$maxHamming keyBlocks=$keyBlocks")
+    // loud guard on the combination count: C(40, 20) passes every
+    // bound above yet would build ~10^11 probe-key expressions on the
+    // driver; any sane geometry stays far below this cap
+    locally {
+      var c = 1L
+      var i = 0
+      while (i < keyBlocks && c <= 100000L) {
+        c = c * (blocks - i) / (i + 1); i += 1
+      }
+      require(c <= 4096L,
+        s"C($blocks, $keyBlocks) = ${if (c > 100000L) ">100000" else c} " +
+          "combination keys; pick a narrower geometry (cap 4096)")
+    }
     val combos = (0 until blocks).combinations(keyBlocks).toSeq
     val comboKeys = comboKeyExprs(col("sh"), blocks, keyBlocks)
     val keyed = fp.select(col("id"), col("sh"),
@@ -406,8 +419,9 @@ object Dedup {
     // evaluated map-side on the join output), so every pair survives
     // exactly once and no dedup exchange exists at all.
     val (widths, offsets) = blockLayout(blocks)
+    def widthMask(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
     val comboMasks = combos.map(_.map(b =>
-      ((1L << widths(b)) - 1) << offsets(b)).reduce(_ | _))
+      widthMask(widths(b)) << offsets(b)).reduce(_ | _))
     val xor = col("a.sh").bitwiseXOR(col("b.sh"))
     val canonical = comboMasks.zipWithIndex.foldRight(lit(-1): Column) {
       case ((m, i), els) =>
@@ -439,9 +453,12 @@ object Dedup {
   private[graft] def comboKeyExprs(sh: Column, blocks: Int,
                                    keyBlocks: Int): Seq[Column] = {
     val (widths, offsets) = blockLayout(blocks)
+    // (1L << 64) wraps to 1 (Java shifts mod 64), so the full-width
+    // single-block case needs its mask spelled as -1L
+    def widthMask(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
     def blockBits(b: Int): Column =
       shiftrightunsigned(sh, offsets(b))
-        .bitwiseAND(lit((1L << widths(b)) - 1))
+        .bitwiseAND(lit(widthMask(widths(b))))
     (0 until blocks).combinations(keyBlocks).map { combo =>
       combo.foldLeft(lit(0L)) { (acc, b) =>
         shiftleft(acc, widths(b)).bitwiseOR(blockBits(b))

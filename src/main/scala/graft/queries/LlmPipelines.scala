@@ -1334,10 +1334,15 @@ object LlmPipelines {
       import graft.functions.PerceptualHash
       val imgs = graft.llm.Multimodal.syntheticImageTable(
         Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+      // fused variant of Multimodal.imageNearDupPairs (same banding
+      // geometry — keep the two in sync): one fingerprint pass yields
+      // BOTH hashes, which the helper's dHash-only contract cannot;
+      // undecodable payloads drop before the cache like the helper
       val fp = graft.core.Caching.eager(imgs.select(
         col("media_id").as("id"),
         PerceptualHash.d_hash(col("payload")).as("sh"),
-        PerceptualHash.a_hash(col("payload")).as("ah")))
+        PerceptualHash.a_hash(col("payload")).as("ah"))
+        .where(col("sh").isNotNull))
       Dedup.hammingCandidatesFromFp(fp.select(col("id"), col("sh")),
           blocks = 9, maxHamming = 7, keyBlocks = 2)
         .join(fp.select(col("id").as("id_a"), col("ah").as("ah_a")), "id_a")
@@ -1355,20 +1360,27 @@ object LlmPipelines {
 
   /** The q81 oracle, GENERATED: DuckDB replays every training round by
     * BOUNDED UNROLLING — round i recounts adjacent pairs from round
-    * i-1's word table (symbols as a space-joined, space-padded string;
-    * the alphabet is alnum-filtered so the separator cannot collide),
-    * picks the (count desc, pair) argmax, and rewrites via replace(),
-    * whose left-to-right non-overlapping scan is exactly the kernel's
-    * greedy merge. An iterative algorithm has no fixed-point SQL form,
-    * but a FIXED ROUND COUNT does — the same move as q80's generated
-    * bit table. */
+    * i-1's word table, picks the (count desc, pair) argmax, and
+    * rewrites via replace(). Symbols are PARENTHESIZED — `(a)(b)(c)`
+    * — so a pair occurrence `(a)(b)` shares NO characters with the
+    * next one, and replace()'s non-overlapping left-to-right scan is
+    * EXACTLY the kernel's greedy merge. (A space-separated,
+    * space-padded encoding is subtly wrong here: consecutive
+    * occurrences share the boundary space, so `replace(' c o c o ',
+    * ' c o ', ' co ')` = ' co c o ' while greedy yields [co, co] —
+    * a latent divergence the fixture corpus happened not to trigger,
+    * found in round-8 review and pinned by the adversarial-corpus
+    * spec.) The alphabet is alnum-filtered, so parens cannot collide
+    * with symbol text. An iterative algorithm has no fixed-point SQL
+    * form, but a FIXED ROUND COUNT does — the same move as q80's
+    * generated bit table. */
   private def q81Oracle: String = {
     val w0 =
       """w0 AS (
         |  SELECT CAST(count(*) AS BIGINT) AS cnt,
-        |    ' ' || array_to_string(list_transform(
-        |      generate_series(1, length(w)), i -> substr(w, i, 1)), ' ')
-        |      || ' ' AS s
+        |    '(' || array_to_string(list_transform(
+        |      generate_series(1, length(w)), i -> substr(w, i, 1)), ')(')
+        |      || ')' AS s
         |  FROM (
         |    SELECT unnest(list_filter(
         |      string_split_regex(lower(trim(text)), '\s+'),
@@ -1376,14 +1388,18 @@ object LlmPipelines {
         |    FROM documents)
         |  GROUP BY w)""".stripMargin
     val rounds = (1 to BpeRounds).map { i =>
-      s"""y$i AS (SELECT cnt, string_split(trim(s), ' ') AS sym FROM w${i - 1}),
+      s"""y$i AS (
+         |  SELECT cnt,
+         |    string_split(substr(s, 2, length(s) - 2), ')(') AS sym
+         |  FROM w${i - 1}),
          |p$i AS (
          |  SELECT sym[j] AS l, sym[j + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
          |  FROM y$i, UNNEST(generate_series(1, len(sym) - 1)) AS u(j)
          |  GROUP BY 1, 2),
          |t$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
          |w$i AS (
-         |  SELECT cnt, replace(s, ' '||l||' '||r||' ', ' '||l||r||' ') AS s
+         |  SELECT cnt,
+         |    replace(s, '('||l||')('||r||')', '('||l||r||')') AS s
          |  FROM w${i - 1}, t$i)""".stripMargin
     }.mkString(",\n")
     val union = (1 to BpeRounds).map { i =>
@@ -1411,8 +1427,8 @@ object LlmPipelines {
 
   /** The q82 oracle: replay q81's ten training rounds (same generated
     * CTE chain), segment every word from the final round's rewrite
-    * state (the word itself is the segmentation with spaces removed),
-    * and roll corpus tokens up per source through that segmentation. */
+    * state (stripping the parens recovers the word), and roll corpus
+    * tokens up per source through that segmentation. */
   private def q82Oracle: String = {
     val base = q81Oracle
     val upToRounds = base.substring(0, base.indexOf("\nSELECT * FROM ("))
@@ -1420,8 +1436,9 @@ object LlmPipelines {
     // stripMargin: its continuation lines begin with the `||` concat
     // operator, which a margin strip would truncate to `|`
     upToRounds + "," + "\n" + s"""seg AS (
-       |  SELECT replace(trim(s), ' ', '') AS w,
-       |    CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+       |  SELECT replace(replace(s, '(', ''), ')', '') AS w,
+       |    CAST(len(string_split(substr(s, 2, length(s) - 2), ')('))
+       |      AS BIGINT) AS n_sym
        |  FROM w$BpeRounds),
        |toks AS (
        |  SELECT source, unnest(list_filter(

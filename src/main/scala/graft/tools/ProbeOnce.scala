@@ -11,7 +11,15 @@ object ProbeOnce {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val s = Sessions.build("probe-once")
     args.foreach { name =>
-      val q = graft.SparkEntry.queries.keys.find(_.contains(name)).get
+      val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      // exact name wins; otherwise a UNIQUE substring match; ambiguous
+      // or unknown names fail loudly instead of timing the wrong query
+      val q = names.find(_ == name).getOrElse {
+        val hits = names.filter(_.contains(name))
+        require(hits.size == 1,
+          s"'$name' matches ${hits.size} queries: ${hits.take(5).mkString(", ")}")
+        hits.head
+      }
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(s, dir)
         .write.mode("overwrite").format("noop").save()
