@@ -70,6 +70,26 @@ def main() -> None:
         "corpus must force a self-pair merge (the overlap class)"
     print(f"OK: {len(oracle)} merge rounds identical, "
           f"incl. self-pair merges {[r[3] for r in oracle if r[1] == r[2]]}")
+    # this corpus EXHAUSTS before the configured round count, which
+    # also pins the oracle's exhaustion fallback (empty argmax rounds
+    # must carry the word table forward via LEFT JOIN + coalesce, not
+    # annihilate it through a cross join) on the q82 segmentation path
+    try:
+        sql82 = json.load(open(f"{out_dir}/oracle_sql.json"))["q82_bpe_encode"]
+    except KeyError:
+        sql82 = None
+    if sql82 is not None:
+        import glob
+        if glob.glob(f"{out_dir}/q82_bpe_encode/*.parquet"):
+            o82 = [tuple(map(str, r)) for r in con.execute(sql82).fetchall()]
+            s82 = [tuple(map(str, r)) for r in con.execute(
+                "SELECT * FROM read_parquet("
+                f"'{out_dir}/q82_bpe_encode/*.parquet') ORDER BY source"
+            ).fetchall()]
+            assert o82 == s82 and len(o82) > 0, \
+                f"q82 DIVERGED:\noracle={o82}\nspark ={s82}"
+            print(f"OK: q82 encode rollup identical past exhaustion "
+                  f"({len(o82)} source rows)")
 
 
 if __name__ == "__main__":

@@ -40,7 +40,7 @@ object Bpe {
 
   /** The word table BPE trains on: occurrence-counted alnum tokens,
     * each split into single-character symbols. The `[a-z0-9]+` filter
-    * keeps the symbol alphabet ASCII so the space-joined DuckDB
+    * keeps the symbol alphabet ASCII so the paren-delimited DuckDB
     * oracle twin and byte-order tie-breaks are exact. */
   /** The corpus tokens BPE sees: whitespace tokens of lower(trim())
     * restricted to the alnum alphabet (see [[wordCounts]]). Public so

@@ -1399,8 +1399,9 @@ object LlmPipelines {
          |t$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
          |w$i AS (
          |  SELECT cnt,
-         |    replace(s, '('||l||')('||r||')', '('||l||r||')') AS s
-         |  FROM w${i - 1}, t$i)""".stripMargin
+         |    coalesce(replace(s, '('||l||')('||r||')', '('||l||r||')'), s)
+         |      AS s
+         |  FROM w${i - 1} LEFT JOIN t$i ON TRUE)""".stripMargin
     }.mkString(",\n")
     val union = (1 to BpeRounds).map { i =>
       s"SELECT CAST($i AS INTEGER) AS merge_rank, l AS lhs, r AS rhs, " +
