@@ -32,6 +32,7 @@ object Dedup {
     * zip_with pads the shorter side with nulls and `concat(null)` is
     * null, so the trailing n-1 entries are nulls sliced off at the end. */
   def shingles(text: Column, n: Int): Column = {
+    require(n >= 1, s"shingle order must be >= 1: $n")
     val words = TextStats.tokens(text)
     if (n == 1) array_distinct(words)
     else {
@@ -56,7 +57,15 @@ object Dedup {
   /** MinHash signature: `numHashes` permutations approximated by seeded
     * 64-bit hashes (min over shingles of xxhash64(seed ++ shingle)) —
     * Broder's min-wise independent permutations. Pure expressions:
-    * one `transform`+`array_min` pair per hash, no UDF. */
+    * one `transform`+`array_min` pair per hash, no UDF.
+    *
+    * REFERENCE form only — a DIFFERENT hash family from the
+    * production paths ([[candidatesFromShingles]] /
+    * [[bandHashesLocal]] derive their 64 hashes Kirsch-Mitzenmacher
+    * style from two base hashes): signatures from here are NOT
+    * comparable or bucketable against theirs, and each index re-reads
+    * the whole shingle string (the measured ~10× slower shape). Use
+    * the candidate generators for real dedup. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { j =>
       array_min(transform(shingleCol, s => xxhash64(lit(j), s)))
@@ -562,8 +571,17 @@ object Dedup {
           math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2.0)).toInt))
         val fitted = (auto to 8 by -1)
           .find(bb => bandsFor(bb) <= bandsCap).getOrElse(8)
-        (fitted, math.min(bandsCap, bandsFor(fitted)))
+        (fitted, bandsFor(fitted))
       }
+    // the signature-cost ceiling is a LOUD bound, not a silent clamp:
+    // clamping bands below bandsFor() would break the targetMiss
+    // recall contract while the caller believes it holds; a pinned
+    // geometry is likewise refused when it blows past the ceiling
+    require(nBands <= bandsCap,
+      s"$nBands bands needed for targetMiss=$targetMiss at bandBits=" +
+        s"$nBits exceeds the signature-cost ceiling $bandsCap; relax " +
+        "targetMiss, lower the threshold expectation, or pin a " +
+        "narrower geometry")
     // quantized hyperplanes (seed disjoint from Similarity's ANN
     // tables), flattened into the one-pass packed-signature kernel
     val planesFlat: Array[Long] = Similarity.hyperplanes(nBands * nBits, dim, seed = 7L)

@@ -60,9 +60,14 @@ object Distributions {
     * groups it is a handful of single-threaded sorts of the whole
     * table (measured: 19× slower than the in-process oracle on a
     * 6-group table). This form never sorts the table, and (since
-    * round 8) never ships group-scaled state to the driver — every
-    * pass is a distributed aggregate, so group cardinality is bounded
-    * only by executor memory:
+    * round 8) never ACCUMULATES group-scaled state on the driver —
+    * every pass is a distributed aggregate whose group-scaled frames
+    * (bounds, located targets) re-enter the plan as BROADCASTS, so
+    * the driver only transits them (Spark's BroadcastExchange
+    * collects the build side once) and fails loudly at the engine's
+    * broadcast limits (~8 GB) rather than silently growing a
+    * collect. The pass-2 histogram walk — the round-7 G×B driver
+    * collect this rewrite removed — stays entirely executor-side:
     *
     *  1. one agg for per-group (min, max, n) — group-count rows,
     *     broadcast back onto the fact;

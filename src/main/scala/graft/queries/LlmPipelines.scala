@@ -324,7 +324,12 @@ object LlmPipelines {
     "q31_simhash_candidates",
     (s, dir) => {
       import graft.functions.SimHash64.simhash64
-      val docs = Tables.documents(s, dir)
+      // NULL text is excluded up front: concat_ws maps a null token
+      // array to '' while simhash64 yields NULL, so a null-text doc
+      // would join the exact-dup side yet never surface as a candidate
+      // — breaking this query's own invariant (and the oracle's
+      // array_to_string(NULL) drops such docs anyway)
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
       // fingerprint + normalized text computed in ONE cached pass: the
       // candidate generator and the two sides of the dup equi-join
       // would otherwise each re-tokenize the corpus
@@ -962,13 +967,17 @@ object LlmPipelines {
       val truth = Dedup.cosineNearDupBucketed(corpus, "vec_id",
           "embedding", threshold = 0.9, dim = 64)
         .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
+      // coalesce(., 0) on the count-like aggregates: over an EMPTY
+      // truth set sum() is NULL where the oracle's count(*) is 0 and
+      // its recall literal TRUE — a degenerate-fixture hash mismatch
+      // otherwise (the checksum stays NULL on both sides)
       truth.join(found, Seq("id_a", "id_b"), "full_outer")
         .agg(
-          sum(col("__t")).as("n_truth_pairs"),
+          coalesce(sum(col("__t")), lit(0L)).as("n_truth_pairs"),
           sum(when(col("__t").isNotNull,
             col("id_a") * 4000000L + col("id_b"))).as("truth_checksum"),
           (coalesce(sum(when(col("__t") === 1L && col("__f") === 1L, 1L)), lit(0L)) >=
-            sum(col("__t")) * 0.8).as("recall_ge_80"),
+            coalesce(sum(col("__t")), lit(0L)) * 0.8).as("recall_ge_80"),
           (coalesce(sum(when(col("__t").isNull, 1L)), lit(0L)) === 0L)
             .as("precision_exact"))
         .crossJoin(corpus.agg(count(lit(1)).as("n_vecs")))
