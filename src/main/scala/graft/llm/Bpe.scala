@@ -124,10 +124,12 @@ object Bpe {
                    merges: Seq[(String, String)]): DataFrame = {
     // sequence(1, 0) generates DESCENDING [1, 0] in Spark, so an
     // empty token must short-circuit to an empty symbol array rather
-    // than two empty-string symbols
-    val chars = when(length(col(tokenCol)) > 0,
-      transform(sequence(lit(1), length(col(tokenCol))),
-        i => col(tokenCol).substr(i, lit(1))))
+    // than two empty-string symbols; a NULL token stays NULL (the
+    // kernel chain is null-preserving, so the column stays NULL).
+    val chars = when(col(tokenCol).isNull, lit(null).cast("array<string>"))
+      .when(length(col(tokenCol)) > 0,
+        transform(sequence(lit(1), length(col(tokenCol))),
+          i => col(tokenCol).substr(i, lit(1))))
       .otherwise(array().cast("array<string>"))
     val encoded = merges.foldLeft(chars) { case (syms, (l, r)) =>
       graft.functions.BpeKernels.merge_pair(syms, l, r)

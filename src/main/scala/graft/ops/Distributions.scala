@@ -105,7 +105,8 @@ object Distributions {
       s"percents must be in (0,100]: $percents")
     require(buckets >= 2, s"need at least 2 buckets: $buckets")
     val reserved = Set("__dp_v", "__dp_k", "__dp_b", "__dp_rn",
-      "__gk", "__lo", "__w", "__n", "__c", "__cum", "__p", "__t", "__rw")
+      "__gk", "__lo", "__hi", "__loc", "__w", "__n", "__c", "__cum",
+      "__p", "__t", "__rw")
     require(df.columns.forall(c => !reserved.contains(c)),
       s"input already has a reserved column: " +
         df.columns.toSet.intersect(reserved))

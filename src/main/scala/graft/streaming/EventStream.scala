@@ -271,16 +271,21 @@ object EventStream {
     * pairs (hamming <= maxHamming) against every image sharing a
     * multi-block combination key within the watermark horizon. Key
     * construction is [[graft.llm.Dedup.comboKeyExprs]] — bit-identical
-    * with the batch join's buckets — so below the bucket cap the
-    * DISTINCT emitted pair set equals the batch output exactly
-    * (StreamingSpec pins it); a pair sharing several combinations
-    * emits once per combination (the batch path's canonical-combo
-    * filter needs both hashes per candidate, which a stream has at
-    * emission — the exact check subsumes it; callers dedup downstream
-    * as with [[streamingMinhashCandidates]]). Non-decodable payloads
-    * hash to NULL and drop out, as in batch. State and eviction follow
-    * the MinHash twin: O(cap) per bucket, idle buckets evicted once
-    * the watermark passes `idleTimeout` past their last arrival. */
+    * with the batch join's buckets — and emission applies the SAME
+    * canonical-combo filter as the batch join (both fingerprints are
+    * in hand at emission, so the first-all-clean-combination index is
+    * computable per pair): below the bucket cap the emitted pair
+    * MULTISET equals the batch output exactly, once per pair, no
+    * downstream distinct needed (StreamingSpec pins it). Non-decodable
+    * payloads hash to NULL and drop out, as in batch. A bucket that
+    * exceeds `maxBucketSize` stops emitting pairs until watermark
+    * eviction — and says so loudly with ONE sentinel row
+    * `(id_a = -1, id_b = <bucket key>, hamming = -1)` at the overflow
+    * transition, so a downstream consumer can alert on recall loss
+    * instead of silently missing pairs (filter `id_a >= 0` for the
+    * pair stream). State and eviction follow the MinHash twin: O(cap)
+    * per bucket, idle buckets evicted once the watermark passes
+    * `idleTimeout` past their last arrival. */
   def streamingImageNearDupCandidates(media: DataFrame, idCol: String,
                                       payloadCol: String, tsCol: String,
                                       blocks: Int = 9, maxHamming: Int = 7,
@@ -290,6 +295,16 @@ object EventStream {
                                       idleTimeout: String = "24 hours"): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // Per-combination clean masks, SAME enumeration order as
+    // comboKeyExprs: canonical combo of a pair = first index whose
+    // masked XOR is zero. Tiny (C(blocks, keyBlocks) longs), rides the
+    // closure to every executor.
+    val comboMasks: Array[Long] = locally {
+      val (widths, offsets) = graft.llm.Dedup.blockLayout(blocks)
+      def widthMask(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
+      (0 until blocks).combinations(keyBlocks).map(
+        _.map(b => widthMask(widths(b)) << offsets(b)).reduce(_ | _)).toArray
+    }
     val fp = media.select(col(idCol).cast("long").as("id"),
         col(tsCol).as("ts"),
         graft.functions.PerceptualHash.d_hash(col(payloadCol)).as("sh"))
@@ -304,7 +319,7 @@ object EventStream {
       .groupByKey(r => (r._4, r._5))
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: (Int, Long),
+        (bucket: (Int, Long),
          arrivals: Iterator[(Long, java.sql.Timestamp, Long, Int, Long)],
          st: GroupState[HashBucketState]) =>
           if (st.hasTimedOut) {
@@ -319,12 +334,22 @@ object EventStream {
               if (ts.getTime >= wm) {
                 maxTs = math.max(maxTs, ts.getTime)
                 if (!s.overflowed && !s.members.exists(_._1 == id)) {
-                  if (s.n + 1 > maxBucketSize)
+                  if (s.n + 1 > maxBucketSize) {
                     s = HashBucketState(Nil, s.n + 1, overflowed = true)
-                  else {
+                    // loud cap: one sentinel at the overflow transition
+                    out += ((-1L, bucket._2, -1))
+                  } else {
                     s.members.foreach { case (otherId, otherSh) =>
-                      val h = java.lang.Long.bitCount(sh ^ otherSh)
-                      if (h <= maxHamming)
+                      val x = sh ^ otherSh
+                      val h = java.lang.Long.bitCount(x)
+                      // canonical-combo filter, identical to the batch
+                      // join's: emit only from the pair's FIRST
+                      // all-clean combination, so each verified pair
+                      // appears exactly once across all its shared
+                      // buckets (this bucket is clean, so a canonical
+                      // one always exists at index <= bucket._1)
+                      if (h <= maxHamming &&
+                          comboMasks.indexWhere(m => (x & m) == 0L) == bucket._1)
                         out += ((math.min(id, otherId),
                           math.max(id, otherId), h))
                     }

@@ -215,6 +215,15 @@ class SpansSpec extends AnyFunSuite {
     assert(enc(0) == Seq("aa", "a"))
     assert(enc(1) == Seq("ab", "ab"))
     assert(enc(2) == Seq("b", "a"))
+    // NULL token stays NULL (matches the null-preserving kernel);
+    // empty token -> empty symbol array, not [""," "]
+    val edge = Bpe.encodeTokens(
+        Seq(Some("a"), None, Some("")).toDF("tok"),
+        "tok", Seq(("a", "a")))
+      .select($"bpe_symbols").collect().toSeq
+    assert(edge(0).getSeq[String](0) == Seq("a"))
+    assert(edge(1).isNullAt(0), "NULL token must encode to NULL")
+    assert(edge(2).getSeq[String](0) == Seq.empty)
     // a corpus that exhausts before the requested rounds stops early
     val tiny = Seq("ab ab").toDF("text")
     val merges = Bpe.trainMerges(tiny, "text", rounds = 10)

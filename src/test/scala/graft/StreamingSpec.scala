@@ -408,8 +408,11 @@ class StreamingSpec extends AnyFunSuite {
     // the continuous-ingest twin of q80: same codegen'd dHash kernel,
     // bit-identical multi-block combination keys (Dedup.comboKeyExprs),
     // exact Hamming verification AT EMISSION (both hashes live in the
-    // bucket state). Distinct-set equality against the batch operator,
-    // which MultimodalSpec already proves equal to brute force.
+    // bucket state), and the batch join's canonical-combo filter
+    // replayed at emission — so the raw output is once-per-pair, NO
+    // downstream distinct. Multiset equality against the batch
+    // operator, which MultimodalSpec already proves equal to brute
+    // force.
     val sfDir = SparkTestBase.sf
     val dir = Files.createTempDirectory("graft_stream_phash")
     val ids = Tables.documents(spark, sfDir)
@@ -424,12 +427,17 @@ class StreamingSpec extends AnyFunSuite {
     }
     val schema = spark.read.parquet(dir.toString).schema
     val stream = spark.readStream.schema(schema).parquet(dir.toString)
-    val got = EventStream.runToMemorySink(spark,
+    val raw = EventStream.runToMemorySink(spark,
         EventStream.streamingImageNearDupCandidates(stream,
           "media_id", "payload", "ts"),
         "phash_stream", OutputMode.Append())
-      .select($"id_a", $"id_b", $"hamming").distinct()
-      .as[(Long, Long, Int)].collect().toSet
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(!raw.exists(_._1 < 0), "no overflow sentinels expected at cap 500")
+    // canonical-combo emission: each pair appears EXACTLY once
+    assert(raw.size == raw.toSet.size,
+      s"duplicate emissions: ${raw.groupBy(identity).filter(_._2.size > 1).keys.take(5)}")
+    val got = raw.toSet
     val want = graft.llm.Multimodal.imageNearDupPairs(
         ids.toDF("doc_id").transform(
           graft.llm.Multimodal.syntheticImageTable(_, "doc_id")),
@@ -438,6 +446,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must contain image near-dups")
     assert(got == want,
       s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("streaming perceptual-hash bucket cap emits a loud sentinel") {
+    // identical payloads over cap: members up to the cap emit their
+    // canonical pairs; the row that overflows the bucket emits ONE
+    // (-1, key, -1) sentinel per overflowed bucket and the bucket goes
+    // quiet until eviction — recall loss is announced, not silent.
+    val dir = Files.createTempDirectory("graft_stream_phash_cap")
+    val mk = (id: Long) => (id,
+      new java.sql.Timestamp(1700000000000L + id * 1000L),
+      graft.llm.Multimodal.syntheticBmp(7L)) // same image -> same hash
+    // two files with ordered mtimes + maxFilesPerTrigger=1 → member 4
+    // arrives in a SECOND microbatch, after the bucket holds {1,2,3}
+    def writeMediaFile(name: String, seq: Int, ids: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory("graft_phash_part")
+      ids.map(mk).toDF("media_id", "ts", "payload")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val target = dir.resolve(name)
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(target,
+        FileTime.fromMillis(1700000000000L + seq * 60000L))
+    }
+    writeMediaFile("m0.parquet", 0, Seq(1L, 2L, 3L))
+    writeMediaFile("m1.parquet", 1, Seq(4L))
+    val stream = spark.readStream
+      .schema("media_id long, ts timestamp, payload binary")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val rows = EventStream.runToMemorySink(spark,
+        EventStream.streamingImageNearDupCandidates(stream,
+          "media_id", "payload", "ts", maxBucketSize = 3),
+        "phash_cap_stream", OutputMode.Append())
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    val (sentinels, pairs) = rows.partition(_._1 < 0)
+    // identical hashes share ALL combos; canonical filter keeps combo 0
+    assert(pairs.toSet == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)),
+      s"pairs=$pairs")
+    assert(pairs.size == 3, s"once per pair, got $pairs")
+    // every combo bucket of the shared hash overflows on member 4:
+    // C(9,2) = 36 sentinels, one per bucket
+    assert(sentinels.size == 36 &&
+        sentinels.forall(r => r._1 == -1L && r._3 == -1),
+      s"sentinels=${sentinels.size}: ${sentinels.take(5)}")
   }
 
   test("streaming MinHash bucket cap poisons hot buckets and bounds state") {
