@@ -29,7 +29,12 @@ object Scrub {
   /** (name, pattern, replacement token), applied in order. */
   val patterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("url", "https?://[^ \\t\\n\\r]+", "<URL>"),
+    // the final character class keeps sentence-closing punctuation out
+    // of the redaction ("see https://x.org/p." redacts the URL, keeps
+    // the period) so scrubbed text stays tokenizer-friendly; greedy
+    // prefix + required non-punct final char works identically in both
+    // dialects, no lookaround needed
+    ("url", "https?://[^ \\t\\n\\r]*[^ \\t\\n\\r.,;:!?)]", "<URL>"),
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
     ("phone", "\\+?\\d[\\d-]{7,}\\d", "<PHONE>"))
 

@@ -618,6 +618,21 @@ class LlmSpec extends AnyFunSuite {
       .select($"scrubbed_t", $"n_email", $"n_phone")
       .as[(String, Int, Int)].head()
     assert(tricky == (("reach <EMAIL> now", 1, 0)), tricky)
+    // URL boundary: sentence-closing punctuation stays OUTSIDE the
+    // redaction (round-8 advice) — the period/paren after the URL
+    // survives for downstream tokenization; interior punctuation and
+    // trailing path slashes still belong to the URL
+    val urlEdges = Scrub.scrubWithCounts(Seq(
+        (1L, "see https://x.org/p. next"),
+        (2L, "wrapped (https://x.org/a?b=1) here"),
+        (3L, "trailing slash https://x.org/dir/ stays"),
+        (4L, "q https://x.org/w?a=1,b=2! bang")).toDF("id", "t"), "t")
+      .select($"id", $"scrubbed_t", $"n_url")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(urlEdges(0)._2 == "see <URL>. next" && urlEdges(0)._3 == 1)
+    assert(urlEdges(1)._2 == "wrapped (<URL>) here" && urlEdges(1)._3 == 1)
+    assert(urlEdges(2)._2 == "trailing slash <URL> stays" && urlEdges(2)._3 == 1)
+    assert(urlEdges(3)._2 == "q <URL>! bang" && urlEdges(3)._3 == 1)
   }
 
   test("HLL approx distinct within 5% of exact at rsd=1%") {
