@@ -6,13 +6,29 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
-/** Perceptual image hashing (dHash / aHash) over uncompressed 24bpp
-  * BMP payloads — the image leg of the near-dup dedup mandate,
-  * completing the SimHash text path ([[graft.llm.Dedup]]) with a
-  * fingerprint the SAME Hamming-banding infrastructure dedups at
-  * scale. Pure byte arithmetic, no codec (container constraint —
-  * codec-requiring formats hash to NULL, the documented stub
-  * boundary; the plumbing, banding, and verification are real).
+/** Perceptual image hashing (dHash / aHash) over image payloads — the
+  * image leg of the near-dup dedup mandate, completing the SimHash
+  * text path ([[graft.llm.Dedup]]) with a fingerprint the SAME
+  * Hamming-banding infrastructure dedups at scale. Two decode paths
+  * feed one grid/bit pipeline:
+  *
+  *  - uncompressed 24bpp BMP: pure byte arithmetic, zero-copy off the
+  *    payload array (the fast path, and the only one a SQL oracle can
+  *    replay bit for bit — q80 pins it);
+  *  - PNG / JPEG / GIF (magic-sniffed): JDK `javax.imageio` decode —
+  *    no external libraries — into the same nearest-neighbor gray
+  *    grid. PNG/GIF are lossless, so their hashes equal the BMP
+  *    twin's EXACTLY (MultimodalSpec pins hash(png(img)) ==
+  *    hash(bmp(img)) with ImageIO as an independent second decoder);
+  *    JPEG is lossy, so its hash lands within a small Hamming radius
+  *    of the twin (spec-pinned), which is precisely what a
+  *    NEAR-duplicate detector wants — re-encoded copies land in the
+  *    same Hamming buckets. JPEG decode is deterministic within one
+  *    JDK but NOT pinned across JDK implementations; a cluster must
+  *    run one JDK (true of any Spark deployment) for fingerprints to
+  *    be comparable across executors.
+  *
+  * Anything else hashes to NULL.
   *
   *  - dHash (difference hash): nearest-neighbor downsample to 9×8
   *    grayscale; bit y·8+x is set iff gray(x,y) > gray(x+1,y) — a
@@ -92,9 +108,32 @@ object PerceptualHash {
     g
   }
 
-  /** 64-bit difference hash; caller guarantees [[isHashable]]. */
-  def dhash64(b: Array[Byte]): Long = {
-    val g = grid(b, 9, 8)
+  /** Same grid off an ImageIO-decoded image — IDENTICAL sampling
+    * convention (target (x,y) ← source (x·w/tw, y·h/th)) and gray
+    * convention (channel sum r+g+b), so a losslessly re-encoded image
+    * hashes exactly like its BMP twin. Alpha ignored (hash of what's
+    * painted, not of transparency). */
+  private def gridFromImage(img: java.awt.image.BufferedImage,
+                            tw: Int, th: Int): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val g = new Array[Int](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        val rgb = img.getRGB((x.toLong * w / tw).toInt, sy)
+        g(y * tw + x) =
+          ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    g
+  }
+
+  private def dhashBits(g: Array[Int]): Long = {
     var hash = 0L
     var y = 0
     while (y < 8) {
@@ -108,9 +147,7 @@ object PerceptualHash {
     hash
   }
 
-  /** 64-bit average hash; caller guarantees [[isHashable]]. */
-  def ahash64(b: Array[Byte]): Long = {
-    val g = grid(b, 8, 8)
+  private def ahashBits(g: Array[Int]): Long = {
     var total = 0L
     var i = 0
     while (i < 64) { total += g(i); i += 1 }
@@ -123,8 +160,60 @@ object PerceptualHash {
     hash
   }
 
-  /** Column API: 64-bit dHash of a 24bpp BMP payload, NULL when the
-    * payload needs a codec this engine does not carry. */
+  /** 64-bit difference hash; caller guarantees [[isHashable]]. */
+  def dhash64(b: Array[Byte]): Long = dhashBits(grid(b, 9, 8))
+
+  /** 64-bit average hash; caller guarantees [[isHashable]]. */
+  def ahash64(b: Array[Byte]): Long = ahashBits(grid(b, 8, 8))
+
+  /** Magic-byte sniff for the codec formats the JDK decodes natively.
+    * Deliberately narrow: an unknown format should hash NULL, not be
+    * fed to ImageIO on spec. */
+  def looksLikeCodec(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 && (
+      (b(0) == 0x89.toByte && b(1) == 'P'.toByte &&
+        b(2) == 'N'.toByte && b(3) == 'G'.toByte) ||        // PNG
+      ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
+        (b(2) & 0xFF) == 0xFF) ||                           // JPEG
+      (b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte && b(3) == '8'.toByte))          // GIF87a/89a
+
+  // ImageIO's default stream cache spills every decode through a temp
+  // FILE — catastrophic for a hot fingerprint loop. In-memory cache
+  // only; set once, idempotent, and the only global it touches is
+  // ImageIO's own caching knob.
+  private lazy val imageIoReady: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
+  /** Boxed hashing entry for the codegen'd kernel: raw-BMP fast path,
+    * ImageIO codec fallback (PNG/JPEG/GIF), NULL (java null) when
+    * neither decodes. */
+  def hash64(b: Array[Byte], dhash: Boolean): java.lang.Long = {
+    if (b == null) null
+    else if (isHashable(b))
+      java.lang.Long.valueOf(if (dhash) dhash64(b) else ahash64(b))
+    else if (looksLikeCodec(b)) {
+      val _ = imageIoReady
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) null
+        else java.lang.Long.valueOf(
+          if (dhash) dhashBits(gridFromImage(img, 9, 8))
+          else ahashBits(gridFromImage(img, 8, 8)))
+      } catch {
+        // truncated/corrupt payloads surface as IIOException/IOException
+        // (and some broken streams as RuntimeException inside plugins);
+        // a corrupt image is data, not a bug — hash NULL, keep scanning
+        case _: java.io.IOException => null
+        case _: RuntimeException => null
+      }
+    } else null
+  }
+
+  /** Column API: 64-bit dHash of a BMP/PNG/JPEG/GIF payload, NULL
+    * when the payload decodes under none of them. */
   def d_hash(payload: Column): Column =
     GraftSqlBridge.column(BmpHash64(
       GraftSqlBridge.expression(payload), dhash = true))
@@ -135,8 +224,10 @@ object PerceptualHash {
       GraftSqlBridge.expression(payload), dhash = false))
 }
 
-/** Codegen'd BINARY → LONG perceptual hash (see [[PerceptualHash]]);
-  * NULL for payloads [[PerceptualHash.isHashable]] rejects. */
+/** Codegen'd BINARY → LONG perceptual hash (see [[PerceptualHash]]):
+  * raw 24bpp-BMP fast path plus JDK ImageIO codec fallback; NULL for
+  * payloads neither decodes. (Name kept from the BMP-only era — it is
+  * the hash REGISTER width that's 64, not the format.) */
 case class BmpHash64(child: Expression, dhash: Boolean)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -145,20 +236,18 @@ case class BmpHash64(child: Expression, dhash: Boolean)
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"expected BINARY, got $t")
   }
-  private def fn: String = if (dhash) "dhash64" else "ahash64"
-  override def nullSafeEval(b: Any): Any = {
-    val bytes = b.asInstanceOf[Array[Byte]]
-    if (PerceptualHash.isHashable(bytes))
-      (if (dhash) PerceptualHash.dhash64(bytes)
-       else PerceptualHash.ahash64(bytes))
-    else null
-  }
+  override def nullSafeEval(b: Any): Any =
+    PerceptualHash.hash64(b.asInstanceOf[Array[Byte]], dhash)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      if (graft.functions.PerceptualHash.isHashable($c)) {
-        ${ev.value} = graft.functions.PerceptualHash.$fn($c);
+    nullSafeCodeGen(ctx, ev, { c =>
+      val h = ctx.freshName("phash")
+      s"""
+      java.lang.Long $h = graft.functions.PerceptualHash.hash64($c, $dhash);
+      if ($h != null) {
+        ${ev.value} = $h.longValue();
       } else {
         ${ev.isNull} = true;
-      }""")
+      }"""
+    })
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
