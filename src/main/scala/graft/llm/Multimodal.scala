@@ -269,6 +269,94 @@ object Multimodal {
     Dedup.hammingCandidatesFromFp(fp, blocks, maxHamming, keyBlocks)
   }
 
+  /** Per-sample value of doc `id`'s synthetic PCM stream — the audio
+    * analogue of [[synthGray]], same family structure (families of 100
+    * consecutive ids share a pseudo-random base waveform; a sparse
+    * per-id bump perturbs a few samples) and the same
+    * murmur-style avalanche over a Mersenne-prime domain, so ANSI SQL
+    * replays it exactly and cliques stay BOUNDED at the family width
+    * under corpus replication (the q80 scale argument, verbatim).
+    * Values are {200, 1000} + bump 500 — positive, far under 2^15. */
+  private[graft] def synthSample(id: Long, i: Int): Int = {
+    val fam = id / 100L
+    val par = {
+      var v = Math.floorMod(fam * 2654435761L + (i + 1L) * 48271L,
+        2147483647L)
+      v = Math.floorMod((v ^ (v >> 15)) * 2246822519L, 2147483647L)
+      v = Math.floorMod((v ^ (v >> 13)) * 3266489917L, 2147483647L)
+      (v ^ (v >> 16)) % 2L
+    }
+    val bump = if (Math.floorMod(id * 31L + i * 17L, 97L) < 2L) 500L else 0L
+    (200L + 800L * par + bump).toInt
+  }
+
+  /** How many PCM frames [[syntheticPcmWav]] carries: 2 per energy
+    * cell, so the q84 oracle knows cell k = s(2k)² + s(2k+1)². */
+  private[graft] val SynthPcmFrames = 144
+
+  /** A REAL canonical-layout 16-bit PCM mono WAV whose 144 samples are
+    * [[synthSample]] — strict 44-byte header (RIFF/WAVE, "fmt " PCM16,
+    * "data" with exact length), so the fingerprint kernel's decode
+    * contract holds and any external WAV reader accepts the file. */
+  private[graft] def syntheticPcmWav(id: Long): Array[Byte] = {
+    def putLeInt(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def putLeShort(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val n = SynthPcmFrames
+    val dataLen = n * 2
+    val b = new Array[Byte](44 + dataLen)
+    "RIFF".getBytes.copyToArray(b, 0)
+    putLeInt(b, 4, 36 + dataLen)
+    "WAVE".getBytes.copyToArray(b, 8)
+    "fmt ".getBytes.copyToArray(b, 12)
+    putLeInt(b, 16, 16)            // fmt chunk size
+    putLeShort(b, 20, 1)           // PCM
+    putLeShort(b, 22, 1)           // mono
+    putLeInt(b, 24, 8000)          // sample rate
+    putLeInt(b, 28, 16000)         // byte rate
+    putLeShort(b, 32, 2)           // block align
+    putLeShort(b, 34, 16)          // bits per sample
+    "data".getBytes.copyToArray(b, 36)
+    putLeInt(b, 40, dataLen)
+    var i = 0
+    while (i < n) {
+      putLeShort(b, 44 + i * 2, synthSample(id, i) & 0xFFFF)
+      i += 1
+    }
+    b
+  }
+
+  /** Deterministic audio fixture table: (media_id, payload) with a
+    * real decodable PCM16 WAV per input id (see [[syntheticPcmWav]]). */
+  def syntheticAudioTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPcmWav(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** Audio near-dup candidate pairs by acoustic fingerprint + Hamming
+    * banding — the WAV twin of [[imageNearDupPairs]]: fingerprint once
+    * through the codegen'd [[graft.functions.AudioFingerprint]] kernel
+    * (non-PCM16 payloads drop out as NULL), then the SAME multi-block
+    * Hamming banding, exhaustive for hamming <= maxHamming by
+    * pigeonhole, one equi-join keyed on (combination, key bits), never
+    * all-pairs. */
+  def audioNearDupPairs(media: DataFrame, idCol: String,
+                        payloadCol: String, blocks: Int = 9,
+                        maxHamming: Int = 7, keyBlocks: Int = 2): DataFrame = {
+    val fp = graft.core.Caching.eager(media.select(
+        col(idCol).cast("long").as("id"),
+        graft.functions.AudioFingerprint.audio_fp(col(payloadCol)).as("sh"))
+      .where(col("sh").isNotNull))
+    Dedup.hammingCandidatesFromFp(fp, blocks, maxHamming, keyBlocks)
+  }
+
   /** STUB feature hash: stands in for an embedding/perceptual hash. */
   private def featureHashStub(payload: Array[Byte]): Long = {
     var h = 0xCBF29CE484222325L

@@ -1578,8 +1578,81 @@ object LlmPipelines {
          |GROUP BY source ORDER BY source""".stripMargin
     })
 
+  /** DuckDB replica of [[graft.llm.Multimodal.synthSample]] for sample
+    * `i` of doc `id`'s synthetic PCM stream — every coefficient folded
+    * to a literal, same avalanche style as [[q80Gray]]. */
+  private def q84Sample(i: Int): String = {
+    val seed = s"((id // 100) * 2654435761 + ${(i + 1) * 48271L})"
+    val v0 = s"($seed % 2147483647)"
+    val v1 = s"(xor($v0, $v0 >> 15) * 2246822519 % 2147483647)"
+    val v2 = s"(xor($v1, $v1 >> 13) * 3266489917 % 2147483647)"
+    val par = s"(xor($v2, $v2 >> 16) % 2)"
+    s"(200 + 800*$par + " +
+      s"(CASE WHEN (id*31 + ${i * 17}) % 97 < 2 THEN 500 ELSE 0 END))"
+  }
+
+  /** The q84 oracle, GENERATED like q80's: a CTE computes the 144
+    * samples, the next the 72 cell energies (2 samples per cell in the
+    * fixture), the next the 64 energy-gradient comparison bits; the
+    * pair join counts bit DISAGREEMENTS directly — Hamming without
+    * materializing the 64-bit hash (the same bit-63 BIGINT-overflow
+    * dodge as q80). */
+  private def q84Oracle: String = {
+    val sampleCols = (0 until 144).map(i =>
+      s"${q84Sample(i)} AS s$i").mkString(",\n    ")
+    val energyCols = (0 until 72).map(k =>
+      s"(s${2 * k}*s${2 * k} + s${2 * k + 1}*s${2 * k + 1}) AS e$k")
+      .mkString(",\n    ")
+    val bitCols = (0 until 64).map { k =>
+      val x = k % 8; val y = k / 8
+      s"(e${y * 9 + x} > e${y * 9 + x + 1}) AS db$k"
+    }.mkString(",\n    ")
+    val ham = (0 until 64).map(k =>
+      s"CASE WHEN a.db$k <> b.db$k THEN 1 ELSE 0 END").mkString(" +\n      ")
+    s"""WITH smp AS (
+       |  SELECT doc_id AS id,
+       |    $sampleCols
+       |  FROM documents),
+       |nrg AS (
+       |  SELECT id,
+       |    $energyCols
+       |  FROM smp),
+       |bits AS (
+       |  SELECT id,
+       |    $bitCols
+       |  FROM nrg)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(($ham) AS INTEGER) AS hamming
+       |FROM bits a JOIN bits b ON a.id < b.id
+       |WHERE ($ham) <= 7
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Audio near-dup dedup by acoustic fingerprint — the WAV leg of the
+    * multimodal dedup mandate (the image leg is q80): REAL canonical
+    * PCM16 WAV payloads (samples an integer function of doc_id,
+    * [[graft.llm.Multimodal.synthSample]]) are fingerprinted through
+    * the codegen'd time-domain energy-gradient kernel
+    * ([[graft.functions.AudioFingerprint]], Haitsma–Kalker-style sign
+    * bits) and deduped with the SAME Hamming banding as q80 — one
+    * equi-join keyed on (combination, key bits), exhaustive for
+    * hamming <= 7, never all-pairs (the oracle's a.id < b.id join is
+    * the n² shape this operator exists to avoid). Families of 100
+    * consecutive ids share a base waveform; sparse per-id bumps make
+    * bounded near-dup cliques, exactly the q80 fixture argument. */
+  val q84 = QueryDef(
+    "q84_audio_neardup",
+    (s, dir) => {
+      val wavs = graft.llm.Multimodal.syntheticAudioTable(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+      graft.llm.Multimodal.audioNearDupPairs(wavs, "media_id", "payload")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(q84Oracle))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-      q81, q82, q83)
+      q81, q82, q83, q84)
 }

@@ -224,6 +224,103 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio fingerprint matches a direct reference implementation") {
+    import graft.functions.AudioFingerprint
+    // reference: recompute the fingerprint straight from synthSample —
+    // independent of the WAV builder AND the byte-walk kernel
+    def refFp(id: Long): Long = {
+      val n = Multimodal.SynthPcmFrames
+      val e = Array.tabulate(72) { k =>
+        ((k * n / 72) until ((k + 1) * n / 72)).map { i =>
+          val s = Multimodal.synthSample(id, i).toLong; s * s
+        }.sum
+      }
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (e(y * 9 + x) > e(y * 9 + x + 1)) h |= 1L << (y * 8 + x)
+      h
+    }
+    (0L until 200L).foreach { id =>
+      val b = Multimodal.syntheticPcmWav(id)
+      assert(AudioFingerprint.isFingerprintable(b), s"id=$id")
+      assert(AudioFingerprint.fp64(b) == refFp(id), s"fp id=$id")
+    }
+    assert((0L until 500L).exists(id => refFp(id) < 0L),
+      "fixture population should exercise the sign bit")
+    // decode-contract rejections: junk, image, truncated, short
+    assert(AudioFingerprint.fp64Boxed("RIFFnope".getBytes) == null)
+    assert(AudioFingerprint.fp64Boxed(Multimodal.syntheticBmp(1L)) == null)
+    assert(AudioFingerprint.fp64Boxed(
+      Multimodal.syntheticPcmWav(1L).take(44 + 100)) == null) // 50 frames < 72
+    assert(AudioFingerprint.fp64Boxed(null) == null)
+  }
+
+  test("audio fingerprint is invariant under volume scaling and sign flip") {
+    import graft.functions.AudioFingerprint
+    def mapSamples(b: Array[Byte], f: Int => Int): Array[Byte] = {
+      val out = b.clone()
+      var i = 0
+      while (44 + i * 2 + 1 < out.length) {
+        val s = ((out(44 + i * 2) & 0xFF) | (out(45 + i * 2) << 8)).toShort.toInt
+        val v = f(s)
+        out(44 + i * 2) = (v & 0xFF).toByte
+        out(45 + i * 2) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      out
+    }
+    (1L to 40L).foreach { id =>
+      val b = Multimodal.syntheticPcmWav(id)
+      val fp = AudioFingerprint.fp64(b)
+      // 2x gain: every energy scales by 4, comparisons unchanged
+      assert(AudioFingerprint.fp64(mapSamples(b, _ * 2)) == fp, s"gain id=$id")
+      // polarity inversion: energy is even in s
+      assert(AudioFingerprint.fp64(mapSamples(b, s => -s)) == fp, s"flip id=$id")
+    }
+  }
+
+  test("audio near-dup banding: full recall vs brute force, perturbed twins found") {
+    import graft.functions.AudioFingerprint
+    val ids = (0L until 300L).toSeq
+    val wavs = ids.toDF("doc_id")
+      .transform(Multimodal.syntheticAudioTable(_, "doc_id"))
+    val got = Multimodal.audioNearDupPairs(wavs, "media_id", "payload")
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val fps = ids.map(id =>
+      id -> AudioFingerprint.fp64(Multimodal.syntheticPcmWav(id))).toMap
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 7
+    } yield (a, b, h)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "fixture families must produce near-dup pairs")
+    // perturbation recall: a lightly noised re-encode of each waveform
+    // (±1 LSB on every 11th sample — dithering/requantization noise)
+    // must land within the banding radius of its original and be FOUND
+    val perturbed = ids.take(50).map { id =>
+      val b = Multimodal.syntheticPcmWav(id)
+      var i = 0
+      while (44 + i * 2 + 1 < b.length) {
+        if (i % 11 == 0) {
+          val s = ((b(44 + i * 2) & 0xFF) | (b(45 + i * 2) << 8)).toShort.toInt
+          val v = s + (if (i % 22 == 0) 1 else -1)
+          b(44 + i * 2) = (v & 0xFF).toByte
+          b(45 + i * 2) = ((v >> 8) & 0xFF).toByte
+        }
+        i += 1
+      }
+      (id + 1000000L, b)
+    }
+    val mixed = wavs.union(perturbed.toDF("media_id", "payload"))
+    val pairs = Multimodal.audioNearDupPairs(mixed, "media_id", "payload")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    ids.take(50).foreach { id =>
+      assert(pairs.contains((id, id + 1000000L)),
+        s"perturbed twin pair missing for id=$id")
+    }
+  }
+
   test("codec'd payloads (PNG/JPEG/GIF) hash through the same grid as BMP") {
     import graft.functions.PerceptualHash
     def decode(b: Array[Byte]): java.awt.image.BufferedImage = {
