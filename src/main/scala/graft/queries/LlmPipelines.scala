@@ -1651,8 +1651,62 @@ object LlmPipelines {
     },
     Some(q84Oracle))
 
+  /** Learned document-quality gate ([[graft.llm.Quality]], fastText-
+    * style hashed uni+bigram linear model, inference only) rolled up
+    * per source: docs, gate-kept docs, gram and weight totals — every
+    * column an exact BIGINT, the keep gate cross-multiplied so neither
+    * engine divides. The oracle recomputes each gram's weight from its
+    * hash bucket alone (the weight fixture is a formula, not a table),
+    * replaying the polynomial char fold via list_reduce and the
+    * avalanche via xor/shift/mod — all in the Java∩DuckDB exact
+    * integer domain. Docs with zero grams (NULL/empty/filtered-out
+    * text) re-enter via left join: counted, never kept. */
+  val q85 = QueryDef(
+    "q85_quality_gate",
+    (s, dir) =>
+      graft.llm.Quality.gateRollup(
+          Tables.documents(s, dir).select(col("source"), col("text")),
+          "text", "source")
+        .orderBy(col("source")),
+    Some {
+      val hash =
+        """list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |      list_transform(generate_series(1, CAST(length(g) AS INTEGER)),
+          |        i -> CAST(ord(substr(g, i, 1)) AS BIGINT))),
+          |      (acc, c) -> (acc*31 + c) % 2147483647)""".stripMargin
+      s"""WITH words AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> regexp_matches(x, '^[a-z0-9]+$$')) AS ws
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(ws) AS g FROM words
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i + 1])) AS g FROM words),
+         |scored AS (
+         |  SELECT doc_id, b,
+         |    ((xor(v0, v0 >> 15) * 2246822519 % 2147483647) % 1001) - 500 AS w
+         |  FROM (
+         |    SELECT doc_id, b, ((b + 1) * 2654435761) % 2147483647 AS v0
+         |    FROM (SELECT doc_id, ($hash) % 1024 AS b FROM grams))),
+         |per_doc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(w) AS BIGINT) AS sum_w
+         |  FROM scored GROUP BY doc_id)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN coalesce(p.sum_w, 0) * 1000 >
+         |    25 * coalesce(p.n_grams, 0) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS kept_docs,
+         |  CAST(sum(coalesce(p.n_grams, 0)) AS BIGINT) AS grams,
+         |  CAST(sum(coalesce(p.sum_w, 0)) AS BIGINT) AS weight_sum
+         |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    })
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-      q81, q82, q83, q84)
+      q81, q82, q83, q84, q85)
 }

@@ -635,6 +635,49 @@ class LlmSpec extends AnyFunSuite {
     assert(urlEdges(3)._2 == "q <URL>! bang" && urlEdges(3)._3 == 1)
   }
 
+  test("quality gate matches a direct reference implementation") {
+    import graft.functions.QualityScore64
+    // reference: string-level recomputation — concatenated bigrams,
+    // fresh hash per gram — independent of the kernel's prefix-resume
+    // optimization and its byte walk
+    def refHash(g: String): Long =
+      g.foldLeft(QualityScore64.HashInit)((a, c) =>
+        (a * 31L + c.toInt) % QualityScore64.Mod)
+    def refScore(text: String): (Long, Long) = {
+      val ws = Option(text).toSeq
+        .flatMap(_.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+"))
+        .filter(_.matches("^[a-z0-9]+$"))
+      val grams = ws ++ ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+      (grams.map(g => QualityScore64.weight(
+        (refHash(g) % QualityScore64.Dim).toInt).toLong).sum,
+        grams.size.toLong)
+    }
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val got = graft.llm.Quality.scored(
+        Tables.documents(spark, SparkTestBase.sf), "text")
+      .select($"doc_id", $"quality_weight_sum", $"quality_grams")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == refScore(text), s"doc $id")
+    }
+    // the weight fixture must carry signal in both directions
+    val ws = (0 until QualityScore64.Dim).map(QualityScore64.weight)
+    assert(ws.exists(_ > 0) && ws.exists(_ < 0))
+    assert(ws.forall(w => w >= -500 && w <= 500))
+    // edges: empty/null/filtered-only text → 0 grams, not kept
+    val edges = graft.llm.Quality.scored(
+        Seq((1L, "word"), (2L, ""), (3L, null), (4L, "!!! ???"),
+          (5L, "one two")).toDF("id", "text"), "text")
+      .select($"id", $"quality_grams", $"quality_kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(edges(0)._2 == 1L) // single token: no bigram
+    assert(edges(1)._2 == 0L && !edges(1)._3)
+    assert(edges(2)._2 == 0L && !edges(2)._3)
+    assert(edges(3)._2 == 0L && !edges(3)._3)
+    assert(edges(4)._2 == 3L) // two unigrams + one bigram
+  }
+
   test("HLL approx distinct within 5% of exact at rsd=1%") {
     val ev = Tables.events(spark, SparkTestBase.sf)
     val (approx, exact) = ev.agg(
