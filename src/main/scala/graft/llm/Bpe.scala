@@ -117,6 +117,26 @@ object Bpe {
       schema)
   }
 
+  /** Persist a trained merge table — the tokenizer MODEL ARTIFACT any
+    * downstream trainer needs — as parquet at `path`. One file: the
+    * model is vocabulary-sized (one row per merge), and a single file
+    * keeps the artifact atomic-rename-friendly for model registries. */
+  def saveMerges(merges: DataFrame, path: String): Unit =
+    merges.select(col("merge_rank"), col("lhs"), col("rhs"),
+        col("merged"), col("pair_count"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted merge table back into the rank-ordered pair
+    * list [[encodeTokens]] consumes. The collect is MODEL-sized (one
+    * row per trained merge — the same object every executor must hold
+    * to encode anything), never corpus-sized. SpansSpec pins the
+    * round-trip: encode(load(save(train))) == encode(train). */
+  def loadMergePairs(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path)
+      .orderBy(col("merge_rank"))
+      .select(col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
   /** Apply a trained merge sequence to a token column — the ENCODE
     * side of the tokenizer: split to characters, then replay every
     * merge in rank order through the codegen'd rewrite kernel. */

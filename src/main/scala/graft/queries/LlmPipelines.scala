@@ -1498,6 +1498,39 @@ object LlmPipelines {
     },
     Some(q82Oracle))
 
+  /** The q82 pipeline routed through the PERSISTED model: train,
+    * [[graft.llm.Bpe.saveMerges]] to a scratch parquet, load it back
+    * with [[graft.llm.Bpe.loadMergePairs]], and encode with the loaded
+    * pairs — the model-artifact round-trip a downstream trainer
+    * depends on, verified end-to-end by sharing q82's EXACT oracle
+    * (any drift through save/load breaks the hash gate). */
+  val q86 = QueryDef(
+    "q86_bpe_encode_persisted",
+    (s, dir) => {
+      import graft.llm.Bpe
+      val docs = Tables.documents(s, dir)
+      val modelDir = java.nio.file.Files
+        .createTempDirectory("graft_bpe_model").toString
+      Bpe.saveMerges(Bpe.trainMerges(docs, "text", rounds = BpeRounds),
+        modelDir + "/merges")
+      val merges = Bpe.loadMergePairs(s, modelDir + "/merges")
+      val toks = docs.select(col("source"),
+          explode(Bpe.alnumTokens(col("text"))).as("tok"))
+      Bpe.encodeTokens(toks, "tok", merges)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(size(col("bpe_symbols")).cast("long")).as("n_symbols"),
+          sum(length(col("tok")).cast("long")).as("n_chars"))
+        .withColumn("symbols_per_token",
+          graft.ops.Cleaning.roundHalfUpRatio(
+            col("n_symbols") * 10000L, col("n_tokens"), 4))
+        .orderBy(col("source"))
+    },
+    Some(q82Oracle),
+    // q82 already times this plan shape; the persisted variant exists
+    // for the artifact contract, not as a second benchmark row
+    bench = false)
+
   /** PII redaction scrub ([[graft.llm.Scrub]]) over a corpus with
     * deterministically injected PII (emails/URLs/IPs/phone runs as
     * arithmetic functions of doc_id — the q80 pattern: real payloads
@@ -1708,5 +1741,5 @@ object LlmPipelines {
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-      q81, q82, q83, q84, q85)
+      q81, q82, q83, q84, q85, q86)
 }

@@ -230,4 +230,30 @@ class SpansSpec extends AnyFunSuite {
       .select($"merge_rank", $"merged").as[(Int, String)].collect().toSeq
     assert(merges == Seq((1, "ab")), s"got $merges")
   }
+
+  test("BPE model artifact round-trips: encode(load(save(train))) == encode(train)") {
+    import graft.llm.Bpe
+    val docs = Tables.documents(spark, SparkTestBase.sf).select($"text")
+    val trained = Bpe.trainMerges(docs, "text", rounds = 10)
+    val direct = trained.orderBy($"merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_rt")
+    Bpe.saveMerges(trained, s"$dir/merges")
+    val loaded = Bpe.loadMergePairs(spark, s"$dir/merges")
+    // the pair LIST round-trips in rank order...
+    assert(loaded == direct, s"loaded=$loaded\ndirect=$direct")
+    // ...and so does every encoded document (the contract that matters:
+    // a trainer consuming the artifact tokenizes identically)
+    val toks = docs.select(explode(Bpe.alnumTokens($"text")).as("tok"))
+    val a = Bpe.encodeTokens(toks, "tok", direct)
+      .select($"tok", $"bpe_symbols").as[(String, Seq[String])].collect().toSeq
+    val b = Bpe.encodeTokens(toks, "tok", loaded)
+      .select($"tok", $"bpe_symbols").as[(String, Seq[String])].collect().toSeq
+    assert(a == b)
+    // full persisted columns survive (rank/pair/merged/count schema)
+    val reread = spark.read.parquet(s"$dir/merges")
+    assert(reread.columns.sorted.toSeq ==
+      Seq("lhs", "merge_rank", "merged", "pair_count", "rhs"))
+    assert(reread.count() == direct.size.toLong)
+  }
 }
