@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -292,7 +292,33 @@ object EventStream {
                                       keyBlocks: Int = 2,
                                       maxBucketSize: Int = 500,
                                       watermark: String = "2 hours",
-                                      idleTimeout: String = "24 hours"): DataFrame = {
+                                      idleTimeout: String = "24 hours"): DataFrame =
+    streamingHammingNearDup(media, idCol, tsCol,
+      graft.functions.PerceptualHash.d_hash(col(payloadCol)),
+      blocks, maxHamming, keyBlocks, maxBucketSize, watermark, idleTimeout)
+
+  /** The audio twin — same bucket machinery over the acoustic
+    * fingerprint ([[graft.functions.AudioFingerprint]], q84's
+    * operator); everything in [[streamingImageNearDupCandidates]]'s
+    * contract (canonical-combo once-per-pair emission, overflow
+    * sentinel, eviction) applies verbatim. */
+  def streamingAudioNearDupCandidates(media: DataFrame, idCol: String,
+                                      payloadCol: String, tsCol: String,
+                                      blocks: Int = 9, maxHamming: Int = 7,
+                                      keyBlocks: Int = 2,
+                                      maxBucketSize: Int = 500,
+                                      watermark: String = "2 hours",
+                                      idleTimeout: String = "24 hours"): DataFrame =
+    streamingHammingNearDup(media, idCol, tsCol,
+      graft.functions.AudioFingerprint.audio_fp(col(payloadCol)),
+      blocks, maxHamming, keyBlocks, maxBucketSize, watermark, idleTimeout)
+
+  private def streamingHammingNearDup(media: DataFrame, idCol: String,
+                                      tsCol: String, fpExpr: Column,
+                                      blocks: Int, maxHamming: Int,
+                                      keyBlocks: Int, maxBucketSize: Int,
+                                      watermark: String,
+                                      idleTimeout: String): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     // Per-combination clean masks, SAME enumeration order as
@@ -306,8 +332,7 @@ object EventStream {
         _.map(b => widthMask(widths(b)) << offsets(b)).reduce(_ | _)).toArray
     }
     val fp = media.select(col(idCol).cast("long").as("id"),
-        col(tsCol).as("ts"),
-        graft.functions.PerceptualHash.d_hash(col(payloadCol)).as("sh"))
+        col(tsCol).as("ts"), fpExpr.as("sh"))
       .where(col("id").isNotNull && col("ts").isNotNull && col("sh").isNotNull)
     val banded = fp.select(col("id"), col("ts"), col("sh"),
         posexplode(array(

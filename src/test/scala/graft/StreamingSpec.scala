@@ -448,6 +448,42 @@ class StreamingSpec extends AnyFunSuite {
       s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("streaming audio near-dup emits exactly the batch pair set") {
+    // the WAV twin of the image stream test: same bucket machinery,
+    // acoustic fingerprint kernel; once-per-pair raw output equals the
+    // batch operator (itself brute-force-pinned in MultimodalSpec)
+    val sfDir = SparkTestBase.sf
+    val dir = Files.createTempDirectory("graft_stream_afp")
+    val ids = Tables.documents(spark, sfDir)
+      .select($"doc_id").as[Long].collect().toSeq
+    ids.grouped(ids.length / 2 + 1).foreach { chunk =>
+      chunk.map(id => (id,
+          new java.sql.Timestamp(1700000000000L + id * 1000L),
+          graft.llm.Multimodal.syntheticPcmWav(id)))
+        .toDF("media_id", "ts", "payload")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    }
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val raw = EventStream.runToMemorySink(spark,
+        EventStream.streamingAudioNearDupCandidates(stream,
+          "media_id", "payload", "ts"),
+        "afp_stream", OutputMode.Append())
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(!raw.exists(_._1 < 0), "no overflow sentinels expected at cap 500")
+    assert(raw.size == raw.toSet.size,
+      s"duplicate emissions: ${raw.groupBy(identity).filter(_._2.size > 1).keys.take(5)}")
+    val want = graft.llm.Multimodal.audioNearDupPairs(
+        ids.toDF("doc_id").transform(
+          graft.llm.Multimodal.syntheticAudioTable(_, "doc_id")),
+        "media_id", "payload")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(want.nonEmpty, "fixture must contain audio near-dups")
+    assert(raw.toSet == want,
+      s"missed=${(want -- raw.toSet).take(5)} extra=${(raw.toSet -- want).take(5)}")
+  }
+
   test("streaming perceptual-hash bucket cap emits a loud sentinel") {
     // identical payloads over cap: members up to the cap emit their
     // canonical pairs; the row that overflows the bucket emits ONE
