@@ -64,14 +64,22 @@ object Revenue {
     // (measured 0.37 s of q55's 1.8 s at sf0.1) that also forces
     // downstream stages onto the cache's (single) partitioning.
     // region_id / service_type derive from carried order attributes
-    // (o_custkey, priority) AFTER the union, so the region broadcast
-    // join happens ONCE on the unioned stream instead of once per
-    // branch — and the orderkey join's orders side stays a plain
-    // scan whose (smaller) size estimate makes it the build side.
+    // (o_custkey, priority) AFTER the aggregation (round-9: below the
+    // agg they are pure integer group keys), so the region broadcast
+    // join probes ~10^5 grouped rows, not the unioned stream.
+    // Round-9: every pre-aggregation column is an INTEGER — the month
+    // as year*100+month, the service class as 1/2/3, the region slot
+    // as custkey%5 — so the 100TB-path exchanges and the big hash agg
+    // carry ints, not strings, and the 300M-row date_format/concat
+    // work of the old shape happens ONCE per output group (~10^5
+    // rows) after the agg. format_string("%04d-%02d") equals
+    // date_format "yyyy-MM" on the whole AD 1..9999 domain.
     val orders = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("t_date"),
-        col("o_orderpriority").as("prio"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"),
+        when(col("o_orderpriority") === "1-URGENT", 1)
+          .when(col("o_orderpriority") === "2-HIGH", 2)
+          .otherwise(3).as("svc"),
         round(col("o_totalprice") * 100).cast("long").as("fare_cents"))
 
     // TAGGED UNION, ONE AGGREGATION (round-8 restructure, the q42/J5
@@ -83,36 +91,62 @@ object Revenue {
     // join exactly: a leg's keys always exist among the fare rows (its
     // order IS a fare row), so no group appears or disappears.
     val fareRows = orders.select(
-      col("o_custkey"), col("t_date"), col("prio"),
+      col("o_custkey"), col("ym"), col("svc"),
       col("fare_cents"), lit(1L).as("pax"),
       lit(0L).as("fine_n"), lit(0L).as("fine_cents"), lit(0L).as("evade_n"))
-    val fineRows = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
-        round(col("l_quantity")).cast("long").as("qty"))
+    // Round-9 (the sf100 measurement, SCALE.md): two EXACT reductions
+    // ahead of the orderkey join, which the sf100 point showed carries
+    // the whole query (Spark 69.7 s vs DuckDB 12.3 s on 600M legs).
+    //  1. Scan filter l_returnflag = 'R': a non-R leg contributes
+    //     (0,0,0) to every fine metric and can never create a group
+    //     (every group's keys exist via its order's fare row), so
+    //     dropping them is algebraically exact — and the predicate
+    //     pushes to the parquet scan, cutting the join's probe side
+    //     ~4x before any exchange.
+    //  2. Pre-aggregate the surviving legs BY ORDERKEY before joining:
+    //     the metrics are order-additive, TPC-H lineitem is physically
+    //     clustered by orderkey so the map-side partial agg collapses
+    //     multi-leg orders inside each scan partition, and the join's
+    //     left side arrives already hash-partitioned on the join key —
+    //     EnsureRequirements reuses that exchange, so the join adds
+    //     only the orders-side shuffle.
+    val fineAgg = Tables.lineitem(s, dir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        when(col("l_linestatus") === "F", 1L).otherwise(0L).as("is_rf"),
+        when(col("l_linestatus") === "F",
+          round(col("l_quantity")).cast("long") * 1000L)
+          .otherwise(0L).as("rf_cents"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("is_rf")).as("fine_n"),
+        sum(col("rf_cents")).as("fine_cents"),
+        count(lit(1)).as("evade_n"))
+    val fineRows = fineAgg
       .join(orders.select(col("o_orderkey"), col("o_custkey"),
-          col("t_date"), col("prio")),
+          col("ym"), col("svc")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey"), col("t_date"), col("prio"),
+      .select(col("o_custkey"), col("ym"), col("svc"),
         lit(0L).as("fare_cents"), lit(0L).as("pax"),
-        when(col("l_returnflag") === "R" && col("l_linestatus") === "F", 1L)
-          .otherwise(0L).as("fine_n"),
-        when(col("l_returnflag") === "R" && col("l_linestatus") === "F",
-          col("qty") * 1000L).otherwise(0L).as("fine_cents"),
-        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("evade_n"))
+        col("fine_n"), col("fine_cents"), col("evade_n"))
 
     fareRows.union(fineRows)
-      .join(region, col("o_custkey") % 5 === col("r_regionkey"))
-      .withColumn("service_type",
-        Cleaning.serviceType(col("region_id"),
-          when(col("prio") === "1-URGENT", "Link")
-            .when(col("prio") === "2-HIGH", "Regional")
-            .otherwise("Local")))
-      .groupBy(col("t_date"), col("region_id"), col("service_type"))
+      .groupBy((col("o_custkey") % 5).as("rkey"), col("ym"), col("svc"))
       .agg(sum(col("fare_cents")).as("fare_cents"),
         sum(col("pax")).as("passenger_num"),
         sum(col("fine_n")).as("passenger_fines_issued_num"),
         sum(col("fine_cents")).as("fine_cents"),
         sum(col("evade_n")).as("fare_evasion_passenger_num"))
+      // output-group cardinality from here down: dim join + all string
+      // building on ~10^5 rows, not 10^8
+      .join(region, col("rkey") === col("r_regionkey"))
+      .withColumn("t_date",
+        format_string("%04d-%02d",
+          (col("ym") / lit(100)).cast("int"), col("ym") % 100))
+      .withColumn("service_type",
+        Cleaning.serviceType(col("region_id"),
+          when(col("svc") === 1, "Link")
+            .when(col("svc") === 2, "Regional")
+            .otherwise("Local")))
       .select(Seq(
         col("t_date"), lit("month").as("date_type"),
         col("region_id"), col("service_type"),
