@@ -64,17 +64,25 @@ object FareRevenue {
     // state per grain); this one is partial-aggregable map-side at
     // both levels and the GROUPING SETS expand runs over the tiny
     // per-trip table.
+    // Round-9 (the q55 sf100 lesson): the per-trip aggregation is a
+    // pure function of lineitem, so it runs BEFORE the orderkey join —
+    // the join probes ~n_orders pre-aggregated rows instead of every
+    // leg, the map-side partial agg collapses multi-leg orders inside
+    // their (orderkey-clustered) scan partitions, and the agg output
+    // arrives at the join already hash-partitioned on the join key.
+    // t_date/o_custkey are functions of the trip, so attaching them
+    // after the agg changes nothing.
     val perTrip = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_returnflag"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("t_date")),
-        col("l_orderkey") === col("o_orderkey"))
-      // o_custkey (the region key) and t_date are functions of the
-      // trip, so adding them to the per-trip keys changes nothing
-      .groupBy(col("t_date"), col("o_custkey"), col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
       .agg(
         sum(when(col("l_returnflag") =!= "N", 1L).otherwise(0L)).as("insp_legs"),
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("evade_legs"),
         count(lit(1)).as("legs"))
+      // pinned shuffled-hash — same rationale as q55/q56's orderkey join
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("t_date"))
+          .hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
 
     // TAGGED UNION, ONE GROUPING SETS PASS (round-8 restructure): fare
     // rows (one per order) and per-trip inspection rows carry

@@ -122,8 +122,9 @@ object Revenue {
         sum(col("rf_cents")).as("fine_cents"),
         count(lit(1)).as("evade_n"))
     val fineRows = fineAgg
+      // pinned shuffled-hash — same rationale as q56's orderkey join
       .join(orders.select(col("o_orderkey"), col("o_custkey"),
-          col("ym"), col("svc")),
+          col("ym"), col("svc")).hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey"), col("ym"), col("svc"),
         lit(0L).as("fare_cents"), lit(0L).as("pax"),
@@ -184,31 +185,45 @@ object Revenue {
       lit("Student"), lit("T-Purse Annonymous"), lit("Monthly Pass"),
       lit("Weekly Pass"))
 
-    // region joins AFTER the orderkey join (round-8, same rationale as
-    // q55/q47): the orders side stays a plain two-column scan whose
-    // smaller size estimate makes it the hash build side, and the
-    // region broadcast probes the joined stream once
+    // Round-9 (the q55 sf100 lesson, same treatment): the hot path —
+    // leg scan, orderkey join, grain agg — carries ONLY integers
+    // (month as year*100+month, product as its 0-6 slot, region as
+    // custkey%5); the dim broadcast, product-name lookup, and month
+    // formatting all run on the ~10^5 aggregated groups instead of
+    // 10^8 legs. No R-filter analogue here: every leg contributes.
     val ord = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("t_date"))
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"))
 
+    // net_cents derives from leg columns only — computed in the scan
+    // projection so the join shuffle carries one fewer column
     val legs = Tables.lineitem(s, dir)
       .select(col("l_orderkey"),
-        element_at(productNames, (col("l_partkey") % 7 + 1).cast("int"))
-          .as("product_type"),
+        (col("l_partkey") % 7).cast("int").as("pidx"),
         round(col("l_quantity")).cast("long").as("qty"),
         round(col("l_extendedprice") * 100).cast("long").as("ext_cents"),
         round(col("l_discount") * 100).cast("long").as("disc_pct"))
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(region, col("o_custkey") % 5 === col("r_regionkey"))
-
-    legs
       .withColumn("net_cents",
         intDiv(col("ext_cents") * (lit(100L) - col("disc_pct")), lit(100L)))
-      .groupBy(col("t_date"), col("region_id"), col("product_type"))
+      .drop("disc_pct")
+      // pinned shuffled-hash (q67 precedent): past the shuffled-hash
+      // size estimate the planner flips to sort-merge, paying TWO full
+      // sorts of the fact streams (measured sf100: the sorts carry the
+      // query); the per-partition hash build is the orders side ÷
+      // shuffle partitions, which AQE keeps executor-sized at any SF
+      .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+
+    legs
+      .groupBy((col("o_custkey") % 5).as("rkey"), col("ym"), col("pidx"))
       .agg(sum(col("net_cents")).as("net_cents"),
            sum(col("qty")).as("product_sold_num"),
            sum(col("ext_cents")).as("gross_cents"))
+      .join(region, col("rkey") === col("r_regionkey"))
+      .withColumn("t_date",
+        format_string("%04d-%02d",
+          (col("ym") / lit(100)).cast("int"), col("ym") % 100))
+      .withColumn("product_type",
+        element_at(productNames, col("pidx") + 1))
       .select(Seq(
         col("t_date"), lit("month").as("date_type"),
         col("region_id"), col("product_type"),
