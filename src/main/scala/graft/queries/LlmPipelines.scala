@@ -1738,8 +1738,84 @@ object LlmPipelines {
          |GROUP BY d.source ORDER BY d.source""".stripMargin
     })
 
+  /** Corpus prep with the LEARNED gate composed in — the third
+    * member of the q52/q79 recipe family, using q85's fastText-style
+    * scorer as the keep gate ahead of exact dedup (the
+    * RefinedWeb/DCLM ordering: learned quality gate, then dedup):
+    * per source, docs → gate-kept → surviving exact dedup, plus gram
+    * and weight totals. One plan: map-side kernel scoring, ONE window
+    * over the fingerprint (conditional min over kept docs only), one
+    * rollup. The oracle rebuilds the q85 scoring CTEs and replays the
+    * gate+dedup chain; every column exact BIGINT. */
+  val q87 = QueryDef(
+    "q87_corpus_prep_learned",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.llm.Quality.scored(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            col("text")), "text")
+        .withColumn("fp", TextStats.fingerprint(col("text")))
+        .withColumn("keep_id",
+          min(when(col("quality_kept"), col("doc_id")))
+            .over(Window.partitionBy(col("fp"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality_kept"), 1L).otherwise(0L)).as("gate_kept"),
+          sum(when(col("quality_kept") && col("doc_id") === col("keep_id"),
+            1L).otherwise(0L)).as("after_dedup"),
+          sum(col("quality_grams")).as("grams"),
+          sum(col("quality_weight_sum")).as("weight_sum"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val hash =
+        """list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |      list_transform(generate_series(1, CAST(length(g) AS INTEGER)),
+          |        i -> CAST(ord(substr(g, i, 1)) AS BIGINT))),
+          |      (acc, c) -> (acc*31 + c) % 2147483647)""".stripMargin
+      s"""WITH words AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> regexp_matches(x, '^[a-z0-9]+$$')) AS ws
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(ws) AS g FROM words
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i + 1])) AS g FROM words),
+         |scored AS (
+         |  SELECT doc_id,
+         |    ((xor(v0, v0 >> 15) * 2246822519 % 2147483647) % 1001) - 500 AS w
+         |  FROM (
+         |    SELECT doc_id, ((b + 1) * 2654435761) % 2147483647 AS v0
+         |    FROM (SELECT doc_id, ($hash) % 1024 AS b FROM grams))),
+         |per_doc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(w) AS BIGINT) AS sum_w
+         |  FROM scored GROUP BY doc_id),
+         |gated AS (
+         |  SELECT d.doc_id, d.source,
+         |    md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp,
+         |    coalesce(p.n_grams, 0) AS n_grams,
+         |    coalesce(p.sum_w, 0) AS sum_w,
+         |    coalesce(p.sum_w, 0) * 1000 > 25 * coalesce(p.n_grams, 0) AS kept
+         |  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id),
+         |dedup AS (
+         |  SELECT *, min(CASE WHEN kept THEN doc_id END)
+         |    OVER (PARTITION BY fp) AS keep_id
+         |  FROM gated)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS gate_kept,
+         |  CAST(sum(CASE WHEN kept AND doc_id = keep_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS after_dedup,
+         |  CAST(sum(n_grams) AS BIGINT) AS grams,
+         |  CAST(sum(sum_w) AS BIGINT) AS weight_sum
+         |FROM dedup GROUP BY source ORDER BY source""".stripMargin
+    })
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86)
+      q81, q82, q83, q84, q85, q86, q87)
 }
