@@ -18,6 +18,11 @@ object Quality {
     * `quality_kept` (1000·Σw > θ·n, cross-multiplied — exact) to the
     * input. NULL text scores as an empty document: 0 grams, not kept. */
   def scored(df: DataFrame, textCol: String): DataFrame = {
+    val reserved = Set("__qs", "quality_weight_sum", "quality_grams",
+      "quality_kept")
+    require(df.columns.forall(c => !reserved.contains(c)),
+      s"input already has a reserved column: " +
+        df.columns.toSet.intersect(reserved))
     val qs = graft.functions.QualityScore64.quality_score(
       Bpe.alnumTokens(col(textCol)))
     df.withColumn("__qs", qs)
