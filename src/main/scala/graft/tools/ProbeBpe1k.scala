@@ -74,7 +74,7 @@ object ProbeBpe1k {
         if (round % 100 == 0) {
           val now = System.nanoTime()
           println(f"round=$round%5d cum=${(now - t0) / 1e9}%8.1fs " +
-            f"last100=${(now - windowStart) / 1e8 / 100}%6.3fs/round " +
+            f"last100=${(now - windowStart) / 1e9 / 100}%6.3fs/round " +
             f"topCount=${top(0).getLong(2)}")
           windowStart = now
         }
