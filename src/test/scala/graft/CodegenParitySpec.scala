@@ -195,6 +195,56 @@ class CodegenParitySpec extends AnyFunSuite {
     }
   }
 
+  private def runAudioFps(): Seq[(Long, Option[Long])] =
+    Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 120)
+      .select($"doc_id")
+      .transform(graft.llm.Multimodal.syntheticAudioTable(_, "doc_id"))
+      // junk + a too-short WAV exercise both null branches
+      .union(Seq(
+          (999998L, "RIFF-shaped junk".getBytes),
+          (999999L, graft.llm.Multimodal.syntheticPcmWav(1L).take(80)))
+        .toDF("media_id", "payload"))
+      .select($"media_id",
+        graft.functions.AudioFingerprint.audio_fp($"payload").as("fp"))
+      .as[(Long, Option[Long])].collect().toSeq.sortBy(_._1)
+
+  test("WavFp64 (acoustic fingerprint): codegen == interpreted, incl. null branch") {
+    val generated = withConfs(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(runAudioFps())
+    val interpreted = withConfs(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(runAudioFps())
+    assert(generated == interpreted)
+    assert(generated.count(_._2.isDefined) == 120)
+    assert(generated.filter(_._1 >= 999998L).forall(_._2.isEmpty),
+      "junk/truncated payloads must fingerprint to NULL")
+    generated.filter(_._1 < 120).foreach { case (id, fp) =>
+      assert(fp.contains(graft.functions.AudioFingerprint.fp64(
+        graft.llm.Multimodal.syntheticPcmWav(id))))
+    }
+  }
+
+  private def runQualityScores(): Seq[(Long, Seq[Long])] =
+    Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 120)
+      .select($"doc_id", graft.functions.QualityScore64.quality_score(
+        graft.llm.Bpe.alnumTokens($"text")).as("qs"))
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+
+  test("QualityScoreExpr: codegen == interpreted") {
+    val generated = withConfs(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(runQualityScores())
+    val interpreted = withConfs(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(runQualityScores())
+    assert(generated == interpreted)
+    assert(generated.nonEmpty && generated.forall(_._2.size == 2))
+    // both weight signs appear across the fixture (the scorer carries
+    // signal, not a constant)
+    assert(generated.exists(_._2.head > 0) && generated.exists(_._2.head < 0))
+  }
+
   private def runNgramHashes(): Seq[(Long, Seq[Long])] =
     Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 30)
       .select($"doc_id", graft.functions.NgramHashes.ngram_hashes(
