@@ -349,4 +349,47 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("binary media kernels never throw on arbitrary or mutated payloads") {
+    // the fuzz contract a 100 TB scan needs: a corrupt payload is DATA
+    // (hash NULL), never an exception that kills the stage. Three
+    // populations: pure random bytes, random bytes behind each magic
+    // (forced past the sniff into the parsers), and valid payloads
+    // with mutated header/body bytes.
+    import graft.functions.{AudioFingerprint, PerceptualHash}
+    val magics = Seq(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A),
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte),
+      "GIF89a".getBytes.toArray, "BM".getBytes.toArray,
+      "RIFFxxxxWAVEfmt ".getBytes.toArray)
+    def check(b: Array[Byte]): Unit = {
+      PerceptualHash.hash64(b, dhash = true)
+      PerceptualHash.hash64(b, dhash = false)
+      AudioFingerprint.fp64Boxed(b)
+      ()
+    }
+    val rawGen = for {
+      n <- Gen.choose(0, 400)
+      bytes <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield bytes.toArray
+    forAll(rawGen, n = 60)(check)
+    forAll(for {
+      m <- Gen.oneOf(magics)
+      n <- Gen.choose(0, 300)
+      tail <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield m ++ tail.toArray, n = 80)(check)
+    // mutate single bytes of VALID payloads (header fields included)
+    val mutGen = for {
+      id <- Gen.choose(0L, 50L)
+      wav <- Gen.oneOf(true, false)
+      pos <- Gen.choose(0, 53)
+      v <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+    } yield {
+      val b = if (wav) graft.llm.Multimodal.syntheticPcmWav(id)
+        else graft.llm.Multimodal.syntheticBmp(id)
+      b(pos % b.length) = v
+      b
+    }
+    forAll(mutGen, n = 120)(check)
+  }
 }
