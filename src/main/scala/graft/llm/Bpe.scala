@@ -103,6 +103,112 @@ object Bpe {
     mergesToDf(spark, merges.toSeq)
   }
 
+  /** Batched BPE training — the structural fix for the sequential
+    * trainer's driver-round-trip regime: [[trainMerges]] runs ONE
+    * Spark job cycle (pair count + one-row collect + rewrite) PER
+    * MERGE, which at real vocabulary sizes (30-50k merges) is 30-50k
+    * driver round-trips even though each is cheap and flat. This
+    * variant trains up to `batchSize` merges per cycle: one pair
+    * count, one `batchSize * 8`-row TakeOrdered collect, a
+    * driver-side greedy scan that accepts candidates in (count desc,
+    * pair) order while they are pairwise NON-INTERACTING, and one
+    * fused rewrite projection applying the whole batch. Driver round
+    * trips drop to ~vocab/batchSize; per-cycle work still scales with
+    * the distinct-word table only.
+    *
+    * Non-interacting: two accepted merges may share NO symbol among
+    * {lhs, rhs, lhs+rhs}. That makes the batch's rewrites commutative
+    * (each pattern consumes and produces only symbols no other batch
+    * member touches, so the fused projection equals any sequential
+    * order) and each accepted count remains the pair's true
+    * frequency at the start of the cycle.
+    *
+    * MODEL CONTRACT — this is a documented approximation, behind this
+    * separate entry point, never silently substituted: classic BPE
+    * recounts after every merge, so a pair CREATED by batch member i
+    * (count ≤ member i's count) can out-rank batch member j > i;
+    * sequential training would then pick it first and the two models
+    * diverge from that round on. With `batchSize = 1` the selection,
+    * counts, and tie-breaks reduce exactly to [[trainMerges]]
+    * (spec-pinned), which is why q88 routes this entry point through
+    * q81's hash-gating oracle at batch size 1. Output adds a `pass`
+    * column (which cycle trained each merge) after the
+    * [[trainMerges]] schema; ranks stay 1-based and contiguous.
+    *
+    * A cycle whose candidate pool is saturated by one hot symbol can
+    * accept fewer than `batchSize` merges (the pool is finite); the
+    * first pool row is always accepted, so every cycle makes
+    * progress and exhaustion is still detected by an empty pool. */
+  def trainMergesBatched(docs: DataFrame, textCol: String, rounds: Int,
+                         batchSize: Int): DataFrame =
+    trainMergesBatchedFromWords(
+      wordCounts(docs, textCol).select(col("cnt"), col("syms")),
+      rounds, batchSize)
+
+  /** [[trainMergesBatched]] over a pre-built (cnt, syms) word table —
+    * the probe entry point (ProbeBpeBatch feeds a synthetic
+    * real-vocabulary-sized table directly, skipping the corpus pass). */
+  private[graft] def trainMergesBatchedFromWords(
+      wordTable: DataFrame, rounds: Int, batchSize: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 100000,
+      s"rounds out of range: $rounds")
+    require(batchSize >= 1 && batchSize <= 512,
+      s"batchSize out of range: $batchSize")
+    val spark = wordTable.sparkSession
+    var words = wordTable.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    val passOf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var pass = 1
+    var exhausted = false
+    while (merges.size < rounds && !exhausted) {
+      val want = math.min(batchSize, rounds - merges.size)
+      // pool ≥ 8× the batch: each acceptance blocks only candidates
+      // sharing one of its ≤3 touched symbols, so 8× under-fills only
+      // when the top of the distribution is saturated by few symbols —
+      // and an under-filled cycle is correct, just less batched
+      val pool = words
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+                        element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(math.max(want * 8, 64))
+        .collect()
+      if (pool.isEmpty) exhausted = true
+      else {
+        val touched = scala.collection.mutable.Set.empty[String]
+        val accepted =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        pool.iterator.takeWhile(_ => accepted.size < want).foreach { row =>
+          val l = row.getString(0); val r = row.getString(1)
+          val syms = Seq(l, r, l + r)
+          if (!syms.exists(touched.contains)) {
+            accepted += ((l, r, row.getLong(2))); touched ++= syms
+          }
+        }
+        accepted.foreach { case (l, r, c) =>
+          merges += Merge(merges.size + 1, l, r, l + r, c)
+          passOf += pass
+        }
+        val old = words
+        words = words
+          .withColumn("syms", accepted.foldLeft(col("syms")) {
+            case (s, (l, r, _)) =>
+              graft.functions.BpeKernels.merge_pair(s, l, r)
+          })
+          .localCheckpoint()
+        old.unpersist()
+        pass += 1
+      }
+    }
+    mergesToDf(spark, merges.toSeq).withColumn("pass",
+      element_at(
+        typedLit(passOf.toSeq), col("merge_rank")))
+  }
+
   private def mergesToDf(spark: SparkSession,
                          merges: Seq[Merge]): DataFrame = {
     val schema = StructType(Seq(

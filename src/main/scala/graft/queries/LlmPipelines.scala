@@ -1531,6 +1531,72 @@ object LlmPipelines {
     // for the artifact contract, not as a second benchmark row
     bench = false)
 
+  /** Batched BPE training ([[graft.llm.Bpe.trainMergesBatched]]) at
+    * batch size 1 under q81's EXACT hash-gating oracle: the batched
+    * entry point's selection, tie-breaks, counts, and rewrites must
+    * reduce to the sequential trainer when each cycle holds one merge
+    * — the correctness anchor for the batched path (batch sizes > 1
+    * follow a documented approximation of classic BPE that no bounded
+    * SQL unrolling can replay: the greedy non-interacting selection is
+    * itself sequential — those are spec-pinned in SpansSpec instead).
+    * Bench-excluded like q86: the oracle is q81's replayed, and q81
+    * already times this plan shape. */
+  val q88 = QueryDef(
+    "q88_bpe_merges_batched",
+    (s, dir) =>
+      graft.llm.Bpe.trainMergesBatched(Tables.documents(s, dir), "text",
+          rounds = BpeRounds, batchSize = 1)
+        .select(col("merge_rank"), col("lhs"), col("rhs"), col("merged"),
+          col("pair_count"))
+        .orderBy(col("merge_rank")),
+    Some(q81Oracle),
+    bench = false)
+
+  /** Deterministic global shuffle + balanced shard assignment
+    * ([[graft.ops.Sharding]]) — the training-order step a pipeline
+    * ends with: every doc gets (shard, position) as a pure function of
+    * (doc_id, seed) via the q61 portable-arithmetic hash family, so
+    * the oracle reproduces the EXACT permutation. The per-shard
+    * position-weighted checksum (Σ position·(doc_id mod 1000003) mod
+    * 2^31, exact integers) pins the ORDER, not just membership — any
+    * transposition inside any shard flips it. One exchange + one
+    * per-shard sort; checksum terms stay < 2^63 to corpus sizes of
+    * 10^9 docs/shard. */
+  val q89 = QueryDef(
+    "q89_training_shards",
+    (s, dir) =>
+      graft.ops.Sharding.assign(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          "doc_id", nShards = 32, seed = 42L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          min_by(col("doc_id"), col("position")).as("first_doc_id"),
+          sum(pmod(col("position") * pmod(col("doc_id"), lit(1000003L)),
+            lit(2147483648L))).as("order_checksum"))
+        .orderBy(col("shard")),
+    Some("""WITH h AS (
+           |  SELECT doc_id, n_chars,
+           |    ((doc_id % 2147483647) * 2654435761
+           |     + ((doc_id // 2147483647) % 2147483647) * 40503
+           |     + 42 * 97003) % 4294967296 AS h
+           |  FROM documents),
+           |k AS (
+           |  SELECT doc_id, n_chars, CAST(h % 32 AS INTEGER) AS shard,
+           |    (h * 69069 + doc_id % 2147483647) % 4294967296 AS ok
+           |  FROM h),
+           |p AS (
+           |  SELECT shard, doc_id, n_chars,
+           |    row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+           |      AS position
+           |  FROM k)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |  arg_min(doc_id, position) AS first_doc_id,
+           |  CAST(sum((position * (doc_id % 1000003)) % 2147483648)
+           |    AS BIGINT) AS order_checksum
+           |FROM p GROUP BY shard ORDER BY shard""".stripMargin))
+
   /** PII redaction scrub ([[graft.llm.Scrub]]) over a corpus with
     * deterministically injected PII (emails/URLs/IPs/phone runs as
     * arithmetic functions of doc_id — the q80 pattern: real payloads
@@ -1817,5 +1883,5 @@ object LlmPipelines {
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86, q87)
+      q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }

@@ -12,6 +12,31 @@ import graft.llm.Bpe
   * toward real vocabulary sizes (30-50k), or does the growing symbol
   * alphabet / shrinking mergeable-pair mass bend it? */
 object ProbeBpe1k {
+
+  /** The synthetic Zipf vocabulary used when the fixture corpus is too
+    * small for real-tokenizer round counts: word w_id = 8-13
+    * pseudo-random a-z chars keyed by id, count = n/rank (Zipf s=1).
+    * Shared with [[ProbeBpeBatch]]. */
+  def synthWords(spark: org.apache.spark.sql.SparkSession,
+                 n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(1, n + 1).as[Long].map { id =>
+      var v = id * 2654435761L % 2147483647L
+      val len = 8 + (v % 6).toInt
+      val sb = new StringBuilder
+      var j = 0
+      while (j < len) {
+        v = (v ^ (v >> 13)) * 3266489917L % 2147483647L
+        sb += ('a' + (v % 26).toInt).toChar
+        j += 1
+      }
+      (math.max(1L, n / id), sb.result())
+    }.toDF("cnt", "w")
+      .withColumn("syms", transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))))
+      .select(col("cnt"), col("syms"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("testdata-sf1")
     val rounds = if (args.length > 1) args(1).toInt else 1000
@@ -25,23 +50,7 @@ object ProbeBpe1k {
     // vocabulary): word w_id = 8-13 pseudo-random a-z chars keyed by
     // id, count = n/rank (Zipf s=1).
     var words = (if (sfDir.startsWith("synth:")) {
-      import spark.implicits._
-      val n = sfDir.stripPrefix("synth:").toLong
-      spark.range(1, n + 1).as[Long].map { id =>
-        var v = id * 2654435761L % 2147483647L
-        val len = 8 + (v % 6).toInt
-        val sb = new StringBuilder
-        var j = 0
-        while (j < len) {
-          v = (v ^ (v >> 13)) * 3266489917L % 2147483647L
-          sb += ('a' + (v % 26).toInt).toChar
-          j += 1
-        }
-        (math.max(1L, n / id), sb.result())
-      }.toDF("cnt", "w")
-        .withColumn("syms", transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1))))
-        .select(col("cnt"), col("syms"))
+      synthWords(spark, sfDir.stripPrefix("synth:").toLong)
     } else {
       Bpe.wordCounts(Tables.documents(spark, sfDir).select(col("text")), "text")
         .select(col("cnt"), col("syms"))

@@ -256,4 +256,90 @@ class SpansSpec extends AnyFunSuite {
       Seq("lhs", "merge_rank", "merged", "pair_count", "rhs"))
     assert(reread.count() == direct.size.toLong)
   }
+
+  test("batched BPE at batchSize=1 is the sequential trainer exactly") {
+    import graft.llm.Bpe
+    val d = docs.select($"text")
+    val seqTrain = Bpe.trainMerges(d, "text", rounds = 10)
+      .orderBy($"merge_rank")
+      .select($"merge_rank", $"lhs", $"rhs", $"merged", $"pair_count")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val bat = Bpe.trainMergesBatched(d, "text", rounds = 10, batchSize = 1)
+      .orderBy($"merge_rank")
+    val batRows = bat
+      .select($"merge_rank", $"lhs", $"rhs", $"merged", $"pair_count")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(batRows == seqTrain)
+    // at batch size 1 every cycle trains one merge: pass == rank
+    val passes = bat.select($"merge_rank", $"pass")
+      .as[(Int, Int)].collect().toSeq
+    assert(passes.forall { case (rank, p) => p == rank }, s"$passes")
+  }
+
+  test("batched BPE: per-pass merges are non-interacting, ranks contiguous, counts true pre-pass frequencies") {
+    import graft.llm.Bpe
+    val d = docs.select($"text")
+    val got = Bpe.trainMergesBatched(d, "text", rounds = 20, batchSize = 4)
+      .orderBy($"merge_rank")
+      .select($"merge_rank", $"lhs", $"rhs", $"pair_count", $"pass")
+      .as[(Int, String, String, Long, Int)].collect().toSeq
+    assert(got.nonEmpty)
+    // ranks 1..n contiguous; passes non-decreasing from 1
+    assert(got.map(_._1) == (1 to got.size), s"ranks ${got.map(_._1)}")
+    assert(got.head._5 == 1 && got.map(_._5).sliding(2).forall(w =>
+      w.size < 2 || (w(1) - w(0) >= 0 && w(1) - w(0) <= 1)))
+    // within a pass: {lhs, rhs, lhs+rhs} pairwise disjoint across
+    // members (the commutativity condition the fused rewrite relies on)
+    got.groupBy(_._5).foreach { case (p, ms) =>
+      val symSets = ms.map(m => Set(m._2, m._3, m._2 + m._3))
+      for (i <- symSets.indices; j <- i + 1 until symSets.size)
+        assert((symSets(i) & symSets(j)).isEmpty,
+          s"pass $p members $i/$j interact: ${ms(i)} ${ms(j)}")
+      // within a pass, acceptance order is descending true count
+      // (ties broken by pair order upstream, so counts non-increasing)
+      assert(ms.map(_._4).sliding(2).forall(w => w.size < 2 || w(0) >= w(1)),
+        s"pass $p counts not non-increasing: ${ms.map(_._4)}")
+    }
+    // every recorded count is the pair's TRUE frequency at the start
+    // of its pass: replay the passes with a reference rewriter and
+    // recount before each pass
+    def pairCount(words: Map[String, Long],
+                  syms: Map[String, Vector[String]]): Map[(String, String), Long] =
+      words.toSeq.flatMap { case (w, c) =>
+        syms(w).sliding(2).collect { case Seq(a, b) => ((a, b), c) }
+      }.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+    val wordCnt = d
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .where($"w".rlike("^[a-z0-9]+$"))
+      .groupBy($"w").count()
+      .as[(String, Long)].collect().toMap
+    var syms = wordCnt.keys.map(w => (w, w.map(_.toString).toVector)).toMap
+    got.groupBy(_._5).toSeq.sortBy(_._1).foreach { case (_, ms) =>
+      val counts = pairCount(wordCnt, syms)
+      ms.foreach { m =>
+        assert(counts.getOrElse((m._2, m._3), 0L) == m._4,
+          s"merge $m count != pre-pass frequency ${counts.get((m._2, m._3))}")
+      }
+      // apply the whole pass (order irrelevant by disjointness)
+      ms.foreach { m =>
+        syms = syms.map { case (w, ss) =>
+          val buf = Vector.newBuilder[String]
+          var j = 0
+          while (j < ss.length) {
+            if (j + 1 < ss.length && ss(j) == m._2 && ss(j + 1) == m._3) {
+              buf += m._2 + m._3; j += 2
+            } else { buf += ss(j); j += 1 }
+          }
+          (w, buf.result())
+        }
+      }
+    }
+    // and a batched model is consumable by the encode side as-is
+    val pairs = got.map(m => (m._2, m._3))
+    val enc = Bpe.encodeTokens(
+        d.select(explode(Bpe.alnumTokens($"text")).as("tok")), "tok", pairs)
+      .select(concat_ws("", $"bpe_symbols").as("j"), $"tok")
+    assert(enc.where($"j" =!= $"tok").count() == 0,
+      "batched-model encode must preserve token text")
+  }
 }
