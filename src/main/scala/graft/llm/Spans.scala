@@ -242,6 +242,96 @@ object Spans {
         (col("overlap_windows") > 0L).as("contaminated"))
   }
 
+  /** Duplicated-span REMOVAL — the rewrite [[spanDedupStats]] only
+    * measures (Lee et al. 2022 §4.1 "ExactSubstr" at n-gram-window
+    * granularity): every duplicated `n`-token window keeps exactly its
+    * GLOBALLY FIRST occurrence (minimum (doc_id, position) — a total
+    * order, so the survivor set is partitioning-invariant) and every
+    * token covered by any other occurrence is deleted; changed
+    * documents are rebuilt from their surviving tokens in order.
+    * Window-granular is a documented approximation of the paper's
+    * suffix-array substring dedup: overlapping duplicated windows
+    * union naturally (their token ranges merge in the removal set),
+    * but a duplicated span shorter than `n` tokens is not removed.
+    *
+    * Rebuilt documents are whitespace-normalized lowercase (the
+    * tokenized stream the dedup operates on, single-space-joined);
+    * UNCHANGED documents pass through byte-identical — a curation
+    * pipeline must not rewrite what it didn't touch.
+    *
+    * Returns one row per input doc:
+    * (doc_id, cleaned, tokens_before, tokens_removed, changed).
+    *
+    * Scale shape (100 TB): every hop is keyed, nothing all-pairs —
+    *  1. window occurrences explode to (gram, doc, pos) rows; with
+    *     `hashGrams` (default) the gram is the 8-byte
+    *     [[graft.functions.NgramHashes]] chain hash, no strings;
+    *  2. the keeper per gram is ONE hash agg (min struct — no
+    *     sort-window, so a boilerplate gram with 10^7 occurrences
+    *     needs no single-partition sort);
+    *  3. marked occurrences = occurrences minus keepers: an equi-join
+    *     on gram, AQE-skew-splittable;
+    *  4. the removal set explodes marked windows to (doc, token_idx)
+    *     and dedups by key (map-side combine);
+    *  5. ONLY CHANGED documents re-tokenize and shuffle their tokens
+    *     (anti-join on (doc, idx) + one per-doc rebuild agg); the
+    *     untouched majority of a lightly-duplicated corpus never
+    *     leaves the scan. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 8,
+                           hashGrams: Boolean = true): DataFrame = {
+    require(n >= 2, s"span window must be >= 2 tokens: $n")
+    val occ = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(
+          if (hashGrams) hashedNgrams(col(textCol), n)
+          else positionalNgrams(col(textCol), n)).as(Seq("p0", "g")))
+      .select(col("g"), col("doc_id"), (col("p0") + 1).as("p"))
+    // keeper table restricted to DUPLICATED grams: a unique gram's only
+    // occurrence is its own keeper and can never be marked, so the
+    // inner join below drops it anyway — filtering here shrinks the
+    // join's build side from |distinct grams| to |dup grams| (usually
+    // orders of magnitude on a real corpus; AQE can then broadcast it
+    // at moderate scale)
+    val keeper = occ.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("k"),
+        count(lit(1)).as("__cnt"))
+      .where(col("__cnt") >= 2)
+      .select(col("g"), col("k"))
+    val marked = occ.join(keeper, Seq("g"))
+      .where(!(col("doc_id") === col("k.doc_id") && col("p") === col("k.p")))
+      .select(col("doc_id"), col("p"))
+    val removal = marked
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1))).as("idx"))
+      .distinct()
+    val changed = removal.select(col("doc_id")).distinct()
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"), nonEmptyTokens(col(textCol)).as("ts"))
+    val survivors = toks.join(changed, Seq("doc_id"))
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("idx"), col("tok"))
+      .join(removal, Seq("doc_id", "idx"), "left_anti")
+    val rebuilt = survivors.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__after"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          s => s.getField("tok"))).as("__cleaned"))
+    toks
+      .join(changed.withColumn("__chg", lit(true)), Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // a changed doc whose every token was removed has no survivor
+        // rows — coalesce to the empty document, not a pass-through
+        when(col("__chg").isNotNull, coalesce(col("__cleaned"), lit("")))
+          .otherwise(col("__text")).as("cleaned"),
+        size(col("ts")).cast("long").as("tokens_before"),
+        when(col("__chg").isNotNull,
+            size(col("ts")).cast("long") - coalesce(col("__after"), lit(0L)))
+          .otherwise(lit(0L)).as("tokens_removed"),
+        col("__chg").isNotNull.as("changed"))
+  }
+
   /** Corpus vocabulary: per-token term frequency and document
     * frequency, truncated to the `topK` most frequent (ties broken by
     * token, so the cut is deterministic) — the counting pass a

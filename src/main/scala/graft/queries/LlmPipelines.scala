@@ -1552,6 +1552,161 @@ object LlmPipelines {
     Some(q81Oracle),
     bench = false)
 
+  /** Duplicated-span REMOVAL ([[graft.llm.Spans.removeDuplicateSpans]],
+    * Lee et al. 2022 ExactSubstr at window granularity) — the rewrite
+    * q72 only measures: every duplicated 8-token window keeps its
+    * globally-first occurrence, covered tokens elsewhere are deleted,
+    * changed docs rebuild from surviving tokens. Rolled up per source
+    * with a per-doc polynomial checksum of the CLEANED TEXT ITSELF
+    * (the q85 hash convention, exact integers), so the oracle verifies
+    * the rewritten corpus character-for-character, not just counts.
+    * The Spark side runs the hashed-gram scale path; the oracle
+    * replays string grams — identical removal sets by the q72
+    * hashed==string equality-structure pin. */
+  val q90 = QueryDef(
+    "q90_span_removal",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cleaned = graft.llm.Spans.removeDuplicateSpans(
+        docs, "doc_id", "text", n = 8)
+      val joined = docs.select(col("doc_id"), col("source"))
+        .join(cleaned, Seq("doc_id"))
+      // codegen'd code-point fold (empty doc = the 7 seed; NULL stays
+      // NULL and sum skips it on both engines)
+      joined
+        .withColumn("__h",
+          graft.functions.PolyHash31.poly_hash31(col("cleaned")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("changed").cast("long")).as("docs_changed"),
+          sum(col("tokens_before")).as("tokens_before"),
+          sum(col("tokens_removed")).as("tokens_removed"),
+          sum(col("__h")).as("cleaned_checksum"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, source, text,
+           |    list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+           |                                   '\s+'),
+           |                x -> length(x) > 0) AS t
+           |  FROM documents),
+           |occ AS (
+           |  SELECT doc_id, i AS p, array_to_string(t[i:i+7], ' ') AS g
+           |  FROM toks,
+           |    UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS s(i)),
+           |marked AS (
+           |  SELECT doc_id, p FROM (
+           |    SELECT doc_id, p,
+           |      row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+           |    FROM occ) WHERE rn > 1),
+           |removal AS (
+           |  SELECT DISTINCT doc_id, i AS idx
+           |  FROM marked, UNNEST(generate_series(p, p + 7)) AS s(i)),
+           |changed AS (SELECT DISTINCT doc_id FROM removal),
+           |surv AS (
+           |  SELECT tk.doc_id, tk.idx, tk.tok FROM (
+           |    SELECT toks.doc_id, i AS idx, t[i] AS tok
+           |    FROM toks JOIN changed USING (doc_id),
+           |      UNNEST(generate_series(1, len(t))) AS s(i)) tk
+           |  LEFT JOIN removal r ON r.doc_id = tk.doc_id AND r.idx = tk.idx
+           |  WHERE r.doc_id IS NULL),
+           |rebuilt AS (
+           |  SELECT doc_id, count(*) AS after,
+           |    string_agg(tok, ' ' ORDER BY idx) AS cleaned
+           |  FROM surv GROUP BY doc_id),
+           |perdoc AS (
+           |  SELECT tk.source,
+           |    CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS chg,
+           |    len(tk.t) AS nb,
+           |    CASE WHEN c.doc_id IS NOT NULL
+           |         THEN len(tk.t) - coalesce(r.after, 0) ELSE 0 END AS nr,
+           |    CASE WHEN c.doc_id IS NOT NULL THEN coalesce(r.cleaned, '')
+           |         ELSE tk.text END AS cleaned
+           |  FROM toks tk
+           |  LEFT JOIN changed c USING (doc_id)
+           |  LEFT JOIN rebuilt r USING (doc_id)),
+           |hashed AS (
+           |  SELECT source, chg, nb, nr,
+           |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+           |      list_transform(
+           |        generate_series(1, CAST(length(cleaned) AS INTEGER)),
+           |        i -> CAST(ord(substr(cleaned, i, 1)) AS BIGINT))),
+           |      (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+           |  FROM perdoc)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(chg) AS BIGINT) AS docs_changed,
+           |  CAST(sum(nb) AS BIGINT) AS tokens_before,
+           |  CAST(sum(nr) AS BIGINT) AS tokens_removed,
+           |  CAST(sum(h) AS BIGINT) AS cleaned_checksum
+           |FROM hashed GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Near-dup dedup APPLY — the rewrite step for the MinHash family,
+    * completing the stats→apply arc the way q90 does for spans: q30's
+    * verified near-dup pairs (exact Jaccard >= 0.8 over banded
+    * candidates) become edges, [[graft.llm.Dedup.connectedComponents]]
+    * labels the duplicate cliques, and each clique keeps exactly its
+    * MINIMUM doc_id (the cluster label itself under the min-label CC
+    * convention — deterministic, partitioning-invariant); singletons
+    * survive untouched. Output: per-source yield — docs in, docs
+    * kept, chars kept, and the kept-id checksum that pins WHICH docs
+    * survived, not just how many. The oracle recomposes q30's exact
+    * pair CTE, replays CC by recursive reachability (q59's pattern),
+    * and applies the same keep rule. */
+  val q91 = QueryDef(
+    "q91_neardup_apply",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = Dedup.minhashNearDupPairs(d, "doc_id", "text",
+          threshold = 0.8, shingleN = 2, bands = 16, rows = 4)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val labels = Dedup.connectedComponents(edges)
+      d.join(labels, col("doc_id") === col("id"), "left")
+        .withColumn("cl", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("kept", col("doc_id") === col("cl"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sum(when(col("kept"), col("n_chars")).otherwise(lit(0L)))
+            .cast("long").as("chars_kept"),
+          sum(when(col("kept"), col("doc_id")).otherwise(lit(0L)))
+            .cast("long").as("kept_id_sum"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH RECURSIVE toks AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(w) >= 2
+           |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+           |      ELSE [array_to_string(w, ' ')] END) AS sh
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           |        FROM documents)),
+           |ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+           |inter AS (
+           |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
+           |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |p0 AS (
+           |  SELECT id_a, id_b FROM inter
+           |  JOIN sizes sa ON id_a = sa.doc_id
+           |  JOIN sizes sb ON id_b = sb.doc_id
+           |  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.8),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM p0
+           |          UNION ALL SELECT id_b, id_a FROM p0),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
+           |lab AS (SELECT id, min(r) AS cl FROM reach GROUP BY id)
+           |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN d.doc_id = lab.cl THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN d.doc_id = lab.cl THEN d.n_chars ELSE 0 END)
+           |    AS BIGINT) AS chars_kept,
+           |  CAST(sum(CASE WHEN d.doc_id = lab.cl THEN d.doc_id ELSE 0 END)
+           |    AS BIGINT) AS kept_id_sum
+           |FROM documents d JOIN lab ON d.doc_id = lab.id
+           |GROUP BY d.source ORDER BY d.source""".stripMargin))
+
   /** Deterministic global shuffle + balanced shard assignment
     * ([[graft.ops.Sharding]]) — the training-order step a pipeline
     * ends with: every doc gets (shard, position) as a pure function of
@@ -1883,5 +2038,5 @@ object LlmPipelines {
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86, q87, q88, q89)
+      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }

@@ -245,6 +245,40 @@ class CodegenParitySpec extends AnyFunSuite {
     assert(generated.exists(_._2.head > 0) && generated.exists(_._2.head < 0))
   }
 
+  private def runPolyHash(): Seq[(Long, Option[Long])] =
+    Tables.documents(spark, SparkTestBase.sf)
+      .select($"doc_id",
+        graft.functions.PolyHash31.poly_hash31($"text").as("h"))
+      .as[(Long, Option[Long])].collect().toSeq.sortBy(_._1)
+
+  test("PolyHash31: codegen == interpreted == HOF char-fold; edge cases") {
+    val generated = withConfs(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(runPolyHash())
+    val interpreted = withConfs(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(runPolyHash())
+    assert(generated == interpreted)
+    // the kernel IS the oracle-replayable HOF chain, element for element
+    val viaHof = Tables.documents(spark, SparkTestBase.sf)
+      .select($"doc_id", aggregate(
+        when($"text".isNull, lit(null).cast("array<long>"))
+          .when(length($"text") > 0,
+            transform(sequence(lit(1), length($"text")),
+              i => ascii($"text".substr(i, lit(1))).cast("long")))
+          .otherwise(array().cast("array<long>")),
+        lit(7L), (acc, c) => (acc * 31L + c) % 2147483647L).as("h"))
+      .as[(Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(generated == viaHof)
+    // edges: empty string folds to the seed, NULL stays NULL
+    val edge = Seq(Some(""), None, Some("a")).toDF("s")
+      .select(graft.functions.PolyHash31.poly_hash31($"s"))
+      .collect().toSeq
+    assert(edge(0).getLong(0) == 7L)
+    assert(edge(1).isNullAt(0))
+    assert(edge(2).getLong(0) == 7L * 31 + 'a'.toLong)
+  }
+
   private def runNgramHashes(): Seq[(Long, Seq[Long])] =
     Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 30)
       .select($"doc_id", graft.functions.NgramHashes.ngram_hashes(

@@ -257,6 +257,59 @@ class SpansSpec extends AnyFunSuite {
     assert(reread.count() == direct.size.toLong)
   }
 
+  test("removeDuplicateSpans: first occurrence survives, later copies cut, unchanged docs byte-identical") {
+    import graft.llm.Spans
+    val d = Seq(
+      (0L, "x  Y z"),      // unchanged: must pass through BYTE-identical
+      (1L, "w x y v"),     // (x y)@2 duplicates d0's (x y)@1 -> cut
+      (2L, "p p p"),       // intra-doc: (p p)@2 duplicates (p p)@1 -> cut
+      (3L, "x y"),         // whole doc duplicated -> empty
+      (4L, null.asInstanceOf[String])) // NULL stays NULL
+      .toDF("doc_id", "text")
+    val got = Spans.removeDuplicateSpans(d, "doc_id", "text", n = 2)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"cleaned", $"tokens_before", $"tokens_removed",
+        $"changed")
+      .collect()
+    assert(got(0).getString(1) == "x  Y z" && !got(0).getBoolean(4),
+      s"unchanged doc rewritten: ${got(0)}")
+    assert(got(0).getLong(2) == 3 && got(0).getLong(3) == 0)
+    // d1: windows (w x)@1,(x y)@2,(y v)@3; only (x y) duplicated and
+    // its canonical is (0,1) -> remove d1 tokens 2..3 -> "w v"
+    assert(got(1).getString(1) == "w v" && got(1).getLong(3) == 2,
+      s"d1: ${got(1)}")
+    // d2: second (p p) removed -> tokens 2..3 cut -> "p"
+    assert(got(2).getString(1) == "p" && got(2).getLong(3) == 2,
+      s"d2: ${got(2)}")
+    // d3: the single window duplicates d0's canonical -> all tokens cut
+    assert(got(3).getString(1) == "" && got(3).getLong(3) == 2 &&
+      got(3).getBoolean(4), s"d3: ${got(3)}")
+    assert(got(4).isNullAt(1) && got(4).getLong(2) == 0 &&
+      !got(4).getBoolean(4), s"d4: ${got(4)}")
+  }
+
+  test("removeDuplicateSpans: hashed-gram path == string-gram path; partitioning-invariant") {
+    import graft.llm.Spans
+    val d = docs.select($"doc_id", $"text")
+    def run(df: org.apache.spark.sql.DataFrame, hashed: Boolean) =
+      Spans.removeDuplicateSpans(df, "doc_id", "text", n = 8,
+          hashGrams = hashed)
+        .orderBy($"doc_id")
+        .select($"doc_id", $"cleaned", $"tokens_before", $"tokens_removed",
+          $"changed")
+        .collect().toSeq
+    val h = run(d, hashed = true)
+    assert(run(d, hashed = false) == h,
+      "hashed and string gram paths must produce the identical rewrite")
+    assert(run(d.repartition(13).orderBy($"doc_id".desc), hashed = true) == h,
+      "rewrite must be invariant under repartition/reorder")
+    // sanity: the fixture actually exercises the operator
+    assert(h.exists(_.getBoolean(4)), "fixture has no duplicated spans")
+    h.filter(_.getBoolean(4)).foreach { r =>
+      assert(r.getLong(3) > 0, s"changed doc removed nothing: $r")
+    }
+  }
+
   test("batched BPE at batchSize=1 is the sequential trainer exactly") {
     import graft.llm.Bpe
     val d = docs.select($"text")
