@@ -187,9 +187,22 @@ object PerceptualHash {
     true
   }
 
+  /** Pixel cap for codec decodes: a header-declared dimension beyond
+    * this hashes NULL instead of being decoded. An untrusted corpus
+    * can carry decompression bombs — a few-KB PNG/GIF whose header
+    * declares e.g. 100k x 100k forces ImageIO.read to allocate
+    * width*height*4 bytes BEFORE any payload byte is found invalid,
+    * and the resulting OutOfMemoryError is not a catchable data error
+    * (it kills the task, and Spark's retries just re-kill it). 64M px
+    * (~256 MB ARGB) is far above any sane training image and far
+    * below the allocation that topples an executor. */
+  val maxCodecPixels: Long = 64L * 1024 * 1024
+
   /** Boxed hashing entry for the codegen'd kernel: raw-BMP fast path,
     * ImageIO codec fallback (PNG/JPEG/GIF), NULL (java null) when
-    * neither decodes. */
+    * neither decodes — or when the header's declared dimensions
+    * exceed [[maxCodecPixels]] (bomb guard: dimensions are read from
+    * the header via ImageReader BEFORE the pixel buffer exists). */
   def hash64(b: Array[Byte], dhash: Boolean): java.lang.Long = {
     if (b == null) null
     else if (isHashable(b))
@@ -197,11 +210,29 @@ object PerceptualHash {
     else if (looksLikeCodec(b)) {
       val _ = imageIoReady
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) null
-        else java.lang.Long.valueOf(
-          if (dhash) dhashBits(gridFromImage(img, 9, 8))
-          else ahashBits(gridFromImage(img, 8, 8)))
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              // header-only: no pixel allocation happens for these
+              val w = reader.getWidth(0).toLong
+              val h = reader.getHeight(0).toLong
+              if (w <= 0 || h <= 0 || w * h > maxCodecPixels) null
+              else {
+                val img = reader.read(0)
+                if (img == null) null
+                else java.lang.Long.valueOf(
+                  if (dhash) dhashBits(gridFromImage(img, 9, 8))
+                  else ahashBits(gridFromImage(img, 8, 8)))
+              }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
       } catch {
         // truncated/corrupt payloads surface as IIOException/IOException
         // (and some broken streams as RuntimeException inside plugins);

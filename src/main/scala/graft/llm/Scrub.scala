@@ -33,7 +33,17 @@ object Scrub {
     // of the redaction ("see https://x.org/p." redacts the URL, keeps
     // the period) so scrubbed text stays tokenizer-friendly; greedy
     // prefix + required non-punct final char works identically in both
-    // dialects, no lookaround needed
+    // dialects, no lookaround needed.
+    // ACCEPTED RESIDUE of that trade-off (documented, not fixable in
+    // the Java∩RE2 dialect without lookaround/conditionals): (a) a
+    // URL whose post-:// tail is ENTIRELY sentence punctuation (e.g.
+    // "http://...") is not redacted at all; (b) a URL legitimately
+    // ending in ')' (Wikipedia-style "..._(disambiguation)") keeps
+    // its closing paren outside the redaction, leaving "<URL>)". Both
+    // shapes carry no PII beyond the already-redacted prefix chars,
+    // and matching ')' conditionally on a preceding '(' is not
+    // expressible in RE2; callers needing stricter paren handling
+    // should post-process.
     ("url", "https?://[^ \\t\\n\\r]*[^ \\t\\n\\r.,;:!?)]", "<URL>"),
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
     ("phone", "\\+?\\d[\\d-]{7,}\\d", "<PHONE>"))
@@ -44,7 +54,15 @@ object Scrub {
 
   /** Input rewritten with `scrubbed_<textCol>` plus one `n_<name>`
     * exact match count per pattern (counted stage-sequentially, so
-    * Σcounts = number of replacements performed). */
+    * Σcounts = number of replacements performed).
+    *
+    * This is the REGEX-EXPRESSION twin: 8 full-text regex traversals
+    * per document. It exists as the oracle-shaped reference
+    * implementation and the parity pin for the fused kernel below —
+    * production callers (q83) use [[scrubWithCountsFused]], which
+    * computes the identical columns in one expression with four
+    * linear scans (see [[graft.functions.ScrubStats]] for the
+    * backtrack-freeness argument that makes them equivalent). */
   def scrubWithCounts(df: DataFrame, textCol: String): DataFrame = {
     val seeded = df.withColumn(s"scrubbed_$textCol", col(textCol))
     patterns.foldLeft(seeded) { case (d, (name, p, r)) =>
@@ -54,5 +72,19 @@ object Scrub {
         .withColumn(s"scrubbed_$textCol",
           regexp_replace(col(s"scrubbed_$textCol"), p, r))
     }
+  }
+
+  /** Fused scale path: same output columns as [[scrubWithCounts]]
+    * (null text => null scrubbed text, zero counts — the regex
+    * path's `coalesce(size(...), 0)` shape), one codegen'd kernel
+    * call per row instead of 8 regex passes. */
+  def scrubWithCountsFused(df: DataFrame, textCol: String): DataFrame = {
+    val sc = graft.functions.ScrubStats.scrub_stats(col(textCol))
+    val withStruct = df.withColumn("__scrub", sc)
+    val out = withStruct
+      .withColumn(s"scrubbed_$textCol", col("__scrub.scrubbed"))
+    patterns.foldLeft(out) { case (d, (name, _, _)) =>
+      d.withColumn(s"n_$name", coalesce(col(s"__scrub.n_$name"), lit(0L)))
+    }.drop("__scrub")
   }
 }

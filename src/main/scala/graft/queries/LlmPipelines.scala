@@ -1503,17 +1503,35 @@ object LlmPipelines {
     * with [[graft.llm.Bpe.loadMergePairs]], and encode with the loaded
     * pairs — the model-artifact round-trip a downstream trainer
     * depends on, verified end-to-end by sharing q82's EXACT oracle
-    * (any drift through save/load breaks the hash gate). */
+    * (any drift through save/load breaks the hash gate).
+    *
+    * The scratch model dir is a DRIVER-LOCAL path: that works because
+    * save writes `coalesce(1)` from the driver-adjacent local cluster
+    * and `loadMergePairs` collects eagerly (model-sized) — after which
+    * the dir is deleted here, before the returned plan ever runs. On a
+    * real multi-node cluster the scratch path must be shared storage
+    * (HDFS/S3), exactly like any model artifact; the round-trip logic
+    * itself is storage-agnostic. */
   val q86 = QueryDef(
     "q86_bpe_encode_persisted",
     (s, dir) => {
       import graft.llm.Bpe
       val docs = Tables.documents(s, dir)
-      val modelDir = java.nio.file.Files
-        .createTempDirectory("graft_bpe_model").toString
+      val modelPath = java.nio.file.Files
+        .createTempDirectory("graft_bpe_model")
       Bpe.saveMerges(Bpe.trainMerges(docs, "text", rounds = BpeRounds),
-        modelDir + "/merges")
-      val merges = Bpe.loadMergePairs(s, modelDir + "/merges")
+        modelPath.toString + "/merges")
+      // eager, model-sized collect — the files are consumed HERE, so
+      // the scratch dir can be removed before the lazy plan returns
+      // (one leaked dir per correctness run otherwise)
+      val merges =
+        try Bpe.loadMergePairs(s, modelPath.toString + "/merges")
+        finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(modelPath).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       val toks = docs.select(col("source"),
           explode(Bpe.alnumTokens(col("text"))).as("tok"))
       Bpe.encodeTokens(toks, "tok", merges)
@@ -1780,7 +1798,7 @@ object LlmPipelines {
           lit("."), (id % 100).cast("string"), lit(" up")))
       val seeded = Tables.documents(s, dir)
         .select(col("source"), concat(col("text"), inject).as("t"))
-      Scrub.scrubWithCounts(seeded, "t")
+      Scrub.scrubWithCountsFused(seeded, "t")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_email")).as("emails"),

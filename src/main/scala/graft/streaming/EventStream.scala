@@ -372,7 +372,21 @@ object EventStream {
                       // all-clean combination, so each verified pair
                       // appears exactly once across all its shared
                       // buckets (this bucket is clean, so a canonical
-                      // one always exists at index <= bucket._1)
+                      // one always exists at index <= bucket._1).
+                      // ABOVE-CAP RECALL, explicitly narrowed: a pair
+                      // is emitted only from its canonical combo's
+                      // bucket — if THAT bucket overflows, the pair is
+                      // dropped even when both members co-exist in
+                      // another clean combo bucket (the pre-round-9
+                      // emit-everywhere+distinct shape would have
+                      // caught it, at the cost of duplicate state in
+                      // every shared bucket). Recovering those pairs
+                      // would need each bucket to know the OTHER
+                      // combos' overflow state, which no per-key state
+                      // store can see; the loss is announced by the
+                      // bucket's sentinel row, and below every cap the
+                      // two shapes emit identical pair sets (pinned in
+                      // StreamingSpec).
                       if (h <= maxHamming &&
                           comboMasks.indexWhere(m => (x & m) == 0L) == bucket._1)
                         out += ((math.min(id, otherId),

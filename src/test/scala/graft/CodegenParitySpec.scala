@@ -339,6 +339,88 @@ class CodegenParitySpec extends AnyFunSuite {
     assert(generated._1.nonEmpty && generated._1.exists(_._2.exists(_ > 0)))
   }
 
+  /** Adversarial strings aimed at every backtracking corner the fused
+    * scanner claims to reproduce (see ScrubStats's equivalence
+    * argument): greedy-domain backtracks, punctuation-tail URLs,
+    * octet lengths and word boundaries, digit-run subsets, stage
+    * interactions (URL absorbing an IP; email inside a URL). */
+  private val scrubEdgeStrings = Seq(
+    "plain text no pii at all",
+    "a@b.co", "a@.co", "a@@b.co", "x a@b.cd.e-f.gh y", "a@b.cd.e1 tail",
+    "user.name+tag%x@sub.domain-x.example.org.",
+    "-@a.bc", "..@..ab", "a@b.c", "a@b.cde@f.gh",
+    "http://", "http://...", "http://x", "https://example.org/p.",
+    "see https://en.wikipedia.org/wiki/Foo_(bar) end",
+    "httpss://x http://a@b.com tail", "HTTP://nope http://ok?q=1!",
+    "http://a http://b", "pre.http://tail.x.",
+    "1.2.3.4", "1234.1.2.3.4", "1.2.3.4.5", "1.2.3.4a", "a1.2.3.4",
+    "x 10.0.0.1, y", "256.256.256.256", "1.2.3.4567", "_1.2.3.4 1.2.3.4_",
+    "+12345678901", "12345678", "123456789", "123+45678901",
+    "12-34567", "--123456789--", "050-1234567 now",
+    "+1-800-555-0199 and 123456789012345678 twice?",
+    "a@b.co http://1.2.3.4/x 1.2.3.4 +123456789 done",
+    "contact a@b.co or http://c.de/f?g=+123456789 else 9.9.9.9",
+    "", " ", "+", "++123456789", "émé@b.co café 1.2.3.4",
+    "😀 a@b.co 😀 http://x😀y end")
+
+  private def runScrub(): Seq[(Long, String, Long, Long, Long, Long)] = {
+    val corpus = Tables.documents(spark, SparkTestBase.sf)
+      .where($"doc_id" < 60)
+      .select($"doc_id", concat($"text",
+        lit(" u"), $"doc_id", lit("@ex.org http://h/"), $"doc_id",
+        lit(". 10.1."), ($"doc_id" % 256).cast("string"),
+        lit(".9 +0501234"), $"doc_id").as("t"))
+      .union(scrubEdgeStrings.zipWithIndex
+        .map { case (s, i) => (1000L + i, s) }.toDF("doc_id", "t"))
+    graft.llm.Scrub.scrubWithCountsFused(corpus, "t")
+      .select($"doc_id", $"scrubbed_t", $"n_email".cast("long"),
+        $"n_url".cast("long"), $"n_ip".cast("long"), $"n_phone".cast("long"))
+      .as[(Long, String, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  test("ScrubStats: codegen == interpreted == 8-pass regex twin, corpus + adversarial edges") {
+    val generated = withConfs(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(runScrub())
+    val interpreted = withConfs(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(runScrub())
+    assert(generated == interpreted)
+    assert(generated.nonEmpty)
+    // the regex twin (which the DuckDB oracle replays) decides identically,
+    // computed driver-side straight through java.util.regex so the
+    // comparison does not share one line of scanner code
+    val sources: Map[Long, String] = Tables.documents(spark, SparkTestBase.sf)
+      .where($"doc_id" < 60)
+      .select($"doc_id", concat($"text",
+        lit(" u"), $"doc_id", lit("@ex.org http://h/"), $"doc_id",
+        lit(". 10.1."), ($"doc_id" % 256).cast("string"),
+        lit(".9 +0501234"), $"doc_id").as("t"))
+      .as[(Long, String)].collect().toMap ++
+      scrubEdgeStrings.zipWithIndex.map { case (s, i) => (1000L + i, s) }
+    generated.foreach { case (id, scrubbed, ne, nu, ni, np) =>
+      val src = sources(id)
+      var t = src
+      val counts = graft.llm.Scrub.patterns.map { case (_, p, r) =>
+        val m = java.util.regex.Pattern.compile(p).matcher(t)
+        var n = 0L
+        val sb = new java.lang.StringBuffer
+        while (m.find()) { n += 1; m.appendReplacement(sb,
+          java.util.regex.Matcher.quoteReplacement(r)) }
+        m.appendTail(sb)
+        t = sb.toString
+        n
+      }
+      assert(t == scrubbed, s"scrubbed text diverges on doc $id: [$src]")
+      assert(Seq(ne, nu, ni, np) == counts,
+        s"counts diverge on doc $id: [$src] kernel=(${Seq(ne, nu, ni, np)}) regex=($counts)")
+    }
+    // the fixture actually exercises all four patterns
+    assert(generated.exists(_._3 > 0) && generated.exists(_._4 > 0) &&
+      generated.exists(_._5 > 0) && generated.exists(_._6 > 0))
+  }
+
   test("SimHash64 / DmsToDecimalDegrees / vector kernels: codegen == interpreted") {
     val generated = withConfs(
       "spark.sql.codegen.wholeStage" -> "true",

@@ -399,6 +399,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(PerceptualHash.hash64("GIF8 but nope".getBytes, true) == null)
   }
 
+  test("decompression bombs: header-declared huge dimensions hash NULL without allocating") {
+    import graft.functions.PerceptualHash
+    // a VALID PNG whose IHDR declares 100000x100000 (a ~40 GB ARGB
+    // raster) from a few hundred bytes of payload: resource
+    // exhaustion, not parse failure — the guard must reject it from
+    // the HEADER, before any pixel buffer exists. Build it by
+    // re-writing the IHDR of a real 1x1 PNG with bomb dimensions and
+    // a recomputed CRC so header parsing genuinely succeeds.
+    def pngWithDims(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(1, 1,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      val b = out.toByteArray
+      // IHDR data starts at offset 16 (8 sig + 4 len + 4 "IHDR")
+      def put(off: Int, v: Int): Unit = {
+        b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+        b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+      }
+      put(16, w); put(20, h)
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 4 + 13) // "IHDR" + 13 data bytes
+      put(12 + 4 + 13, crc.getValue.toInt)
+      b
+    }
+    val bomb = pngWithDims(100000, 100000)
+    assert(PerceptualHash.looksLikeCodec(bomb), "bomb must pass the sniff")
+    val before = Runtime.getRuntime.totalMemory()
+    assert(PerceptualHash.hash64(bomb, true) == null, "bomb must hash NULL")
+    assert(PerceptualHash.hash64(bomb, false) == null)
+    // sanity: the guard didn't grow the heap by a raster's worth
+    assert(Runtime.getRuntime.totalMemory() - before < 512L * 1024 * 1024)
+    // the same rewrite at sane dimensions still DECODES (the guard is
+    // a cap, not a new failure mode): an honest 1x1 PNG hashes non-null
+    assert(PerceptualHash.hash64(pngWithDims(1, 1), true) != null)
+    // and a just-over-cap square is rejected while just-under passes
+    // the dimension check (it then fails decode on truncated data,
+    // also NULL — so pin only the over-cap rejection path's speed)
+    val t0 = System.nanoTime()
+    assert(PerceptualHash.hash64(pngWithDims(9000, 9000), true) == null)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0,
+      "over-cap rejection must be header-fast, not a decode attempt")
+  }
+
   test("image near-dup banding finds BMP/JPEG re-encode twins end to end") {
     import graft.functions.PerceptualHash
     // the judge's 'Done' condition: a corpus mixing raw BMPs with
