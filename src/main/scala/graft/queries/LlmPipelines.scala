@@ -2053,8 +2053,219 @@ object LlmPipelines {
          |FROM dedup GROUP BY source ORDER BY source""".stripMargin
     })
 
+  /** THE TRAINING-DATA FREEZE — the full end-to-end arc every
+    * pipeline in this family builds toward, composed as ONE plan
+    * producing the shard artifact a trainer streams:
+    *
+    *   1. learned quality gate (q85's fastText-style kernel scorer;
+    *      benchmark docs — every 50th — are held OUT of the corpus
+    *      from the start, q78's eval-split convention),
+    *   2. near-dup APPLY over the gate survivors (q91's keep rule:
+    *      MinHash-banded exact-Jaccard >= 0.8 pairs → connected
+    *      components → each clique keeps its minimum doc_id),
+    *   3. decontamination gate (q78: drop any survivor sharing an
+    *      8-gram window with the held-out benchmark; broadcast gram
+    *      probe, corpus never shuffles),
+    *   4. deterministic shard assignment + training order (q89:
+    *      (shard, position) = f(doc_id, seed), ONE exchange + one
+    *      per-shard sort),
+    *   5. sequence packing WITHIN each shard in training order
+    *      (q77's prefix-sum bins at budget 512 — riding the SAME
+    *      per-shard sort the order window forced, so packing adds no
+    *      exchange).
+    *
+    * Output grain: one row per shard — docs, token and bin totals,
+    * boundary-crossing docs (the attention-mask cases), first doc in
+    * training order, and q89's position-weighted order checksum
+    * closing the artifact end: any transposition anywhere in any
+    * shard's training order flips it.
+    *
+    * Scale shape: gate is one map-side kernel scan; pairs are banded
+    * (never all-pairs); CC is one job per pointer-jump round;
+    * decontamination broadcasts the benchmark gram set; the
+    * shard+pack tail is exactly q89's single exchange. At 100 TB the
+    * `deduped` subtree (used by both the decon probe and the final
+    * spine) would be checkpointed once instead of recomputed — here
+    * it recomputes two cheap scans.
+    *
+    * Full DuckDB oracle: the member CTEs recomposed in sequence —
+    * q85's scoring chain, q91's exact-pair + recursive-reachability
+    * CC, q78's gram overlap, q89's portable-arithmetic permutation,
+    * q77's prefix-sum packing — every column exact BIGINT. */
+  val q92 = QueryDef(
+    "q92_training_freeze",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val bench = d.where(col("doc_id") % 50 === 0)
+      val corpus = d.where(col("doc_id") % 50 =!= 0)
+      // 1. learned gate (map-side kernel scan)
+      val gated = graft.llm.Quality.scored(
+          corpus.select(col("doc_id"), col("text")), "text")
+        .where(col("quality_kept"))
+        .select(col("doc_id"), col("text"))
+      // 2. near-dup apply over the survivors (q91's keep rule)
+      val edges = Dedup.minhashNearDupPairs(gated, "doc_id", "text",
+          threshold = 0.8, shingleN = 2, bands = 16, rows = 4)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val labels = Dedup.connectedComponents(edges)
+      val deduped = gated.join(labels, col("doc_id") === col("id"), "left")
+        .where(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+        .select(col("doc_id"), col("text"))
+      // 3. decontamination vs the held-out benchmark
+      val decon = graft.llm.Spans.decontaminationStats(
+        deduped, bench, "doc_id", "text", n = 8)
+      val surv = deduped
+        .join(decon.where(!col("contaminated")).select(col("doc_id")),
+          Seq("doc_id"))
+        .select(col("doc_id"),
+          size(filter(split(lower(trim(col("text"))), "\\s+"),
+            w => length(w) > 0)).cast("long").as("n_toks"))
+      // 4. deterministic shards + training order (q89)
+      val sharded = graft.ops.Sharding.assign(surv, "doc_id",
+        nShards = 32, seed = 42L)
+      // 5. packing within the shard in TRAINING order — same window
+      // partitioning as the position sort, so no new exchange
+      val w = Window.partitionBy(col("shard")).orderBy(col("position"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sharded
+        .withColumn("cum_prev",
+          coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        .withColumn("bin_start",
+          graft.ops.Cleaning.intDiv(col("cum_prev"), lit(512L)))
+        .withColumn("bin_end",
+          graft.ops.Cleaning.intDiv(
+            col("cum_prev") + greatest(col("n_toks"), lit(1L)) - lit(1L),
+            lit(512L)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          (max(col("bin_end")) + lit(1L)).as("n_bins"),
+          sum(when(col("bin_end") > col("bin_start"), 1L).otherwise(0L))
+            .as("n_crossers"),
+          min_by(col("doc_id"), col("position")).as("first_doc_id"),
+          sum(pmod(col("position") * pmod(col("doc_id"), lit(1000003L)),
+            lit(2147483648L))).as("order_checksum"))
+        .orderBy(col("shard"))
+    },
+    Some {
+      val hash =
+        """list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |      list_transform(generate_series(1, CAST(length(g) AS INTEGER)),
+          |        i -> CAST(ord(substr(g, i, 1)) AS BIGINT))),
+          |      (acc, c) -> (acc*31 + c) % 2147483647)""".stripMargin
+      s"""WITH RECURSIVE words AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> regexp_matches(x, '^[a-z0-9]+$$')) AS ws
+         |  FROM documents WHERE doc_id % 50 != 0),
+         |grams AS (
+         |  SELECT doc_id, unnest(ws) AS g FROM words
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i + 1])) AS g FROM words),
+         |scored AS (
+         |  SELECT doc_id,
+         |    ((xor(v0, v0 >> 15) * 2246822519 % 2147483647) % 1001) - 500 AS w
+         |  FROM (
+         |    SELECT doc_id, ((b + 1) * 2654435761) % 2147483647 AS v0
+         |    FROM (SELECT doc_id, ($hash) % 1024 AS b FROM grams))),
+         |per_doc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(w) AS BIGINT) AS sum_w
+         |  FROM scored GROUP BY doc_id),
+         |gatekept AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |  WHERE d.doc_id % 50 != 0
+         |    AND coalesce(p.sum_w, 0) * 1000 > 25 * coalesce(p.n_grams, 0)),
+         |shing AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(w) >= 2
+         |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |      ELSE [array_to_string(w, ' ')] END) AS sh
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |        FROM gatekept)),
+         |ex AS (SELECT doc_id, unnest(sh) AS s2 FROM shing),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
+         |  FROM ex x JOIN ex y ON x.s2 = y.s2 AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |p0 AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.8),
+         |cedges AS (SELECT id_a AS a, id_b AS b FROM p0
+         |           UNION ALL SELECT id_b, id_a FROM p0),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM gatekept
+         |  UNION
+         |  SELECT e.b, r.r FROM reach r JOIN cedges e ON e.a = r.id),
+         |lab AS (SELECT id, min(r) AS cl FROM reach GROUP BY id),
+         |deduped AS (
+         |  SELECT g.doc_id, g.text FROM gatekept g JOIN lab ON g.doc_id = lab.id
+         |  WHERE g.doc_id = lab.cl),
+         |dtoks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                             x -> length(x) > 0) AS t
+         |  FROM deduped),
+         |dgrams AS (
+         |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g8
+         |  FROM dtoks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS s(i)),
+         |btoks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                             x -> length(x) > 0) AS t
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |bg AS (
+         |  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g8
+         |  FROM btoks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS s(i)),
+         |contam AS (SELECT DISTINCT dgrams.doc_id FROM dgrams JOIN bg USING (g8)),
+         |surv AS (
+         |  SELECT d.doc_id, CAST(len(t.t) AS BIGINT) AS n_toks
+         |  FROM deduped d JOIN dtoks t USING (doc_id)
+         |  LEFT JOIN contam c ON d.doc_id = c.doc_id
+         |  WHERE c.doc_id IS NULL),
+         |hh AS (
+         |  SELECT doc_id, n_toks,
+         |    ((doc_id % 2147483647) * 2654435761
+         |     + ((doc_id // 2147483647) % 2147483647) * 40503
+         |     + 42 * 97003) % 4294967296 AS h
+         |  FROM surv),
+         |kk AS (
+         |  SELECT doc_id, n_toks, CAST(h % 32 AS INTEGER) AS shard,
+         |    (h * 69069 + doc_id % 2147483647) % 4294967296 AS ok
+         |  FROM hh),
+         |pp AS (
+         |  SELECT shard, doc_id, n_toks,
+         |    row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+         |      AS position
+         |  FROM kk),
+         |cc AS (
+         |  SELECT shard, doc_id, n_toks, position,
+         |    coalesce(SUM(n_toks) OVER (PARTITION BY shard ORDER BY position
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+         |  FROM pp),
+         |bb AS (
+         |  SELECT shard, doc_id, n_toks, position,
+         |    CAST(cum_prev // 512 AS BIGINT) AS bin_start,
+         |    CAST((cum_prev + greatest(n_toks, 1) - 1) // 512 AS BIGINT) AS bin_end
+         |  FROM cc)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(max(bin_end) + 1 AS BIGINT) AS n_bins,
+         |  CAST(sum(CASE WHEN bin_end > bin_start THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_crossers,
+         |  arg_min(doc_id, position) AS first_doc_id,
+         |  CAST(sum((position * (doc_id % 1000003)) % 2147483648)
+         |    AS BIGINT) AS order_checksum
+         |FROM bb GROUP BY shard ORDER BY shard""".stripMargin
+    })
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
 }
