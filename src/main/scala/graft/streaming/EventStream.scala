@@ -459,6 +459,84 @@ object EventStream {
   /** Drive a streaming query to completion over the (static) test
     * directory via a memory sink — how StreamingSpec observes results
     * synchronously. Returns the collected sink table. */
+  final case class FirstSeen(key: String, n_rows: Long,
+                             create_us: Long, update_us: Long)
+
+  /** ST4 streaming twin — the keyed get-or-create FIRST-SEEN store as
+    * a continuous operator (reference:
+    * `scripts/ads_passenger_travel_distance_di.py:26-52` keeps a
+    * SQLite store stamping `create_time` at a key's first insert and
+    * `update_time` on every later one; the batch form is q21's
+    * snapshot join with `coalesce(prev.create_time, now)`).
+    *
+    * Contract (the distributed-native restatement of that store):
+    *  - `create_us`: the key's OWN data watermark — max event-time µs
+    *    of its rows — within the microbatch that FIRST contained it.
+    *    NEVER changes afterwards, across microbatches AND across
+    *    checkpoint kill-resume (the preserve-first-seen contract;
+    *    StreamingSpec pins both). The reference stamps the run's wall
+    *    clock, which no replay can reproduce; the key-scoped data
+    *    watermark is its deterministic analogue, and equals the q21
+    *    snapshot-join recurrence replayed per microbatch (spec-pinned:
+    *    a key first seen in batch i has no earlier snapshot row, so
+    *    the coalesce falls through to batch i's watermark for it).
+    *  - `update_us`: running max event-time µs across all batches.
+    *  - `n_rows`: accumulated non-late row count.
+    *
+    * Update mode: one row per TOUCHED key per microbatch (the upsert
+    * feed a sink applies; the latest row per key is the store state).
+    * State is bounded by the event-time idle timeout: a key idle past
+    * it is evicted and would be RE-created on return — the same
+    * horizon contract as [[streamingExactDedup]]; unbounded-history
+    * first-seen belongs to the batch snapshot-join form (q21), which
+    * a periodic compaction reconciles. Late rows (behind the
+    * watermark) are skipped, matching the aggregate paths. */
+  def firstSeenAggregates(rows: DataFrame, keyCol: String,
+                          watermark: String = "2 hours",
+                          idleTimeout: String = "7 days"): Dataset[FirstSeen] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .withWatermark("ts", watermark)
+      .select(col(keyCol).cast("string").as("key"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[(String, java.sql.Timestamp, Long)],
+         st: GroupState[FirstSeen]) =>
+          if (st.hasTimedOut) {
+            st.remove()
+            Iterator.empty
+          } else {
+            val wm = st.getCurrentWatermarkMs()
+            var n = 0L
+            var maxUs = Long.MinValue
+            var maxMs = Long.MinValue
+            it.foreach { r =>
+              val ms = r._2.getTime
+              if (ms >= wm) { // skip late rows (see runningUserTotals)
+                n += 1
+                if (r._3 > maxUs) maxUs = r._3
+                if (ms > maxMs) maxMs = ms
+              }
+            }
+            if (n == 0L) Iterator.empty // every row was late
+            else {
+              val prev = st.getOption
+              val next = FirstSeen(key,
+                prev.map(_.n_rows).getOrElse(0L) + n,
+                prev.map(_.create_us).getOrElse(maxUs), // first batch stamps
+                math.max(prev.map(_.update_us).getOrElse(Long.MinValue), maxUs))
+              st.update(next)
+              st.setTimeoutTimestamp(maxMs, idleTimeout)
+              Iterator.single(next)
+            }
+          }
+      }
+  }
+
   def runToMemorySink(spark: SparkSession, agg: DataFrame,
                       queryName: String, outputMode: OutputMode): DataFrame = {
     val q = agg.writeStream

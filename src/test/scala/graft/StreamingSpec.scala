@@ -227,6 +227,113 @@ class StreamingSpec extends AnyFunSuite {
       "resumed output must equal the uninterrupted run")
   }
 
+  test("firstSeenAggregates: create_time preserved across microbatches == q21 snapshot-join replay (ST4)") {
+    // FOUR time-ordered one-file microbatches; keys re-appear across
+    // batches so the preserve-first-seen path is exercised, new keys
+    // appear mid-stream, and one key (D) arrives only in the last.
+    val dir = Files.createTempDirectory("graft_stream_st4")
+    val batches: Seq[Seq[(String, Long, String, Double)]] = Seq(
+      Seq(("2025-01-01 10:00:00", 1L, "A", 1.0),
+          ("2025-01-01 10:30:00", 2L, "A", 1.0),
+          ("2025-01-01 10:45:00", 3L, "B", 1.0)),
+      Seq(("2025-01-01 11:00:00", 4L, "B", 1.0),
+          ("2025-01-01 11:15:00", 5L, "C", 1.0)),
+      Seq(("2025-01-01 12:00:00", 6L, "A", 1.0),
+          ("2025-01-01 12:10:00", 7L, "C", 1.0)),
+      Seq(("2025-01-01 13:00:00", 8L, "D", 1.0),
+          ("2025-01-01 13:05:00", 9L, "A", 1.0)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeEventFile(dir, s"f$i.parquet", i, rows)
+    }
+    val emissions = EventStream.runToMemorySink(spark,
+        EventStream.firstSeenAggregates(streamFrom(dir), "event_type").toDF(),
+        "st4_stream", OutputMode.Update())
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // final store state = the latest upsert per key (n_rows is strictly
+    // increasing per key, so max-by-n picks it)
+    val finalState = emissions.groupBy(_._1)
+      .map { case (k, rs) => k -> rs.maxBy(_._2) }
+      .map { case (k, r) => k -> (r._2, r._3, r._4) }
+
+    // q21's snapshot-join recurrence, replayed batch-by-batch over the
+    // same files: the new snapshot takes coalesce(prev.create, batch
+    // watermark-of-the-key) — exactly the batch operator's
+    // `coalesce(prev_ts, now_ts)` per key
+    def us(s: String): Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000L
+    var snap = Map.empty[String, (Long, Long, Long)] // n, create, update
+    batches.foreach { rows =>
+      rows.groupBy(_._3).foreach { case (k, rs) =>
+        val bn = rs.size.toLong
+        val bmax = rs.map(r => us(r._1)).max
+        snap += k -> snap.get(k)
+          .map { case (n, c, u) => (n + bn, c, math.max(u, bmax)) }
+          .getOrElse((bn, bmax, bmax))
+      }
+    }
+    assert(finalState == snap,
+      s"stream state vs snapshot-join replay:\n $finalState\n vs $snap")
+    // the headline property, spelled out: A's create_time is batch 0's
+    // A-watermark and survives being touched in batches 2 and 3
+    assert(finalState("A") == ((4L, us("2025-01-01 10:30:00"),
+      us("2025-01-01 13:05:00"))))
+  }
+
+  test("firstSeenAggregates: create_time survives kill-resume on the checkpoint (ST4 e2e)") {
+    val src = Files.createTempDirectory("graft_stream_st4_kill")
+    // six one-row microbatches, key X first seen in batch 0 and touched
+    // in every later batch — whatever batch the kill lands in, the
+    // resumed run must carry X's original create stamp forward
+    (0 until 6).foreach { i =>
+      writeEventFile(src, s"f$i.parquet", i,
+        Seq((f"2025-01-01 ${10 + i}%02d:00:00", i.toLong, "X", 1.0)))
+    }
+    def drain(out: String, ckpt: String, killEarly: Boolean): Unit = {
+      val q = EventStream.firstSeenAggregates(streamFrom(src), "event_type")
+        .toDF()
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Append).parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (killEarly) {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (q.recentProgress.map(_.numInputRows).sum < 2 &&
+               q.isActive && System.nanoTime() < deadline) Thread.sleep(10)
+        q.stop()
+        q.awaitTermination()
+      } else q.awaitTermination()
+    }
+    // a killed batch can replay into the append sink; same batch_id →
+    // identical rows, so distinct restores exactly-once
+    def finalRow(out: String): (Long, Long, Long) =
+      spark.read.parquet(out).distinct()
+        .orderBy($"batch_id".desc).limit(1)
+        .select($"n_rows", $"create_us", $"update_us")
+        .as[(Long, Long, Long)].collect().head
+
+    val outA = Files.createTempDirectory("graft_st4_outA").toString
+    val ckptA = Files.createTempDirectory("graft_st4_ckptA").toString
+    drain(outA, ckptA, killEarly = true)  // interrupted mid-drain...
+    drain(outA, ckptA, killEarly = false) // ...resumed to completion
+    val outB = Files.createTempDirectory("graft_st4_outB").toString
+    val ckptB = Files.createTempDirectory("graft_st4_ckptB").toString
+    drain(outB, ckptB, killEarly = false) // uninterrupted control
+
+    val resumed = finalRow(outA)
+    val control = finalRow(outB)
+    assert(resumed == control,
+      s"kill-resume state diverged: $resumed vs $control")
+    val createUs = java.sql.Timestamp.valueOf("2025-01-01 10:00:00")
+      .getTime * 1000L
+    assert(resumed == ((6L, createUs,
+      java.sql.Timestamp.valueOf("2025-01-01 15:00:00").getTime * 1000L)))
+  }
+
   test("runningUserTotals evicts idle state at the event-time timeout") {
     val dir = Files.createTempDirectory("graft_stream_evict")
     // u1 active early with two events...
