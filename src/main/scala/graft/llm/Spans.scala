@@ -332,6 +332,77 @@ object Spans {
         col("__chg").isNotNull.as("changed"))
   }
 
+  /** Paragraph-level exact-dedup REWRITE — the MassiveText/Gopher
+    * cleaning step between whole-document dedup (q27) and token-window
+    * span removal (q90): every paragraph duplicated ANYWHERE in the
+    * corpus keeps only its globally FIRST occurrence (min (doc_id,
+    * position) — a total order, so the survivor set is
+    * partitioning-invariant); later occurrences are deleted and their
+    * documents rebuilt from the surviving paragraphs re-joined with
+    * the separator. Untouched documents pass through byte-identical.
+    *
+    * Same at-scale discipline as [[removeDuplicateSpans]]: the keeper
+    * is a hash agg of min(struct) restricted to DUPLICATED
+    * fingerprints (never a sort-window — a 10^7-occurrence boilerplate
+    * paragraph needs no single-partition sort), and only CHANGED
+    * documents shuffle their paragraphs for the rebuild.
+    *
+    * Semantics: paragraphs are `sep`-separated slots (regex-quoted on
+    * the Spark side so the split is LITERAL, matching the oracle's
+    * `string_split`; trailing empty slots kept on both engines);
+    * empty slots are never dedup candidates and always survive;
+    * removing a slot collapses its separator. Fingerprint = md5 of
+    * the exact paragraph text (no normalization — "exact" here means
+    * byte-exact, the MassiveText rule; the fuzzy forms are the
+    * MinHash/span family's job). */
+  def removeDuplicateParagraphs(docs: DataFrame, idCol: String,
+                                textCol: String,
+                                sep: String = "\n\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"),
+      split(col(textCol), sepRe, -1).as("ps"))
+    val slots = base
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("p0", "para")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("para"))
+    val occ = slots.where(length(col("para")) > 0)
+      .select(md5(col("para").cast("binary")).as("g"),
+        col("doc_id"), col("pos"))
+    val keeper = occ.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"),
+        count(lit(1)).as("__cnt"))
+      .where(col("__cnt") >= 2)
+      .select(col("g"), col("k"))
+    val removal = occ.join(keeper, Seq("g"))
+      .where(!(col("doc_id") === col("k.doc_id") &&
+        col("pos") === col("k.pos")))
+      .select(col("doc_id"), col("pos"))
+    val changed = removal.select(col("doc_id")).distinct()
+    val survivors = base.join(changed, Seq("doc_id"))
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("p0", "para")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("para"))
+      .join(removal, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = survivors.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__after"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para"))).as("__cleaned"))
+    base
+      .join(changed.withColumn("__chg", lit(true)), Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // a changed doc whose every slot was removed has no survivor
+        // rows — coalesce to the empty document, not a pass-through
+        when(col("__chg").isNotNull, coalesce(col("__cleaned"), lit("")))
+          .otherwise(col("__text")).as("cleaned"),
+        // NULL text has no slots (the spans convention: 0, not NULL)
+        coalesce(size(col("ps")), lit(0)).cast("long").as("paras_before"),
+        when(col("__chg").isNotNull,
+            size(col("ps")).cast("long") - coalesce(col("__after"), lit(0L)))
+          .otherwise(lit(0L)).as("paras_removed"),
+        col("__chg").isNotNull.as("changed"))
+  }
+
   /** Corpus vocabulary: per-token term frequency and document
     * frequency, truncated to the `topK` most frequent (ties broken by
     * token, so the cut is deterministic) — the counting pass a

@@ -2264,8 +2264,155 @@ object LlmPipelines {
          |FROM bb GROUP BY shard ORDER BY shard""".stripMargin
     })
 
+  /** Encoding-anomaly audit ([[graft.llm.Encoding]]) — the mojibake /
+    * control-character gate of the C4/CCNet cleaning family, over a
+    * corpus with deterministically injected damage (the q83 pattern:
+    * payloads the oracle regenerates from doc_id): exact per-signal
+    * counts + the clean-doc gate rate, rolled up per source. Pure
+    * map-side until the rollup; patterns in the Java∩RE2 dialect
+    * intersection so DuckDB replays every count exactly. */
+  val q93 = QueryDef(
+    "q93_encoding_anomalies",
+    (s, dir) => {
+      val id = col("doc_id")
+      val inject = when(id % 5 === 0, lit(" lost � byte"))
+        .when(id % 5 === 1, // "cafA~(c)" shape: UTF-8 e-acute read as Latin-1
+          lit(" cafÃ© menu"))
+        .when(id % 5 === 2, lit(" bellring"))
+        .when(id % 5 === 3, lit(" nextline"))
+        .otherwise(lit(" clean tail"))
+      graft.llm.Encoding.anomalyRollup(
+          Tables.documents(s, dir)
+            .select(col("source"), concat(col("text"), inject).as("t")),
+          "t", "source")
+        .orderBy(col("source"))
+    },
+    Some {
+      val counts = graft.llm.Encoding.patterns.map { case (name, p) =>
+        s"coalesce(len(regexp_extract_all(t, '$p')), 0) AS n_$name"
+      }.mkString(",\n    ")
+      val gate = graft.llm.Encoding.patterns
+        .map(p => s"n_${p._1} = 0").mkString(" AND ")
+      val totals = graft.llm.Encoding.patterns
+        .map(p => s"CAST(sum(n_${p._1}) AS BIGINT) AS ${p._1}_total")
+        .mkString(",\n  ")
+      s"""WITH seeded AS (
+         |  SELECT source,
+         |    text || CASE CAST(doc_id % 5 AS INTEGER)
+         |      WHEN 0 THEN ' lost ' || chr(65533) || ' byte'
+         |      WHEN 1 THEN ' caf' || chr(195) || chr(169) || ' menu'
+         |      WHEN 2 THEN ' bell' || chr(7) || 'ring'
+         |      WHEN 3 THEN ' next' || chr(133) || 'line'
+         |      ELSE ' clean tail' END AS t
+         |  FROM documents),
+         |counted AS (
+         |  SELECT source,
+         |    $counts
+         |  FROM seeded)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN $gate THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS clean_docs,
+         |  $totals
+         |FROM counted GROUP BY source ORDER BY source""".stripMargin
+    })
+
+  /** Paragraph-level exact-dedup rewrite
+    * ([[graft.llm.Spans.removeDuplicateParagraphs]]) — the
+    * MassiveText step between whole-doc dedup (q27) and token-window
+    * span removal (q90). Fixture: every document gains a second
+    * paragraph — two injected boilerplate families shared corpus-wide
+    * (newsletter/copyright, the real-world shape) and a unique
+    * footnote for the rest — on top of the corpus's natural exact-dup
+    * base texts. Output mirrors q90's: per-source docs, changed docs,
+    * slot totals, and the polynomial checksum of every rewritten
+    * document (character-exact rewrite verification). */
+  val q94 = QueryDef(
+    "q94_paragraph_dedup",
+    (s, dir) => {
+      val id = col("doc_id")
+      val para = when(id % 3 === 0,
+          lit("subscribe to our newsletter for updates"))
+        .when(id % 3 === 1, lit("copyright all rights reserved worldwide"))
+        .otherwise(concat(lit("unique footnote ref "), id.cast("string")))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit("\n\n"), para).as("t"))
+      val cleaned = graft.llm.Spans.removeDuplicateParagraphs(
+        docs, "doc_id", "t")
+      docs.select(col("doc_id"), col("source"))
+        .join(cleaned, Seq("doc_id"))
+        .withColumn("__h",
+          graft.functions.PolyHash31.poly_hash31(col("cleaned")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("changed").cast("long")).as("docs_changed"),
+          sum(col("paras_before")).as("paras_before"),
+          sum(col("paras_removed")).as("paras_removed"),
+          sum(col("__h")).as("cleaned_checksum"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, source,
+           |    text || chr(10) || chr(10) || CASE CAST(doc_id % 3 AS INTEGER)
+           |      WHEN 0 THEN 'subscribe to our newsletter for updates'
+           |      WHEN 1 THEN 'copyright all rights reserved worldwide'
+           |      ELSE 'unique footnote ref ' || CAST(doc_id AS VARCHAR)
+           |    END AS t
+           |  FROM documents),
+           |sp AS (
+           |  SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps
+           |  FROM base),
+           |slots AS (
+           |  SELECT doc_id, i AS pos, ps[i] AS para, len(ps) AS np
+           |  FROM sp, UNNEST(generate_series(1, len(ps))) AS s(i)),
+           |occ AS (
+           |  SELECT doc_id, pos, md5(para) AS g FROM slots
+           |  WHERE length(para) > 0),
+           |marked AS (
+           |  SELECT doc_id, pos FROM (
+           |    SELECT doc_id, pos,
+           |      row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+           |    FROM occ) WHERE rn > 1),
+           |changed AS (SELECT DISTINCT doc_id FROM marked),
+           |surv AS (
+           |  SELECT sl.doc_id, sl.pos, sl.para
+           |  FROM slots sl JOIN changed USING (doc_id)
+           |  LEFT JOIN marked m ON m.doc_id = sl.doc_id AND m.pos = sl.pos
+           |  WHERE m.doc_id IS NULL),
+           |rebuilt AS (
+           |  SELECT doc_id, count(*) AS after,
+           |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned
+           |  FROM surv GROUP BY doc_id),
+           |perdoc AS (
+           |  SELECT b.source,
+           |    CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS chg,
+           |    sp2.np AS nb,
+           |    CASE WHEN c.doc_id IS NOT NULL
+           |         THEN sp2.np - coalesce(r.after, 0) ELSE 0 END AS nr,
+           |    CASE WHEN c.doc_id IS NOT NULL THEN coalesce(r.cleaned, '')
+           |         ELSE b.t END AS cleaned
+           |  FROM base b
+           |  JOIN (SELECT DISTINCT doc_id, np FROM slots) sp2 USING (doc_id)
+           |  LEFT JOIN changed c USING (doc_id)
+           |  LEFT JOIN rebuilt r USING (doc_id)),
+           |hashed AS (
+           |  SELECT source, chg, nb, nr,
+           |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+           |      list_transform(
+           |        generate_series(1, CAST(length(cleaned) AS INTEGER)),
+           |        i -> CAST(ord(substr(cleaned, i, 1)) AS BIGINT))),
+           |      (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+           |  FROM perdoc)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(chg) AS BIGINT) AS docs_changed,
+           |  CAST(sum(nb) AS BIGINT) AS paras_before,
+           |  CAST(sum(nr) AS BIGINT) AS paras_removed,
+           |  CAST(sum(h) AS BIGINT) AS cleaned_checksum
+           |FROM hashed GROUP BY source ORDER BY source""".stripMargin)
+    )
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
+      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
 }

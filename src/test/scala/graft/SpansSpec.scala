@@ -288,6 +288,75 @@ class SpansSpec extends AnyFunSuite {
       !got(4).getBoolean(4), s"d4: ${got(4)}")
   }
 
+  test("removeDuplicateParagraphs: global first occurrence survives, empty slots pass, unchanged docs byte-identical") {
+    import graft.llm.Spans
+    val sep = "\n\n"
+    val d = Seq(
+      (0L, s"alpha${sep}shared one${sep}beta"), // canonical "shared one"@(0,2)
+      (1L, s"shared one${sep}gamma"),           // (1,1) duplicates -> cut
+      (2L, s"dup${sep}dup"),                    // intra-doc: (2,2) cut
+      (3L, "shared one"),                       // whole doc duplicated -> empty
+      (4L, s"alpha$sep${sep}omega"),            // empty middle slot: never a candidate, SURVIVES
+      (5L, "untouched solo doc"),               // unchanged: byte-identical
+      (6L, null.asInstanceOf[String]))          // NULL stays NULL
+      .toDF("doc_id", "text")
+    val got = Spans.removeDuplicateParagraphs(d, "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"cleaned", $"paras_before", $"paras_removed",
+        $"changed")
+      .collect()
+    assert(got(0).getString(1) == s"alpha${sep}shared one${sep}beta" &&
+      !got(0).getBoolean(4), s"d0 (canonical holder) rewritten: ${got(0)}")
+    assert(got(1).getString(1) == "gamma" && got(1).getLong(3) == 1,
+      s"d1: ${got(1)}")
+    assert(got(2).getString(1) == "dup" && got(2).getLong(3) == 1,
+      s"d2 intra-doc: ${got(2)}")
+    assert(got(3).getString(1) == "" && got(3).getLong(2) == 1 &&
+      got(3).getBoolean(4), s"d3 whole-dup: ${got(3)}")
+    // d4: "alpha" is unique here? NO — "alpha" also opens d0 (0,1) is
+    // canonical, so d4's copy at (4,1) is cut; the EMPTY slot survives,
+    // so the rebuild is "" + sep + "omega"
+    assert(got(4).getString(1) == s"${sep}omega" && got(4).getLong(3) == 1,
+      s"d4 empty-slot: ${got(4)}")
+    assert(got(5).getString(1) == "untouched solo doc" &&
+      !got(5).getBoolean(4) && got(5).getLong(2) == 1, s"d5: ${got(5)}")
+    assert(got(6).isNullAt(1) && got(6).getLong(2) == 0 &&
+      !got(6).getBoolean(4), s"d6 null: ${got(6)}")
+    // partitioning invariance (the min-(doc,pos) keeper is a total order)
+    val re = Spans.removeDuplicateParagraphs(
+        d.repartition(7).orderBy($"doc_id".desc), "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"cleaned", $"paras_before", $"paras_removed",
+        $"changed").collect()
+    assert(re.toSeq.map(_.toSeq) == got.toSeq.map(_.toSeq))
+  }
+
+  test("encoding anomaly counts: each signal hand-pinned, overlap counted by both") {
+    import graft.llm.Encoding
+    val d = Seq(
+      (0L, "plain ascii only"),
+      (1L, "bad � here � twice"),          // repl = 2
+      (2L, "cafÃ© and naÃ¯ve"),  // moji = 2 (Ã© and Ã¯)
+      (3L, "bell and esc but tab\t nl\n cr\r ok"), // c0 = 2
+      (4L, "nel pad"),                   // c1 = 2
+      // 'Ã' + U+0085: continuation range AND C1 band -> moji=1, c1=1
+      (5L, "xÃy"),
+      (6L, "Ã alone no continuation"))          // moji = 0
+      .toDF("doc_id", "t")
+    val got = Encoding.anomalyCounts(d, "t")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_repl", $"n_moji", $"n_c0", $"n_c1", $"clean")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(got(0) == ((0L, 0L, 0L, 0L, 0L, true)))
+    assert(got(1) == ((1L, 2L, 0L, 0L, 0L, false)))
+    assert(got(2) == ((2L, 0L, 2L, 0L, 0L, false)))
+    assert(got(3) == ((3L, 0L, 0L, 2L, 0L, false)))
+    assert(got(4) == ((4L, 0L, 0L, 0L, 2L, false)))
+    assert(got(5) == ((5L, 0L, 1L, 0L, 1L, false)),
+      s"overlap must count in both signals: ${got(5)}")
+    assert(got(6) == ((6L, 0L, 0L, 0L, 0L, true)))
+  }
+
   test("removeDuplicateSpans: hashed-gram path == string-gram path; partitioning-invariant") {
     import graft.llm.Spans
     val d = docs.select($"doc_id", $"text")
