@@ -134,6 +134,34 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q94: the paragraph keeper is a hash agg, never a sort-window") {
+    // the q90 discipline at paragraph granularity: a 10^7-occurrence
+    // boilerplate paragraph must never force a single-partition sort —
+    // the keeper is min(struct) inside HashAggregate, and NO Window
+    // node may exist anywhere in the plan
+    val p = planOf("q94_paragraph_dedup")
+    assert(!p.contains("Window"),
+      s"q94 plans a window — the keeper must stay a hash agg:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"q94 lost its hash-agg keeper:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q92: decontamination gram set broadcasts; packing rides the shard sort") {
+    val p = planOf("q92_training_freeze")
+    // the benchmark gram probe must stay a broadcast (q78's contract,
+    // composed) ...
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"q92 lost the benchmark-gram broadcast:\n$p")
+    // ... and the tail must hold exactly ONE exchange keyed on the
+    // shard column: the packing window and the order window share the
+    // q89 partitioning instead of adding their own
+    val shardEx = "hashpartitioning\\(shard".r.findAllIn(p).size
+    assert(shardEx <= 1,
+      s"q92 pack tail re-exchanges on shard ($shardEx):\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q46: the six slice/dim/audit consumers read the cached projection") {
     // the 4 quarter-month slices, the LINE dim and the audit watermark
     // must all come from ONE cached scan — day-of-month predicates
