@@ -110,7 +110,18 @@ object Dedup {
     * explode rewrite below. Callers that ALSO verify candidates against
     * the shingle sets should cache the input for those extra reads. */
   private[graft] def candidatesFromShingles(sh: DataFrame, bands: Int, rows: Int,
-                                          maxBucketSize: Int): DataFrame = {
+                                          maxBucketSize: Int): DataFrame =
+    bucketPairs(bandedSignatures(sh, bands, rows)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("id")).as("ids")), maxBucketSize)
+
+  /** The signature+banding stage of [[candidatesFromShingles]],
+    * exposed as its own table: one `(id, band, band_hash)` row per
+    * document per band. This IS the persistable LSH index — see
+    * [[minhashBandIndex]]/[[minhashProbePairs]] for the incremental
+    * corpus-growth path built on it. */
+  private[graft] def bandedSignatures(sh: DataFrame, bands: Int,
+                                      rows: Int): DataFrame = {
     val numHashes = bands * rows
     require(numHashes <= 64,
       s"signature width is capped at 64 hashes (wide-row agg cost), got $numHashes")
@@ -151,16 +162,13 @@ object Dedup {
         }: _*)).as(Seq("band", "band_hash")))
     // Bucket-collect pair generation: ONE shuffle (the bucket agg)
     // instead of the r3 window-cap → eager-cache → self-join chain
-    // (three shuffles plus a cache-materialization job). Each bucket
-    // folds to its member-id list; the size filter IS the cap (same
-    // semantics: an oversized bucket contributed no pairs before
-    // either); pairs are generated by double-explode within the
-    // bucket — k² local rows bounded by maxBucketSize² ≈ 2 MB worst
-    // case, never a join. At 100 TB this also removes the operator's
-    // only cache, making it a pure 2-shuffle pipeline
-    // (signature agg → bucket agg) + the pair distinct.
-    bucketPairs(banded.groupBy(col("band"), col("band_hash"))
-      .agg(collect_list(col("id")).as("ids")), maxBucketSize)
+    // (three shuffles plus a cache-materialization job; the bucket
+    // fold lives in candidatesFromShingles — each bucket folds to its
+    // member-id list, the size filter IS the cap, pairs come from a
+    // double-explode within the bucket, k² local rows bounded by
+    // maxBucketSize² ≈ 2 MB worst case, never a join. At 100 TB this
+    // is a pure 2-shuffle pipeline: signature agg → bucket agg.)
+    banded
   }
 
   /** Per-document band hashes computed LOCALLY (a plain JVM fold), in
@@ -319,6 +327,95 @@ object Dedup {
     * exploded shingle table is persisted — it feeds the size agg and
     * BOTH sides of the intersection self-join, and would otherwise
     * re-tokenize three times. */
+  /** The persistable MinHash-LSH INDEX of a corpus: one `(id, band,
+    * band_hash)` row per document per band — exactly the banded
+    * signature table the batch pipeline aggregates into buckets, but
+    * materialized so a GROWING corpus never recomputes it. Write it
+    * with any parquet sink; [[minhashProbePairs]] consumes it (from
+    * memory or `spark.read.parquet`) to dedup an incoming batch
+    * against the existing corpus without touching the corpus texts'
+    * signatures again. bands × rows must match at probe time (the
+    * derived-hash family is deterministic, so index and probe agree
+    * bit-for-bit across sessions — LlmSpec pins the parquet
+    * round-trip). */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 2, bands: Int = 16,
+                       rows: Int = 4): DataFrame =
+    bandedSignatures(
+      df.select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleN).as("sh")), bands, rows)
+
+  /** INCREMENTAL near-dup — the production corpus-growth shape: dedup
+    * an arriving batch against an existing corpus by probing its
+    * persisted [[minhashBandIndex]], emitting exact-Jaccard-verified
+    * pairs that TOUCH the batch (new-vs-corpus and new-vs-new; pairs
+    * between two corpus docs were reported when they arrived and are
+    * never re-emitted).
+    *
+    * What stays cold: every corpus signature (the expensive 64-hash
+    * aggregation) comes from the index; corpus texts are re-shingled
+    * ONLY for docs that appear in a surviving candidate pair (a
+    * semi-join-restricted scan — candidate-sized, not corpus-sized).
+    * What shuffles: only buckets the batch actually hits (a semi-join
+    * on the batch's band keys), so probe cost scales with the BATCH,
+    * not the corpus.
+    *
+    * Cap semantics match the batch operator exactly: a hot bucket's
+    * size is counted over corpus+batch members together, and an
+    * oversized bucket contributes no pairs — so probe output equals
+    * the full-recompute pair set restricted to batch-touching pairs
+    * (spec-pinned against the brute-force restriction). */
+  def minhashProbePairs(corpus: DataFrame, newDocs: DataFrame,
+                        idCol: String, textCol: String, index: DataFrame,
+                        threshold: Double, shingleN: Int = 2,
+                        bands: Int = 16, rows: Int = 4,
+                        maxBucketSize: Int = 500): DataFrame = {
+    // cached: read by the banding once and both verify sides
+    val newSh = graft.core.Caching.eager(
+      newDocs.select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleN).as("sh")))
+    val newBanded = bandedSignatures(newSh, bands, rows)
+    val unioned = index
+      .select(col("id").cast("long").as("id"), col("band"), col("band_hash"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newBanded.withColumn("is_new", lit(true)))
+    val hot = newBanded.select(col("band"), col("band_hash")).distinct()
+    val cand = unioned
+      .join(hot, Seq("band", "band_hash"), "left_semi")
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(struct(col("id"), col("is_new"))).as("ms"))
+      .where(size(col("ms")).between(2, maxBucketSize))
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") < col("b.id") && (col("a.is_new") || col("b.is_new")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.is_new").as("new_a"), col("b.is_new").as("new_b"))
+      .distinct()
+      // candidate-sized cache: three consumers below (both legs of the
+      // old-id union + the verify join) would otherwise re-run the
+      // whole bucket pipeline — index scan included — once each
+      .transform(graft.core.Caching.eager)
+    // corpus shingles ONLY for candidate members (semi-join-restricted)
+    val oldIds = cand.where(!col("new_a")).select(col("id_a").as("id"))
+      .union(cand.where(!col("new_b")).select(col("id_b").as("id")))
+      .distinct()
+    val oldSh = corpus
+      .select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .join(oldIds, Seq("id"), "left_semi")
+    val allSh = newSh.unionByName(oldSh)
+    cand
+      .join(allSh.as("sa"), col("id_a") === col("sa.id"))
+      .join(allSh.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (size(col("sa.sh")) + size(col("sb.sh")) - col("n_inter")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, maxId: Option[Long] = None): DataFrame = {
     val base = maxId.map(m => df.where(col(idCol) < m)).getOrElse(df)

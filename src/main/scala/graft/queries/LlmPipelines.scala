@@ -2411,8 +2411,76 @@ object LlmPipelines {
            |FROM hashed GROUP BY source ORDER BY source""".stripMargin)
     )
 
+  /** INCREMENTAL near-dup ([[graft.llm.Dedup.minhashProbePairs]]) —
+    * the corpus-growth shape: every 10th document (doc_id % 10 = 7)
+    * arrives as the new batch and is deduped against the rest by
+    * probing the corpus's [[graft.llm.Dedup.minhashBandIndex]];
+    * corpus signatures are never recomputed, only batch-hit buckets
+    * shuffle, and corpus texts re-shingle only for surviving
+    * candidates. Output: one row per batch document — verified-match
+    * count and matched-id checksum (zeros kept, so coverage is the
+    * whole batch). The oracle recomputes the exact all-pairs Jaccard
+    * (q30/q91's CTE) and restricts to batch-touching pairs — the
+    * same banded==exact recall contract those queries pin. */
+  val q95 = QueryDef(
+    "q95_incremental_neardup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val batch = d.where(col("doc_id") % 10 === 7)
+      val corpus = d.where(col("doc_id") % 10 =!= 7)
+      val index = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+      val pairs = Dedup.minhashProbePairs(corpus, batch, "doc_id", "text",
+        index, threshold = 0.8)
+      // pair → per-batch-doc expansion (membership is arithmetic here:
+      // new iff doc_id % 10 = 7, so no flag needs carrying)
+      val touches = pairs
+        .select(col("id_a").as("d"), col("id_b").as("o"))
+        .where(col("d") % 10 === 7)
+        .union(pairs.select(col("id_b").as("d"), col("id_a").as("o"))
+          .where(col("d") % 10 === 7))
+      val perDoc = touches.groupBy(col("d"))
+        .agg(count(lit(1)).as("n"), sum(col("o")).as("cs"))
+      batch.select(col("doc_id"))
+        .join(perDoc, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).as("n_matches"),
+          coalesce(col("cs"), lit(0L)).as("matched_id_sum"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(w) >= 2
+           |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+           |      ELSE [array_to_string(w, ' ')] END) AS sh
+           |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           |        FROM documents)),
+           |ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+           |inter AS (
+           |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
+           |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |p0 AS (
+           |  SELECT id_a, id_b FROM inter
+           |  JOIN sizes sa ON id_a = sa.doc_id
+           |  JOIN sizes sb ON id_b = sb.doc_id
+           |  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.8),
+           |touch AS (
+           |  SELECT id_a AS d, id_b AS o FROM p0 WHERE id_a % 10 = 7
+           |  UNION ALL
+           |  SELECT id_b AS d, id_a AS o FROM p0 WHERE id_b % 10 = 7),
+           |agg AS (
+           |  SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(o) AS BIGINT) AS cs
+           |  FROM touch GROUP BY d)
+           |SELECT doc_id,
+           |  coalesce(n, 0) AS n_matches,
+           |  coalesce(cs, 0) AS matched_id_sum
+           |FROM documents LEFT JOIN agg ON doc_id = d
+           |WHERE doc_id % 10 = 7 ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
+      q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
+      q95)
 }

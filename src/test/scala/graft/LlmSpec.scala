@@ -141,6 +141,44 @@ class LlmSpec extends AnyFunSuite {
       s"missed=${(exact -- verified).take(3)} extra=${(verified -- exact).take(3)}")
   }
 
+  test("incremental probe == brute-force restriction; index round-trips through parquet") {
+    // corpus-growth split: every 10th doc arrives as the new batch
+    val batch = docs.where($"doc_id" % 10 === 7)
+    val corpus = docs.where($"doc_id" % 10 =!= 7)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 2)
+      .where($"jaccard" >= 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expect = exact.filter(p => p._1 % 10 == 7 || p._2 % 10 == 7)
+    assert(expect.nonEmpty, "fixture has no batch-touching near-dups")
+    assert(exact.exists(p => p._1 % 10 != 7 && p._2 % 10 != 7),
+      "fixture should ALSO hold corpus-only pairs the probe must NOT emit")
+
+    val index = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+    def probeWith(idx: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.minhashProbePairs(corpus, batch, "doc_id", "text", idx,
+          threshold = 0.8)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val got = probeWith(index)
+    assert(got == expect,
+      s"missed=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+
+    // the index is an ARTIFACT: write, reload in a fresh frame, probe
+    // again — bit-identical banding across the round-trip is what lets
+    // a growing corpus keep its signatures cold
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_index")
+    try {
+      index.write.mode("overwrite").parquet(dir.toString)
+      val reloaded = spark.read.parquet(dir.toString)
+      assert(probeWith(reloaded) == expect,
+        "probe against the reloaded index diverged")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("connectedComponents equals driver union-find on real near-dup pairs") {
     val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
       .select($"id_a", $"id_b")
