@@ -213,6 +213,113 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** The sampled-k-means centroid MODEL as a persistable table
+    * `(cid, cv)` — the coarse-quantizer half of an IVF index artifact.
+    * Same deterministic hash-ordered sample and Lloyd fold as
+    * [[ivfTopK]]; `refineIters > 0` continues over the full corpus
+    * via [[kmeansRefine]] (exact quantized-Long partials, so the
+    * refined model is bit-identical on any partitioning). Write with
+    * any parquet sink; [[ivfIndexAssignments]]/[[ivfProbeTopK]]
+    * consume it from memory or `spark.read.parquet`. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int = 16, sampleSize: Int = 2048,
+                   refineIters: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val sample = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(lit("ivf-sample"), col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cents0 = sampleKMeans(sample, nCentroids)
+    val cents =
+      if (refineIters > 0 && cents0.nonEmpty)
+        kmeansRefine(corpus.select(col(vecCol).as("v")), "v", cents0,
+          refineIters)
+      else cents0
+    import spark.implicits._
+    cents.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toSeq) }
+      .toDF("cid", "cv")
+  }
+
+  /** The inverted-list half of the IVF index artifact: one row per
+    * corpus vector, `(cent, corpus_id, cv)` — FAISS's inverted lists
+    * as a table. Assignment is the codegen'd argmax-dot kernel against
+    * the unit-normalized centroid matrix (a reference object, so plan
+    * size is independent of k). Persist with
+    * `.write.partitionBy("cent").parquet(...)`: the probe pushes a
+    * LITERAL `cent IN (...)` filter, so a cent-partitioned store reads
+    * ONLY the probed lists (partition pruning — spec-pinned). */
+  def ivfIndexAssignments(corpus: DataFrame, idCol: String,
+                          vecCol: String, centroids: DataFrame): DataFrame = {
+    import graft.functions.VectorKernels.nearest_centroid
+    val cents = collectCentroids(centroids)
+    val flat = unitNormFlat(cents)
+    corpus
+      .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("cent",
+        nearest_centroid(col("cv"), flat, cents.length, cents(0).length))
+  }
+
+  /** Eager, model-sized read of a [[ivfCentroids]] table (cid-dense by
+    * construction; validated here so a corrupted artifact fails loud,
+    * not as silent mis-assignment). */
+  private def collectCentroids(centroids: DataFrame): Array[Array[Float]] = {
+    val rows = centroids.select(col("cid").cast("int"), col("cv"))
+      .orderBy(col("cid")).collect()
+    require(rows.nonEmpty, "empty centroid table")
+    require(rows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      "centroid table cids must be dense 0..k-1")
+    rows.map(_.getSeq[Float](1).toArray)
+  }
+
+  /** INCREMENTAL ANN — the corpus-growth shape for similarity search:
+    * top-k neighbors for an arriving query batch by probing a PERSISTED
+    * IVF index ([[ivfCentroids]] + [[ivfIndexAssignments]]), never
+    * re-assigning or re-scanning the unprobed corpus. Queries rank the
+    * centroid model (tiny, broadcast-free: the model is collected
+    * driver-side by contract) and probe their `nProbe` nearest lists;
+    * the distinct probed list ids — bounded by |queries|·nProbe — are
+    * pushed as a literal `isin` into the index scan, which on a
+    * `partitionBy("cent")` store prunes to the probed lists only. The
+    * query side broadcasts with its probe arrays; candidates are
+    * scored by exact cosine and ranked per query (same output schema
+    * and tie-break as [[ivfTopK]]/[[bruteForceTopK]]). */
+  def ivfProbeTopK(queries: DataFrame, index: DataFrame,
+                   centroids: DataFrame, idCol: String, vecCol: String,
+                   k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val centArray = array(cents.zipWithIndex.map { case (v, i) =>
+      struct(lit(i).as("cid"), typedLit(v.toSeq).as("cv")) }: _*)
+    val q = graft.core.Caching.eager(
+      queries.select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).as("qv"))
+        .withColumn("__scored",
+          sort_array(transform(centArray, c =>
+            struct((-float_cosine(col("qv"), c.getField("cv"))).as("negcos"),
+                   c.getField("cid").as("cid")))))
+        .withColumn("probes",
+          transform(slice(col("__scored"), 1, nProbe), s => s.getField("cid")))
+        .drop("__scored"))
+    // driver-sized by the small-query contract: ≤ |queries|·nProbe ids
+    val probed = q.select(explode(col("probes")).as("cent")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pruned = index.where(col("cent").isin(probed.map(Int.box): _*))
+      .select(col("corpus_id").cast("long").as("corpus_id"),
+        col("cv"), col("cent").cast("int").as("cent"))
+    val cands = broadcast(q).join(pruned,
+      array_contains(col("probes"), col("cent")) &&
+        col("query_id") =!= col("corpus_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    cands.withColumn("cos", float_cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
   /** Oracle-safe exact top-k in the quantized integer domain (see
     * [[Dedup.cosineNearDupQuantized]] for why): rank by integer dot
     * product of 1e-3-quantized vectors, ties on corpus id. Scoring runs

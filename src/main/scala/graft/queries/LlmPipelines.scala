@@ -2478,9 +2478,70 @@ object LlmPipelines {
            |FROM documents LEFT JOIN agg ON doc_id = d
            |WHERE doc_id % 10 = 7 ORDER BY doc_id""".stripMargin))
 
+  /** INCREMENTAL ANN against a persisted IVF index
+    * ([[graft.llm.Similarity.ivfCentroids]] +
+    * [[graft.llm.Similarity.ivfIndexAssignments]] +
+    * [[graft.llm.Similarity.ivfProbeTopK]]) — the q95 corpus-growth
+    * arc on the embedding side: the query batch (vec_id < 50) probes
+    * the corpus's stored inverted lists, never re-assigning or
+    * re-scanning the unprobed corpus; the probed list ids push into
+    * the index scan as a literal `cent IN`, which on a
+    * `partitionBy("cent")` store is partition pruning (spec-pinned
+    * with the parquet round-trip in LlmSpec; the registered plan
+    * passes the index frames in memory, same as q95). Oracle pattern
+    * follows q70: exact top-5 quantized dot-sum over the corpus side
+    * recomputed by DuckDB brute force + a recall floor joined against
+    * that exact top-k (measured ~0.85-0.95 at nProbe 8/16 across the
+    * driver SFs; 0.75 floor leaves margin). */
+  val q96 = QueryDef(
+    "q96_ann_ivf_probe",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 50)
+      val corpus = emb.where(col("vec_id") >= 50)
+      val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+        nCentroids = 16)
+      val index = Similarity.ivfIndexAssignments(corpus, "vec_id",
+        "embedding", centroids)
+      val ann = Similarity.ivfProbeTopK(queries, index, centroids,
+          "vec_id", "embedding", k = 5, nProbe = 8)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("__hit"))
+      Similarity.quantizedDotTopK(queries, corpus, "vec_id", "embedding",
+          k = 5)
+        .join(ann, Seq("query_id", "corpus_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          sum(col("dot")).as("exact_top5_dot_sum"),
+          (sum(coalesce(col("__hit"), lit(0L))) >=
+            count(lit(1)) * 0.75).as("recall_ge_75"))
+        .withColumn("k", lit(5L))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id AS query_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings WHERE vec_id < 50),
+           |c AS (
+           |  SELECT vec_id AS corpus_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+           |  FROM embeddings WHERE vec_id >= 50),
+           |s AS (
+           |  SELECT query_id, corpus_id,
+           |    CAST(list_inner_product(qv, cv) AS BIGINT) AS dot
+           |  FROM q, c WHERE query_id != corpus_id),
+           |r AS (
+           |  SELECT query_id, dot,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, corpus_id) AS rn
+           |  FROM s)
+           |SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           |  CAST(SUM(dot) AS BIGINT) AS exact_top5_dot_sum,
+           |  TRUE AS recall_ge_75,
+           |  CAST(5 AS BIGINT) AS k
+           |FROM r WHERE rn <= 5""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-      q95)
+      q95, q96)
 }

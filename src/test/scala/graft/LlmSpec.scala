@@ -179,6 +179,50 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF probe vs persisted index: recall floor, round-trip equality, partition pruning") {
+    val queries = emb.where($"vec_id" < 50)
+    val corpus = emb.where($"vec_id" >= 50)
+    val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+      nCentroids = 16)
+    val index = Similarity.ivfIndexAssignments(corpus, "vec_id", "embedding",
+      centroids)
+
+    def hits(idx: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Similarity.ivfProbeTopK(queries, idx, centroids, "vec_id", "embedding",
+          k = 5, nProbe = 8)
+        .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val got = hits(index)
+
+    // recall vs the exact quantized-dot top-k restricted to the corpus
+    val exact = Similarity.quantizedDotTopK(queries, corpus, "vec_id",
+        "embedding", k = 5)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.75, s"IVF probe recall $recall < 0.75")
+
+    // the index is an ARTIFACT: write partitioned by cent, reload,
+    // probe again — identical hit set, and the probe's literal isin
+    // must reach the scan as a PARTITION filter (only probed inverted
+    // lists are read)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+    try {
+      index.write.mode("overwrite").partitionBy("cent").parquet(dir.toString)
+      val reloaded = spark.read.parquet(dir.toString)
+      assert(hits(reloaded) == got, "probe against reloaded index diverged")
+      val plan = Similarity.ivfProbeTopK(queries, reloaded, centroids,
+          "vec_id", "embedding", k = 5, nProbe = 8)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cent[^\\]]*\\].*"),
+        s"expected cent partition pruning on the index scan:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("connectedComponents equals driver union-find on real near-dup pairs") {
     val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
       .select($"id_a", $"id_b")
