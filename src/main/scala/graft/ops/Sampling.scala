@@ -145,6 +145,76 @@ object Sampling {
     mixtureSample(df, idCol, sourceCol,
       weightsMilli = weights.map { case (s, w) => s -> math.round(w * Buckets) })
 
+  /** Exact per-source cap — RefinedWeb/C4-style "keep at most `cap`
+    * documents per domain", the anti-spam step between dedup and
+    * mixing. Keeps, for every source, EXACTLY min(cap, count) rows:
+    * the first `cap` in (bin, id) order where bin is a coarse fold of
+    * the portable id-hash — i.e. a deterministic uniform-random sample
+    * that any engine replays (ANSI twin below), stable under
+    * repartitioning and re-ordering.
+    *
+    * Scale shape — distributed selection, never a per-source sort:
+    * a naive `row_number() OVER (PARTITION BY source ORDER BY hash)`
+    * sorts every row of every source; a 10^9-doc domain then needs a
+    * 10^9-row sort behind one task. Here instead:
+    *   1. per-source totals (one hash-agg; sources at or under `cap`
+    *      pass through untouched — the long tail costs nothing);
+    *   2. for over-cap sources only, a (source, bin) histogram —
+    *      at most `bins` rows per source REGARDLESS of corpus size —
+    *      and a running sum over bins finds each source's boundary
+    *      bin and how many rows to take from it;
+    *   3. rows in bins below the boundary keep outright (map-side
+    *      filter after the join); ONLY the boundary bin's rows — ~
+    *      count_s/bins of the source, e.g. ~244k rows of a 10^9-doc
+    *      domain at the default 4096 bins — are ever ranked.
+    *
+    * ANSI twin (exact same kept set):
+    * `QUALIFY row_number() OVER (PARTITION BY source
+    *    ORDER BY <bucket_expr> % bins, id) <= cap`
+    * with bucket_expr as documented on [[bucket]]. The mod-`bins` fold
+    * is slightly non-uniform when bins does not divide 10^6 — harmless
+    * (it is a hash ORDER, not a rate), and it keeps the twin a plain
+    * `%`. */
+  def perSourceCap(df: DataFrame, idCol: String, sourceCol: String,
+                   cap: Long, bins: Int = 4096): DataFrame = {
+    require(cap >= 0, s"cap must be >= 0: $cap")
+    require(bins > 0 && bins <= Buckets, s"bins out of range: $bins")
+    val outCols = df.columns.map(col).toSeq
+    val binCol = pmod(bucket(col(idCol)), lit(bins.toLong))
+
+    val totals = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val underSources = totals.where(col("__n") <= cap).select(col(sourceCol))
+    val overSources = totals.where(col("__n") > cap).select(col(sourceCol))
+
+    val kept = df.join(underSources, Seq(sourceCol), "left_semi")
+
+    val overRows = df.join(overSources, Seq(sourceCol), "left_semi")
+      .withColumn("__bin", binCol)
+    val hist = overRows.groupBy(col(sourceCol), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("__bin"))
+    // exactly one boundary row per over-cap source: the FIRST bin whose
+    // running sum reaches cap (>=, not >: when cap falls exactly on a
+    // bin edge that bin is wholly taken via its ranking — a bin with
+    // cum > cap >= cum-c would not exist at all in that case)
+    val boundary = hist.withColumn("__cum", sum(col("__c")).over(wCum))
+      .where(col("__cum") >= cap && col("__cum") - col("__c") < cap)
+      .select(col(sourceCol), col("__bin").as("__tbin"),
+        (lit(cap) - (col("__cum") - col("__c"))).as("__take"))
+
+    val joined = overRows.join(boundary, Seq(sourceCol))
+    val below = joined.where(col("__bin") < col("__tbin")).select(outCols: _*)
+    val wBoundary = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val atBoundary = joined.where(col("__bin") === col("__tbin"))
+      .withColumn("__rn", row_number().over(wBoundary))
+      .where(col("__rn") <= col("__take"))
+      .select(outCols: _*)
+
+    kept.select(outCols: _*).unionAll(below).unionAll(atBoundary)
+  }
+
   /** Split label by consecutive half-open bucket ranges; fractions must
     * sum to <= 1, remainder labeled null (caller filters or maps). */
   def splitColumn(id: Column, splits: Seq[(String, Double)]): Column = {

@@ -2539,9 +2539,47 @@ object LlmPipelines {
            |  CAST(5 AS BIGINT) AS k
            |FROM r WHERE rn <= 5""".stripMargin))
 
+  /** Exact per-source document cap ([[graft.ops.Sampling.perSourceCap]])
+    * — the RefinedWeb/C4 "at most N docs per domain" anti-spam step.
+    * Kept set = the first `cap` docs per source in portable-hash order
+    * (deterministic uniform sample, any-engine replayable), computed by
+    * DISTRIBUTED SELECTION: per-source totals gate the long tail
+    * through untouched, over-cap sources build a (source, bin)
+    * histogram bounded by `bins` rows per source regardless of corpus
+    * size, and only the boundary bin's ~count/bins rows are ever
+    * ranked — never a per-source sort (the naive window form would put
+    * a 10^9-doc domain behind one sorting task). The oracle IS that
+    * naive window form (QUALIFY row_number over (bin, id)): both sides
+    * must produce the identical kept set, aggregated per source. */
+  val q97 = QueryDef(
+    "q97_per_source_cap",
+    (s, dir) =>
+      graft.ops.Sampling.perSourceCap(Tables.documents(s, dir),
+          "doc_id", "source", cap = 10, bins = 4096)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_checksum"),
+          min(col("doc_id")).as("id_min"),
+          max(col("doc_id")).as("id_max"))
+        .orderBy(col("source")),
+    Some("""WITH b AS (
+           |  SELECT source, doc_id,
+           |    ((doc_id % 2147483647) * 2654435761
+           |     + ((doc_id // 2147483647) % 2147483647) * 40503)
+           |      % 4294967296 % 1000000 % 4096 AS bin
+           |  FROM documents),
+           |k AS (
+           |  SELECT source, doc_id FROM b
+           |  QUALIFY row_number() OVER (
+           |    PARTITION BY source ORDER BY bin, doc_id) <= 10)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           |  MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
+           |FROM k GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-      q95, q96)
+      q95, q96, q97)
 }

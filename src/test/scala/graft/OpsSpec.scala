@@ -453,4 +453,43 @@ class OpsSpec extends AnyFunSuite {
         .setActiveSession(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     }
   }
+
+  test("perSourceCap: exact counts, window-form equality, repartition stability") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+      .select($"doc_id", $"source")
+
+    // reference: the naive sorted-window form the distributed
+    // selection must reproduce EXACTLY (same (bin, id) order)
+    def windowForm(df: org.apache.spark.sql.DataFrame, cap: Long,
+                   bins: Int): Set[Long] = {
+      val bin = pmod(Sampling.bucket($"doc_id"), lit(bins.toLong))
+      df.withColumn("__rn", row_number().over(
+          Window.partitionBy($"source").orderBy(bin, $"doc_id")))
+        .where($"__rn" <= cap).select($"doc_id").as[Long].collect().toSet
+    }
+
+    for (bins <- Seq(4096, 4); cap <- Seq(10L, 0L, 1000000L)) {
+      val got = Sampling.perSourceCap(docs, "doc_id", "source", cap, bins)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got == windowForm(docs, cap, bins),
+        s"perSourceCap != window form at cap=$cap bins=$bins")
+    }
+
+    // exact per-source kept counts: min(cap, count); bins=4 forces the
+    // boundary-bin ranking path (each bin holds ~6 docs per source)
+    val kept = Sampling.perSourceCap(docs, "doc_id", "source", 10, bins = 4)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(totals.forall { case (s, n) => kept(s) == math.min(10L, n) },
+      s"kept counts off: $kept vs $totals")
+
+    // partitioning-invariance of the kept SET
+    val again = Sampling.perSourceCap(docs.repartition(7), "doc_id",
+        "source", 10, bins = 4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == windowForm(docs, 10, 4))
+  }
 }
