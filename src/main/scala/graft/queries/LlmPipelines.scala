@@ -2542,15 +2542,17 @@ object LlmPipelines {
   /** Exact per-source document cap ([[graft.ops.Sampling.perSourceCap]])
     * — the RefinedWeb/C4 "at most N docs per domain" anti-spam step.
     * Kept set = the first `cap` docs per source in portable-hash order
-    * (deterministic uniform sample, any-engine replayable), computed by
-    * DISTRIBUTED SELECTION: per-source totals gate the long tail
-    * through untouched, over-cap sources build a (source, bin)
-    * histogram bounded by `bins` rows per source regardless of corpus
-    * size, and only the boundary bin's ~count/bins rows are ever
-    * ranked — never a per-source sort (the naive window form would put
-    * a 10^9-doc domain behind one sorting task). The oracle IS that
-    * naive window form (QUALIFY row_number over (bin, id)): both sides
-    * must produce the identical kept set, aggregated per source. */
+    * (deterministic uniform sample, any-engine replayable). The default
+    * form is the window form ON PURPOSE: for caps at or under
+    * `spark.sql.window.group.limit.threshold` Catalyst rewrites the
+    * row_number filter into WindowGroupLimit (plan-pinned in OpsSpec) —
+    * partial top-cap per input partition BEFORE the exchange, so
+    * shuffle volume is cap-bounded and a hot domain is never a
+    * straggler sort. Above the threshold,
+    * [[graft.ops.Sampling.perSourceCapLargeCap]] is the bins-bounded
+    * distributed-selection variant (same kept set, spec-pinned;
+    * measured regimes in SCALE.md). The oracle replays the window form
+    * (QUALIFY row_number over (bin, id)), aggregated per source. */
   val q97 = QueryDef(
     "q97_per_source_cap",
     (s, dir) =>

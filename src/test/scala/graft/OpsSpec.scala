@@ -471,25 +471,42 @@ class OpsSpec extends AnyFunSuite {
     }
 
     for (bins <- Seq(4096, 4); cap <- Seq(10L, 0L, 1000000L)) {
+      val want = windowForm(docs, cap, bins)
       val got = Sampling.perSourceCap(docs, "doc_id", "source", cap, bins)
         .select($"doc_id").as[Long].collect().toSet
-      assert(got == windowForm(docs, cap, bins),
-        s"perSourceCap != window form at cap=$cap bins=$bins")
+      assert(got == want, s"perSourceCap != window form at cap=$cap bins=$bins")
+      val sel = Sampling.perSourceCapLargeCap(docs, "doc_id", "source",
+          cap, bins)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(sel == want,
+        s"perSourceCapLargeCap != window form at cap=$cap bins=$bins")
     }
 
     // exact per-source kept counts: min(cap, count); bins=4 forces the
-    // boundary-bin ranking path (each bin holds ~6 docs per source)
-    val kept = Sampling.perSourceCap(docs, "doc_id", "source", 10, bins = 4)
+    // selection variant's boundary-bin ranking path (each bin holds
+    // ~6 docs per source)
+    val kept = Sampling.perSourceCapLargeCap(docs, "doc_id", "source",
+        10, bins = 4)
       .groupBy($"source").count().as[(String, Long)].collect().toMap
     val totals = docs.groupBy($"source").count()
       .as[(String, Long)].collect().toMap
     assert(totals.forall { case (s, n) => kept(s) == math.min(10L, n) },
       s"kept counts off: $kept vs $totals")
 
-    // partitioning-invariance of the kept SET
-    val again = Sampling.perSourceCap(docs.repartition(7), "doc_id",
+    // partitioning-invariance of the kept SET, both variants
+    assert(Sampling.perSourceCap(docs.repartition(7), "doc_id",
         "source", 10, bins = 4)
-      .select($"doc_id").as[Long].collect().toSet
-    assert(again == windowForm(docs, 10, 4))
+      .select($"doc_id").as[Long].collect().toSet == windowForm(docs, 10, 4))
+    assert(Sampling.perSourceCapLargeCap(docs.repartition(7), "doc_id",
+        "source", 10, bins = 4)
+      .select($"doc_id").as[Long].collect().toSet == windowForm(docs, 10, 4))
+
+    // the default form's scale contract IS the group-limit rewrite:
+    // a small cap must plan as WindowGroupLimit (partial top-cap per
+    // input partition before the one exchange)
+    val plan = Sampling.perSourceCap(docs, "doc_id", "source", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in the small-cap plan:\n$plan")
   }
 }
