@@ -2579,9 +2579,141 @@ object LlmPipelines {
            |  MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
            |FROM k GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** INCREMENTAL corpus ADMISSION — the composed decision a growing
+    * corpus makes per arriving document, closing the q95/q96 arc the
+    * way q92 closes the batch arc: learned quality gate (q85's kernel,
+    * map-side) → exact-dup against the frozen corpus's fingerprint
+    * store (semi-join; intra-batch first-keeper via a min-window over
+    * the batch's own fingerprints — batch-sized, never corpus-sized)
+    * → near-dup against the corpus's PERSISTED band index (q95's
+    * probe: corpus signatures never recompute, only batch-hit buckets
+    * shuffle) → admitted iff gate ∧ ¬exact ∧ ¬near. Near-dup uses the
+    * conservative monotone rule: a batch doc is flagged if it pairs
+    * with ANY corpus doc or any smaller-id batch doc (regardless of
+    * that partner's own admission) — order-independent, so the audit
+    * replays identically under any arrival interleaving. Output is
+    * the per-doc audit table (flag per stage + final), the thing an
+    * ingestion service logs. Oracle recomposes the member CTEs: q85's
+    * scoring chain on the batch, q27's md5 fingerprint store, q95's
+    * exact all-pairs Jaccard restricted to batch-touching pairs. */
+  val q98 = QueryDef(
+    "q98_incremental_admission",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val batch = d.where(col("doc_id") % 10 === 7)
+      val corpus = d.where(col("doc_id") % 10 =!= 7)
+      val gated = graft.llm.Quality.scored(
+          batch.select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("text"),
+          col("quality_kept").as("gate_pass"))
+      val store = corpus
+        .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
+      val wFp = Window.partitionBy(col("fp"))
+      val exact = gated
+        .withColumn("fp", TextStats.fingerprint(col("text")))
+        .join(store.withColumn("__in_corpus", lit(true)), Seq("fp"), "left")
+        .withColumn("exact_dup",
+          coalesce(col("__in_corpus"), lit(false)) ||
+            col("doc_id") > min(col("doc_id")).over(wFp))
+      val index = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+      val pairs = Dedup.minhashProbePairs(corpus, batch, "doc_id", "text",
+        index, threshold = 0.8)
+      val ndFlag = pairs.select(col("id_a").as("d"), col("id_b").as("o"))
+        .union(pairs.select(col("id_b").as("d"), col("id_a").as("o")))
+        .where(col("d") % 10 === 7 &&
+          (col("o") % 10 =!= 7 || col("o") < col("d")))
+        .select(col("d")).distinct()
+        .withColumn("__nd", lit(true))
+      exact
+        .join(ndFlag, col("doc_id") === col("d"), "left")
+        .withColumn("near_dup", coalesce(col("__nd"), lit(false)))
+        .withColumn("admitted",
+          col("gate_pass") && !col("exact_dup") && !col("near_dup"))
+        .select(col("doc_id"), col("gate_pass"), col("exact_dup"),
+          col("near_dup"), col("admitted"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val hash =
+        """list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |      list_transform(generate_series(1, CAST(length(g) AS INTEGER)),
+          |        i -> CAST(ord(substr(g, i, 1)) AS BIGINT))),
+          |      (acc, c) -> (acc*31 + c) % 2147483647)""".stripMargin
+      s"""WITH words AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> regexp_matches(x, '^[a-z0-9]+$$')) AS ws
+         |  FROM documents WHERE doc_id % 10 = 7),
+         |grams AS (
+         |  SELECT doc_id, unnest(ws) AS g FROM words
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i + 1])) AS g FROM words),
+         |scored AS (
+         |  SELECT doc_id,
+         |    ((xor(v0, v0 >> 15) * 2246822519 % 2147483647) % 1001) - 500 AS w
+         |  FROM (
+         |    SELECT doc_id, ((b + 1) * 2654435761) % 2147483647 AS v0
+         |    FROM (SELECT doc_id, ($hash) % 1024 AS b FROM grams))),
+         |per_doc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(w) AS BIGINT) AS sum_w
+         |  FROM scored GROUP BY doc_id),
+         |gate AS (
+         |  SELECT d.doc_id,
+         |    coalesce(p.sum_w, 0) * 1000 > 25 * coalesce(p.n_grams, 0)
+         |      AS gate_pass
+         |  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |  WHERE d.doc_id % 10 = 7),
+         |fps AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |exact AS (
+         |  SELECT b.doc_id,
+         |    EXISTS (SELECT 1 FROM fps c
+         |            WHERE c.doc_id % 10 != 7 AND c.fp = b.fp)
+         |      OR b.doc_id > min(b.doc_id) OVER (PARTITION BY b.fp)
+         |      AS exact_dup
+         |  FROM fps b WHERE b.doc_id % 10 = 7),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(w) >= 2
+         |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |      ELSE [array_to_string(w, ' ')] END) AS sh
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
+         |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |p0 AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.8),
+         |nd AS (
+         |  SELECT DISTINCT d FROM (
+         |    SELECT id_a AS d, id_b AS o FROM p0
+         |    UNION ALL
+         |    SELECT id_b AS d, id_a AS o FROM p0)
+         |  WHERE d % 10 = 7 AND (o % 10 != 7 OR o < d))
+         |SELECT g.doc_id, g.gate_pass, e.exact_dup,
+         |  (nd.d IS NOT NULL) AS near_dup,
+         |  g.gate_pass AND NOT e.exact_dup AND (nd.d IS NULL) AS admitted
+         |FROM gate g
+         |JOIN exact e ON g.doc_id = e.doc_id
+         |LEFT JOIN nd ON g.doc_id = nd.d
+         |ORDER BY g.doc_id""".stripMargin
+    })
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-      q95, q96, q97)
+      q95, q96, q97, q98)
 }

@@ -162,6 +162,22 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q98: probe keeps its hot-bucket semi-join; one batch-sized window") {
+    val p = planOf("q98_incremental_admission")
+    // the band-index probe must keep q95's hot-bucket restriction (only
+    // batch-hit buckets ever shuffle) ...
+    assert(p.contains("LeftSemi"),
+      s"q98 lost the probe's hot-bucket semi-join:\n$p")
+    // ... and the only Window is the intra-batch first-keeper over the
+    // batch's fingerprints — batch-sized by construction; a second
+    // window would mean a corpus-sized rank crept in
+    val windows = "(?m)^\\s*[+:-]*\\s*Window ".r.findAllIn(p).size +
+      "WindowExec".r.findAllIn(p).size
+    assert("Window".r.findAllIn(p).size >= 1 && windows <= 2,
+      s"q98 window count off ($windows):\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q46: the six slice/dim/audit consumers read the cached projection") {
     // the 4 quarter-month slices, the LINE dim and the audit watermark
     // must all come from ONE cached scan — day-of-month predicates
