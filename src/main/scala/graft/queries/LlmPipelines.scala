@@ -2711,9 +2711,95 @@ object LlmPipelines {
          |ORDER BY g.doc_id""".stripMargin
     })
 
+  /** LM perplexity filtering ([[graft.llm.LangModel]]) — the CCNet /
+    * LLaMA-data quality signal: a bigram LM trained on the reference
+    * split (doc_id % 10 != 7) scores the candidate split by integer
+    * SURPRISAL BITS (floor-log2 via `bin()` string length — exact and
+    * identical in both engines, where float log-probs would never
+    * hash-compare), with unigram backoff for unseen bigrams and a flat
+    * OOV arm. Gate at 4.8 bits/bigram (measured to discriminate at
+    * every driver SF: the corpus-trained LM puts the batch median at
+    * 4.67-4.85). Scale shape: per-(doc, prev, w) pre-aggregation ahead
+    * of the three LM joins, so boilerplate repetition joins once and
+    * multiplies by k; the LM prunes via `minCount` toward a
+    * broadcastable build side at real scale. */
+  val q99 = QueryDef(
+    "q99_lm_perplexity_gate",
+    (s, dir) => {
+      import graft.llm.LangModel
+      val d = Tables.documents(s, dir)
+      val batch = d.where(col("doc_id") % 10 === 7)
+      val corpus = d.where(col("doc_id") % 10 =!= 7)
+      val (uni, bi, total) = LangModel.trainBigramLm(corpus, "text")
+      val scored = LangModel.gate(
+        LangModel.surprisal(batch, "doc_id", "text", uni, bi, total),
+        thetaMilli = 4800L)
+      batch.select(col("doc_id"), col("source"))
+        .join(scored, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lm_kept"), 1L).otherwise(0L)).as("kept_docs"),
+          sum(col("bits")).as("sum_bits"),
+          sum(col("n_bigrams")).as("sum_bigrams"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, list_filter(
+           |    string_split_regex(lower(trim(text)), '\s+'),
+           |    x -> regexp_matches(x, '^[a-z0-9]+$')) AS ws
+           |  FROM documents),
+           |rtok AS (
+           |  SELECT unnest(ws) AS w FROM tok WHERE doc_id % 10 != 7),
+           |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+           |        FROM rtok GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM rtok),
+           |rbi AS (
+           |  SELECT g['prev'] AS prev, g['w'] AS w FROM (
+           |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+           |      i -> {'prev': ws[i], 'w': ws[i + 1]})) AS g
+           |    FROM tok WHERE doc_id % 10 != 7 AND len(ws) >= 2)),
+           |bi AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cb
+           |       FROM rbi GROUP BY 1, 2),
+           |bbi AS (
+           |  SELECT doc_id, g['prev'] AS prev, g['w'] AS w,
+           |    CAST(count(*) AS BIGINT) AS k
+           |  FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(generate_series(1, len(ws) - 1),
+           |        i -> {'prev': ws[i], 'w': ws[i + 1]})) AS g
+           |    FROM tok WHERE doc_id % 10 = 7 AND len(ws) >= 2)
+           |  GROUP BY 1, 2, 3),
+           |sc AS (
+           |  SELECT b.doc_id, b.k,
+           |    CASE
+           |      WHEN bi.cb IS NOT NULL
+           |        THEN (length(bin(up.cu)) - 1) - (length(bin(bi.cb)) - 1)
+           |      WHEN uw.cu IS NOT NULL
+           |        THEN 4 + (length(bin(tot.t)) - 1) - (length(bin(uw.cu)) - 1)
+           |      ELSE 4 + (length(bin(tot.t)) - 1)
+           |    END AS bits
+           |  FROM bbi b
+           |  LEFT JOIN bi ON b.prev = bi.prev AND b.w = bi.w
+           |  LEFT JOIN uni up ON b.prev = up.w
+           |  LEFT JOIN uni uw ON b.w = uw.w
+           |  CROSS JOIN tot),
+           |perdoc AS (
+           |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(k * bits) AS BIGINT) AS bits
+           |  FROM sc GROUP BY 1)
+           |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN coalesce(p.bits, 0) * 1000 <=
+           |    4800 * coalesce(p.n_bigrams, 0) THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS kept_docs,
+           |  CAST(sum(coalesce(p.bits, 0)) AS BIGINT) AS sum_bits,
+           |  CAST(sum(coalesce(p.n_bigrams, 0)) AS BIGINT) AS sum_bigrams
+           |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+           |WHERE d.doc_id % 10 = 7
+           |GROUP BY d.source ORDER BY d.source""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-      q95, q96, q97, q98)
+      q95, q96, q97, q98, q99)
 }

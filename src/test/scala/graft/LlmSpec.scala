@@ -760,6 +760,44 @@ class LlmSpec extends AnyFunSuite {
     assert(edges(4)._2 == 3L) // two unigrams + one bigram
   }
 
+  test("LangModel surprisal: hand-computed bits, backoff, OOV, pruning, empty doc") {
+    import graft.llm.LangModel
+    // ref corpus: tokens a b a b a c -> uni a=3 b=2 c=1, T=6;
+    // bigrams (a,b)x2 (b,a)x1 (a,c)x1. L = floor(log2).
+    val ref = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val (uni, bi, total) = LangModel.trainBigramLm(ref, "text")
+    assert(uni.as[(String, Long)].collect().toMap ==
+      Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    assert(total.as[Long].head() == 6L)
+
+    // batch "a b c d": (a,b) seen -> L(3)-L(2) = 1-1 = 0;
+    // (b,c) unseen, c known -> 4 + L(6)-L(1) = 4+2-0 = 6;
+    // (c,d) OOV d          -> 4 + L(6)     = 6.  total 12 bits / 3.
+    val batch = Seq((10L, "a b c d"), (11L, ""), (12L, "a b a b"))
+      .toDF("doc_id", "text")
+    val got = LangModel.surprisal(batch, "doc_id", "text", uni, bi, total)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((10L, 3L, 12L)), s"${got.toSeq}")
+    assert(got(1) == ((11L, 0L, 0L)), s"empty doc: ${got.toSeq}")
+    // "a b a b": (a,b)x2 -> 0 each; (b,a) -> L(2)-L(1) = 1. bits=1/3
+    assert(got(2) == ((12L, 3L, 1L)), s"${got.toSeq}")
+
+    // gate: doc 12 at 1000*1 <= theta*3 needs theta >= 334; empty doc
+    // vacuously kept at any theta
+    val kept = LangModel.gate(
+        LangModel.surprisal(batch, "doc_id", "text", uni, bi, total), 400L)
+      .select($"doc_id", $"lm_kept").as[(Long, Boolean)].collect().toMap
+    assert(!kept(10L) && kept(11L) && kept(12L), s"$kept")
+
+    // pruning: minCount=2 keeps only (a,b); (b,a) now backs off to
+    // 4 + L(6) - L(cu(a)=3) = 4+2-1 = 5 -> "a b a b" = 5 bits
+    val (u2, b2, t2) = LangModel.trainBigramLm(ref, "text", minCount = 2)
+    val pruned = LangModel.surprisal(
+        batch.where($"doc_id" === 12L), "doc_id", "text", u2, b2, t2)
+      .as[(Long, Long, Long)].head()
+    assert(pruned == ((12L, 3L, 5L)), s"$pruned")
+  }
+
   test("HLL approx distinct within 5% of exact at rsd=1%") {
     val ev = Tables.events(spark, SparkTestBase.sf)
     val (approx, exact) = ev.agg(
