@@ -97,4 +97,26 @@ object LangModel {
   def gate(scoredDocs: DataFrame, thetaMilli: Long): DataFrame =
     scoredDocs.withColumn("lm_kept",
       col("bits") * 1000L <= lit(thetaMilli) * col("n_bigrams"))
+
+  /** DSIR-style importance (Xie et al. 2023, "Data Selection for LMs
+    * via Importance Resampling", with surprisal bits standing in for
+    * the hashed-n-gram log-likelihoods): importance of a candidate =
+    * its bits under the SOURCE (raw-pool) LM minus its bits under the
+    * TARGET (what-we-want) LM — positive means the doc looks more like
+    * the target than like the pool, exactly log(p_tgt/p_src) up to the
+    * integer-bits quantization. Returns (idCol, n_bigrams,
+    * importance_bits); both scoring passes share the candidate's
+    * pre-aggregated bigram multiset shape, and docs with no bigrams
+    * get importance 0 (neutral). */
+  def importance(docs: DataFrame, idCol: String, textCol: String,
+                 target: (DataFrame, DataFrame, DataFrame),
+                 source: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val tgt = surprisal(docs, idCol, textCol, target._1, target._2, target._3)
+      .select(col(idCol), col("n_bigrams"), col("bits").as("__tgt_bits"))
+    val src = surprisal(docs, idCol, textCol, source._1, source._2, source._3)
+      .select(col(idCol), col("bits").as("__src_bits"))
+    tgt.join(src, Seq(idCol))
+      .withColumn("importance_bits", col("__src_bits") - col("__tgt_bits"))
+      .drop("__tgt_bits", "__src_bits")
+  }
 }

@@ -2797,9 +2797,136 @@ object LlmPipelines {
            |WHERE d.doc_id % 10 = 7
            |GROUP BY d.source ORDER BY d.source""".stripMargin))
 
+  /** DSIR-style importance resampling
+    * ([[graft.llm.LangModel.importance]]) — data selection by
+    * LIKELIHOOD RATIO: train one LM on the target distribution (the
+    * English reference split, standing in for "Wikipedia-like"), one
+    * on the raw pool, and keep the TOP QUARTER of candidates by
+    * importance-bits-per-bigram — DSIR's actual procedure (select the
+    * most target-like fraction), kept exact cross-engine: the sort key
+    * is one IEEE double division (identical bit-for-bit in both
+    * engines), ties break on doc_id, and the 25% cut is pure integer
+    * arithmetic (rn·4 <= N — no division). Empty docs never rank.
+    * HONESTY NOTE (measured, ProbeDsir/this oracle's sums): the
+    * fixture's `lang` label carries ZERO lexical signal — every
+    * language draws from the same synthetic vocabulary — so the
+    * per-lang kept counts hover at ~25% each; the operator's value
+    * here is the exact mechanism, pinned end-to-end, not a separation
+    * this data cannot contain. The global rank is candidate-sized (an
+    * arriving batch); at corpus scale replace it with a quantile
+    * threshold (approx_percentile) — same keep semantics, no global
+    * sort. Oracle replays BOTH scoring chains (the q99 CTE block
+    * twice, parameterized by the reference WHERE) against the shared
+    * candidate bigram multiset, then the same rank. */
+  val q100 = QueryDef(
+    "q100_importance_resampling",
+    (s, dir) => {
+      import graft.llm.LangModel
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val batch = d.where(col("doc_id") % 10 === 7)
+      val corpus = d.where(col("doc_id") % 10 =!= 7)
+      val tgt = LangModel.trainBigramLm(
+        corpus.where(col("lang") === "en"), "text")
+      val src = LangModel.trainBigramLm(corpus, "text")
+      val imp = LangModel.importance(batch, "doc_id", "text", tgt, src)
+      val ranked = imp.where(col("n_bigrams") > 0)
+        .withColumn("__rate",
+          col("importance_bits").cast("double") / col("n_bigrams"))
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("__rate").desc, col("doc_id"))))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .withColumn("kept", col("__rn") * 4 <= col("__n"))
+        .select(col("doc_id"), col("n_bigrams"),
+          col("importance_bits"), col("kept"))
+      batch.select(col("doc_id"), col("lang"))
+        .join(ranked, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+          sum(coalesce(col("importance_bits"), lit(0L)))
+            .as("sum_importance"),
+          sum(coalesce(col("n_bigrams"), lit(0L))).as("sum_bigrams"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      // the q99 scoring chain, emitted twice: once per LM, sharing the
+      // candidate-side bigram multiset `bbi`
+      def lm(p: String, refWhere: String): String =
+        s"""${p}rtok AS (
+           |  SELECT unnest(ws) AS w FROM tok
+           |  WHERE doc_id % 10 != 7$refWhere),
+           |${p}uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+           |            FROM ${p}rtok GROUP BY 1),
+           |${p}tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ${p}rtok),
+           |${p}bi AS (
+           |  SELECT prev, w, CAST(count(*) AS BIGINT) AS cb FROM (
+           |    SELECT g['prev'] AS prev, g['w'] AS w FROM (
+           |      SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+           |        i -> {'prev': ws[i], 'w': ws[i + 1]})) AS g
+           |      FROM tok
+           |      WHERE doc_id % 10 != 7$refWhere AND len(ws) >= 2))
+           |  GROUP BY 1, 2),
+           |${p}sc AS (
+           |  SELECT b.doc_id, b.k,
+           |    CASE
+           |      WHEN bi.cb IS NOT NULL
+           |        THEN (length(bin(up.cu)) - 1) - (length(bin(bi.cb)) - 1)
+           |      WHEN uw.cu IS NOT NULL
+           |        THEN 4 + (length(bin(tt.t)) - 1) - (length(bin(uw.cu)) - 1)
+           |      ELSE 4 + (length(bin(tt.t)) - 1)
+           |    END AS bits
+           |  FROM bbi b
+           |  LEFT JOIN ${p}bi bi ON b.prev = bi.prev AND b.w = bi.w
+           |  LEFT JOIN ${p}uni up ON b.prev = up.w
+           |  LEFT JOIN ${p}uni uw ON b.w = uw.w
+           |  CROSS JOIN ${p}tot tt),
+           |${p}doc AS (
+           |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(k * bits) AS BIGINT) AS bits
+           |  FROM ${p}sc GROUP BY 1)""".stripMargin
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> regexp_matches(x, '^[a-z0-9]+$$')) AS ws
+         |  FROM documents),
+         |bbi AS (
+         |  SELECT doc_id, g['prev'] AS prev, g['w'] AS w,
+         |    CAST(count(*) AS BIGINT) AS k
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(ws) - 1),
+         |        i -> {'prev': ws[i], 'w': ws[i + 1]})) AS g
+         |    FROM tok WHERE doc_id % 10 = 7 AND len(ws) >= 2)
+         |  GROUP BY 1, 2, 3),
+         |${lm("t_", " AND lang = 'en'")},
+         |${lm("s_", "")},
+         |ranked AS (
+         |  SELECT t.doc_id,
+         |    row_number() OVER (
+         |      ORDER BY CAST(s.bits - t.bits AS DOUBLE) / t.n_bigrams DESC,
+         |               t.doc_id) AS rn,
+         |    count(*) OVER () AS nn
+         |  FROM t_doc t JOIN s_doc s USING (doc_id)
+         |  WHERE t.n_bigrams > 0)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN r.rn * 4 <= r.nn THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS kept_docs,
+         |  CAST(sum(coalesce(s.bits, 0) - coalesce(t.bits, 0)) AS BIGINT)
+         |    AS sum_importance,
+         |  CAST(sum(coalesce(t.n_bigrams, 0)) AS BIGINT) AS sum_bigrams
+         |FROM documents d
+         |LEFT JOIN t_doc t USING (doc_id)
+         |LEFT JOIN s_doc s USING (doc_id)
+         |LEFT JOIN ranked r ON d.doc_id = r.doc_id
+         |WHERE d.doc_id % 10 = 7
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    })
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-      q95, q96, q97, q98, q99)
+      q95, q96, q97, q98, q99, q100)
 }

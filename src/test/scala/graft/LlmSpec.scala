@@ -796,6 +796,16 @@ class LlmSpec extends AnyFunSuite {
         batch.where($"doc_id" === 12L), "doc_id", "text", u2, b2, t2)
       .as[(Long, Long, Long)].head()
     assert(pruned == ((12L, 3L, 5L)), s"$pruned")
+
+    // DSIR importance = src bits - tgt bits: with target = the full ref
+    // LM and source = the PRUNED LM, "a b a b" scores 1 bit under the
+    // target and 5 under the source -> importance +4 (more target-like
+    // than pool-like); the empty doc is neutral 0
+    val impRows = LangModel.importance(batch, "doc_id", "text",
+        target = (uni, bi, total), source = (u2, b2, t2))
+      .select($"doc_id", $"importance_bits").as[(Long, Long)]
+      .collect().toMap
+    assert(impRows(12L) == 4L && impRows(11L) == 0L, s"$impRows")
   }
 
   test("HLL approx distinct within 5% of exact at rsd=1%") {
