@@ -2599,39 +2599,11 @@ object LlmPipelines {
   val q98 = QueryDef(
     "q98_incremental_admission",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
       val batch = d.where(col("doc_id") % 10 === 7)
       val corpus = d.where(col("doc_id") % 10 =!= 7)
-      val gated = graft.llm.Quality.scored(
-          batch.select(col("doc_id"), col("text")), "text")
-        .select(col("doc_id"), col("text"),
-          col("quality_kept").as("gate_pass"))
-      val store = corpus
-        .select(TextStats.fingerprint(col("text")).as("fp")).distinct()
-      val wFp = Window.partitionBy(col("fp"))
-      val exact = gated
-        .withColumn("fp", TextStats.fingerprint(col("text")))
-        .join(store.withColumn("__in_corpus", lit(true)), Seq("fp"), "left")
-        .withColumn("exact_dup",
-          coalesce(col("__in_corpus"), lit(false)) ||
-            col("doc_id") > min(col("doc_id")).over(wFp))
       val index = Dedup.minhashBandIndex(corpus, "doc_id", "text")
-      val pairs = Dedup.minhashProbePairs(corpus, batch, "doc_id", "text",
-        index, threshold = 0.8)
-      val ndFlag = pairs.select(col("id_a").as("d"), col("id_b").as("o"))
-        .union(pairs.select(col("id_b").as("d"), col("id_a").as("o")))
-        .where(col("d") % 10 === 7 &&
-          (col("o") % 10 =!= 7 || col("o") < col("d")))
-        .select(col("d")).distinct()
-        .withColumn("__nd", lit(true))
-      exact
-        .join(ndFlag, col("doc_id") === col("d"), "left")
-        .withColumn("near_dup", coalesce(col("__nd"), lit(false)))
-        .withColumn("admitted",
-          col("gate_pass") && !col("exact_dup") && !col("near_dup"))
-        .select(col("doc_id"), col("gate_pass"), col("exact_dup"),
-          col("near_dup"), col("admitted"))
+      graft.llm.Admission.audit(corpus, batch, "doc_id", "text", index)
         .orderBy(col("doc_id"))
     },
     Some {

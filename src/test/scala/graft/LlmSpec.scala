@@ -808,6 +808,58 @@ class LlmSpec extends AnyFunSuite {
     assert(impRows(12L) == 4L && impRows(11L) == 0L, s"$impRows")
   }
 
+  test("incremental-append laws: band index, IVF assignments, LM artifact round-trip") {
+    // the SCALE.md incremental contracts, pinned: each index row is a
+    // pure per-doc function, so appending a batch's own rows to the
+    // stored artifact EQUALS a full rebuild over corpus ∪ batch
+    val batch = docs.where($"doc_id" % 10 === 7)
+    val corpus = docs.where($"doc_id" % 10 =!= 7)
+
+    def bandSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      Dedup.minhashBandIndex(df, "doc_id", "text")
+        .select($"id", $"band", $"band_hash")
+        .as[(Long, Int, Long)].collect().toSet
+    assert(bandSet(docs) == (bandSet(corpus) ++ bandSet(batch)),
+      "band index append != rebuild")
+
+    val eb = emb.where($"vec_id" % 10 === 7)
+    val ec = emb.where($"vec_id" % 10 =!= 7)
+    val cents = Similarity.ivfCentroids(ec, "vec_id", "embedding",
+      nCentroids = 8)
+    def asgSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+      Similarity.ivfIndexAssignments(df, "vec_id", "embedding", cents)
+        .select($"corpus_id", $"cent").as[(Long, Int)].collect().toSet
+    assert(asgSet(emb) == (asgSet(ec) ++ asgSet(eb)),
+      "IVF assignments under a fixed model: append != rebuild")
+
+    // the LM is tables: parquet round-trip must reproduce surprisal
+    // bit-for-bit
+    import graft.llm.LangModel
+    val (uni, bi, total) = LangModel.trainBigramLm(corpus, "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_artifact")
+    try {
+      uni.write.parquet(dir.toString + "/uni")
+      bi.write.parquet(dir.toString + "/bi")
+      total.write.parquet(dir.toString + "/total")
+      def score(u: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame,
+                t: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+        LangModel.surprisal(batch, "doc_id", "text", u, b, t)
+          .as[(Long, Long, Long)].collect().toSeq.sorted
+      val live = score(uni, bi, total)
+      val reloaded = score(
+        spark.read.parquet(dir.toString + "/uni"),
+        spark.read.parquet(dir.toString + "/bi"),
+        spark.read.parquet(dir.toString + "/total"))
+      assert(live == reloaded, "LM artifact round-trip diverged")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("HLL approx distinct within 5% of exact at rsd=1%") {
     val ev = Tables.events(spark, SparkTestBase.sf)
     val (approx, exact) = ev.agg(

@@ -679,4 +679,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.toLowerCase.replaceAll("\\s+", " ").trim).toSet ==
       Set("a b", "c", "d"))
   }
+
+  test("streaming admission: cumulative microbatch audits == one-shot audit over growing artifacts") {
+    import graft.llm.{Admission, Dedup}
+    val d = Tables.documents(spark, SparkTestBase.sf)
+    val batch = d.where($"doc_id" % 10 === 7)
+    val corpus = d.where($"doc_id" % 10 =!= 7)
+
+    val root = Files.createTempDirectory("graft_admission")
+    val (seenDir, indexDir, auditDir, srcDir, ckpt) =
+      (root.resolve("seen"), root.resolve("index"), root.resolve("audit"),
+        root.resolve("src"), root.resolve("ckpt"))
+    Files.createDirectories(srcDir)
+    try {
+      // freeze the corpus artifacts: seen docs + their band index
+      corpus.select($"doc_id", $"text")
+        .write.parquet(seenDir.toString)
+      Dedup.minhashBandIndex(corpus, "doc_id", "text")
+        .write.parquet(indexDir.toString)
+
+      // the batch arrives as THREE id-ordered micro-batches (ids
+      // monotone ACROSS batches — the documented arrival contract)
+      val ids = batch.select($"doc_id").as[Long].collect().sorted
+      val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+      val parts = Seq(
+        batch.where($"doc_id" < cuts(0)),
+        batch.where($"doc_id" >= cuts(0) && $"doc_id" < cuts(1)),
+        batch.where($"doc_id" >= cuts(1)))
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val tmp = Files.createTempDirectory("graft_adm_part")
+        p.select($"doc_id", $"text").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val target = srcDir.resolve(f"b$i%02d.parquet")
+        Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(target,
+          FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+
+      val q = spark.readStream
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          Admission.processMicroBatch(b, "doc_id", "text",
+            seenDir.toString, indexDir.toString, auditDir.toString)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      def rows(df: DataFrame): Seq[(Long, Boolean, Boolean, Boolean, Boolean)] =
+        df.select($"doc_id", $"gate_pass", $"exact_dup", $"near_dup",
+            $"admitted")
+          .as[(Long, Boolean, Boolean, Boolean, Boolean)]
+          .collect().toSeq.sortBy(_._1)
+      val streamed = rows(spark.read.parquet(auditDir.toString))
+      val oneShot = rows(Admission.audit(corpus, batch, "doc_id", "text",
+        Dedup.minhashBandIndex(corpus, "doc_id", "text")))
+      assert(streamed == oneShot,
+        s"streamed audit diverged: ${streamed.diff(oneShot).take(5)} vs " +
+          s"${oneShot.diff(streamed).take(5)}")
+
+      // and the grown store equals a from-scratch rebuild (append law,
+      // end to end through the service path)
+      val grown = spark.read.parquet(indexDir.toString)
+        .select($"id", $"band", $"band_hash")
+        .as[(Long, Int, Long)].collect().toSet
+      val rebuilt = Dedup.minhashBandIndex(d, "doc_id", "text")
+        .select($"id", $"band", $"band_hash")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(grown == rebuilt, "grown index != from-scratch rebuild")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }
