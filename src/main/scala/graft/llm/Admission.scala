@@ -63,31 +63,60 @@ object Admission {
 
   /** ONE micro-batch step of the streaming admission service — the
     * `foreachBatch` body of the continuous twin: audit the arriving
-    * batch against the PERSISTED artifacts (seen-docs parquet at
-    * `seenDir`, band index at `indexDir`), append the audit rows to
-    * `auditDir`, then append the batch's own doc rows and banded rows
-    * to the stores — the incremental-append law pinned in LlmSpec
-    * (index(a ∪ b) == index(a) ∪ index(b), per-doc purity), so the
-    * store after N micro-batches equals a from-scratch rebuild.
+    * batch against the PERSISTED artifacts (seen-docs parquet under
+    * `seenDir`, band index under `indexDir`), write the audit rows
+    * under `auditDir`, then write the batch's own doc rows and banded
+    * rows into the stores — the incremental-append law pinned in
+    * LlmSpec (index(a ∪ b) == index(a) ∪ index(b), per-doc purity),
+    * so the store after N micro-batches equals a from-scratch rebuild.
+    *
+    * REPLAY-SAFE: Structured Streaming replays a micro-batch after a
+    * crash, and `foreachBatch` leaves idempotence to the body — a
+    * plain append would duplicate every row the first attempt already
+    * landed. Each write therefore goes to a `mb_<batchId>` SUBDIR in
+    * OVERWRITE mode: a replay rewrites the same three subdirs and the
+    * union over subdirs is unchanged. Readers (this method and any
+    * consumer) list one level of subdirs via recursiveFileLookup.
+    * Seed the stores by writing the initial corpus under a subdir of
+    * its own (e.g. `mb_init`).
     *
     * Everything is engine-side parquet I/O: no driver materialization
     * of any corpus-sized set. The audit write is an action, so the
     * audit is fully computed BEFORE the stores mutate (a batch never
-    * pairs with its own appended copy). Arrival contract: ids monotone
-    * ACROSS micro-batches make the cumulative audits equal the
-    * one-shot [[audit]] of the concatenated batch (spec-pinned);
-    * within a micro-batch order never matters. */
-  def processMicroBatch(batch: DataFrame, idCol: String, textCol: String,
+    * pairs with its own appended copy — and on replay, where the
+    * batch's own rows from the first attempt ARE already in the
+    * stores, the audit must not see them: subdir isolation makes the
+    * exclusion explicit by reading everything EXCEPT this batchId's
+    * subdirs). Arrival contract: ids monotone ACROSS micro-batches
+    * make the cumulative audits equal the one-shot [[audit]] of the
+    * concatenated batch (spec-pinned); within a micro-batch order
+    * never matters. */
+  def processMicroBatch(batch: DataFrame, batchId: Long,
+                        idCol: String, textCol: String,
                         seenDir: String, indexDir: String, auditDir: String,
                         threshold: Double = 0.8): Unit = {
     val s = batch.sparkSession
-    val seen = s.read.parquet(seenDir)
-    val index = s.read.parquet(indexDir)
+    def readExceptSelf(root: String): DataFrame = {
+      val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+        .iterator()
+      val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (dirs.hasNext) {
+        val p = dirs.next()
+        if (java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString != s"mb_$batchId")
+          keep += p.toString
+      }
+      require(keep.nonEmpty, s"no seeded store under $root (write the " +
+        "initial corpus under a subdir, e.g. mb_init)")
+      s.read.option("recursiveFileLookup", "true").parquet(keep.toSeq: _*)
+    }
+    val seen = readExceptSelf(seenDir)
+    val index = readExceptSelf(indexDir)
     audit(seen, batch, idCol, textCol, index, threshold)
-      .write.mode("append").parquet(auditDir)
+      .write.mode("overwrite").parquet(s"$auditDir/mb_$batchId")
     batch.select(col(idCol), col(textCol))
-      .write.mode("append").parquet(seenDir)
+      .write.mode("overwrite").parquet(s"$seenDir/mb_$batchId")
     Dedup.minhashBandIndex(batch, idCol, textCol)
-      .write.mode("append").parquet(indexDir)
+      .write.mode("overwrite").parquet(s"$indexDir/mb_$batchId")
   }
 }

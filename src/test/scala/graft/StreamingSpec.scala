@@ -680,7 +680,7 @@ class StreamingSpec extends AnyFunSuite {
       Set("a b", "c", "d"))
   }
 
-  test("streaming admission: cumulative microbatch audits == one-shot audit over growing artifacts") {
+  test("streaming admission: kill-resume microbatch audits == one-shot audit over growing artifacts") {
     import graft.llm.{Admission, Dedup}
     val d = Tables.documents(spark, SparkTestBase.sf)
     val batch = d.where($"doc_id" % 10 === 7)
@@ -692,20 +692,23 @@ class StreamingSpec extends AnyFunSuite {
         root.resolve("src"), root.resolve("ckpt"))
     Files.createDirectories(srcDir)
     try {
-      // freeze the corpus artifacts: seen docs + their band index
+      // freeze the corpus artifacts: seen docs + their band index,
+      // seeded under their own store subdirs (the service layout)
       corpus.select($"doc_id", $"text")
-        .write.parquet(seenDir.toString)
+        .write.parquet(seenDir.resolve("mb_init").toString)
       Dedup.minhashBandIndex(corpus, "doc_id", "text")
-        .write.parquet(indexDir.toString)
+        .write.parquet(indexDir.resolve("mb_init").toString)
 
-      // the batch arrives as THREE id-ordered micro-batches (ids
+      // the batch arrives as FIVE id-ordered micro-batches (ids
       // monotone ACROSS batches — the documented arrival contract)
       val ids = batch.select($"doc_id").as[Long].collect().sorted
-      val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
-      val parts = Seq(
-        batch.where($"doc_id" < cuts(0)),
-        batch.where($"doc_id" >= cuts(0) && $"doc_id" < cuts(1)),
-        batch.where($"doc_id" >= cuts(1)))
+      val n = 5
+      val bounds = (1 until n).map(i => ids(i * ids.length / n))
+      val parts = (0 until n).map { i =>
+        val lo = if (i == 0) Long.MinValue else bounds(i - 1)
+        val hi = if (i == n - 1) Long.MaxValue else bounds(i)
+        batch.where($"doc_id" >= lo && $"doc_id" < hi)
+      }
       parts.zipWithIndex.foreach { case (p, i) =>
         val tmp = Files.createTempDirectory("graft_adm_part")
         p.select($"doc_id", $"text").coalesce(1)
@@ -718,26 +721,41 @@ class StreamingSpec extends AnyFunSuite {
           FileTime.fromMillis(1700000000000L + i * 60000L))
       }
 
-      val q = spark.readStream
-        .schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(srcDir.toString)
-        .writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          Admission.processMicroBatch(b, "doc_id", "text",
-            seenDir.toString, indexDir.toString, auditDir.toString)
-        }
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      def drain(killEarly: Boolean): Unit = {
+        val q = spark.readStream
+          .schema("doc_id long, text string")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            Admission.processMicroBatch(b, id, "doc_id", "text",
+              seenDir.toString, indexDir.toString, auditDir.toString)
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (killEarly) {
+          // stop once at least one micro-batch committed: the restart
+          // must overwrite (not duplicate) any partially-landed subdir
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q.recentProgress.map(_.numInputRows).sum < 1 &&
+                 q.isActive && System.nanoTime() < deadline) Thread.sleep(10)
+          q.stop(); q.awaitTermination()
+        } else q.awaitTermination()
+      }
+      drain(killEarly = true)  // interrupted...
+      drain(killEarly = false) // ...resumed on the same checkpoint
 
       def rows(df: DataFrame): Seq[(Long, Boolean, Boolean, Boolean, Boolean)] =
         df.select($"doc_id", $"gate_pass", $"exact_dup", $"near_dup",
             $"admitted")
           .as[(Long, Boolean, Boolean, Boolean, Boolean)]
           .collect().toSeq.sortBy(_._1)
-      val streamed = rows(spark.read.parquet(auditDir.toString))
+      val streamed = rows(spark.read
+        .option("recursiveFileLookup", "true").parquet(auditDir.toString))
+      // exactly-once first: a replayed batch must not double-audit
+      assert(streamed.map(_._1).distinct.size == streamed.size,
+        "duplicate audit rows after kill-resume")
       val oneShot = rows(Admission.audit(corpus, batch, "doc_id", "text",
         Dedup.minhashBandIndex(corpus, "doc_id", "text")))
       assert(streamed == oneShot,
@@ -745,8 +763,9 @@ class StreamingSpec extends AnyFunSuite {
           s"${oneShot.diff(streamed).take(5)}")
 
       // and the grown store equals a from-scratch rebuild (append law,
-      // end to end through the service path)
-      val grown = spark.read.parquet(indexDir.toString)
+      // end to end through the service path, across the kill)
+      val grown = spark.read
+        .option("recursiveFileLookup", "true").parquet(indexDir.toString)
         .select($"id", $"band", $"band_hash")
         .as[(Long, Int, Long)].collect().toSet
       val rebuilt = Dedup.minhashBandIndex(d, "doc_id", "text")
