@@ -2700,8 +2700,16 @@ object LlmPipelines {
     (s, dir) => {
       import graft.llm.LangModel
       val d = Tables.documents(s, dir)
-      val batch = d.where(col("doc_id") % 10 === 7)
-      val corpus = d.where(col("doc_id") % 10 =!= 7)
+      // split on the PORTABLE id-hash RANGE, not doc_id % 10: the
+      // fixture assigns source = f(doc_id mod 20), so a modulo split
+      // collapses the per-source rollup to two sources — and a mod of
+      // the hash itself inherits the id's parity (multiplicative
+      // hashing preserves the low bit), halving coverage again. The
+      // half-open bucket range is the hash's designed split form
+      // (Sampling.sample) and spans every source.
+      val sb = graft.ops.Sampling.bucket(col("doc_id"))
+      val batch = d.where(sb < 100000L)
+      val corpus = d.where(sb >= 100000L)
       val (uni, bi, total) = LangModel.trainBigramLm(corpus, "text")
       val scored = LangModel.gate(
         LangModel.surprisal(batch, "doc_id", "text", uni, bi, total),
@@ -2716,12 +2724,16 @@ object LlmPipelines {
         .orderBy(col("source"))
     },
     Some("""WITH tok AS (
-           |  SELECT doc_id, list_filter(
+           |  SELECT doc_id,
+           |    ((doc_id % 2147483647) * 2654435761
+           |     + ((doc_id // 2147483647) % 2147483647) * 40503)
+           |      % 4294967296 % 1000000 AS sb,
+           |    list_filter(
            |    string_split_regex(lower(trim(text)), '\s+'),
            |    x -> regexp_matches(x, '^[a-z0-9]+$')) AS ws
            |  FROM documents),
            |rtok AS (
-           |  SELECT unnest(ws) AS w FROM tok WHERE doc_id % 10 != 7),
+           |  SELECT unnest(ws) AS w FROM tok WHERE sb >= 100000),
            |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
            |        FROM rtok GROUP BY 1),
            |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM rtok),
@@ -2729,7 +2741,7 @@ object LlmPipelines {
            |  SELECT g['prev'] AS prev, g['w'] AS w FROM (
            |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
            |      i -> {'prev': ws[i], 'w': ws[i + 1]})) AS g
-           |    FROM tok WHERE doc_id % 10 != 7 AND len(ws) >= 2)),
+           |    FROM tok WHERE sb >= 100000 AND len(ws) >= 2)),
            |bi AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cb
            |       FROM rbi GROUP BY 1, 2),
            |bbi AS (
@@ -2739,7 +2751,7 @@ object LlmPipelines {
            |    SELECT doc_id,
            |      unnest(list_transform(generate_series(1, len(ws) - 1),
            |        i -> {'prev': ws[i], 'w': ws[i + 1]})) AS g
-           |    FROM tok WHERE doc_id % 10 = 7 AND len(ws) >= 2)
+           |    FROM tok WHERE sb < 100000 AND len(ws) >= 2)
            |  GROUP BY 1, 2, 3),
            |sc AS (
            |  SELECT b.doc_id, b.k,
@@ -2765,8 +2777,10 @@ object LlmPipelines {
            |    AS kept_docs,
            |  CAST(sum(coalesce(p.bits, 0)) AS BIGINT) AS sum_bits,
            |  CAST(sum(coalesce(p.n_bigrams, 0)) AS BIGINT) AS sum_bigrams
-           |FROM documents d LEFT JOIN perdoc p USING (doc_id)
-           |WHERE d.doc_id % 10 = 7
+           |FROM documents d
+           |JOIN tok k USING (doc_id)
+           |LEFT JOIN perdoc p USING (doc_id)
+           |WHERE k.sb < 100000
            |GROUP BY d.source ORDER BY d.source""".stripMargin))
 
   /** DSIR-style importance resampling
