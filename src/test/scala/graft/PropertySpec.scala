@@ -253,6 +253,46 @@ class PropertySpec extends AnyFunSuite {
     } yield (shard, id, n))
   } yield rows.groupBy(r => (r._1, r._2)).values.map(_.head).toList
 
+  private val capGen: Gen[(List[(Long, String)], Long, Int)] = for {
+    nSources <- Gen.choose(1, 4)
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      id <- Gen.choose(0L, 5000000000L) // past 2^31: exercises the hi limb
+      src <- Gen.choose(0, nSources - 1).map(i => s"s$i")
+    } yield (id, src))
+    cap <- Gen.oneOf(0L, 1L, 3L, 10L, 1000L)
+    bins <- Gen.oneOf(2, 7, 4096)
+  } yield (rows.distinctBy(_._1), cap, bins)
+
+  /** Driver-side replica of Sampling.bucket's documented arithmetic. */
+  private def refBucket(id: Long): Long = {
+    val limb = 2147483647L
+    val lo = id % limb
+    val hi = (id / limb) % limb
+    java.lang.Math.floorMod(
+      java.lang.Math.floorMod(lo * 2654435761L + hi * 40503L, 4294967296L),
+      1000000L)
+  }
+
+  test("perSourceCap: both variants equal the reference order on random ids") {
+    import graft.ops.Sampling
+    forAll(capGen, n = 8) { case (rows, cap, bins) =>
+      whenever(rows.nonEmpty) {
+        val want = rows.groupBy(_._2).values.flatMap { grp =>
+          grp.sortBy(r => (refBucket(r._1) % bins, r._1)).take(
+            math.min(cap, Int.MaxValue.toLong).toInt)
+        }.map(_._1).toSet
+        val df = rows.toDF("doc_id", "source").repartition(5)
+        val viaWindow = Sampling.perSourceCap(df, "doc_id", "source",
+          cap, bins).select($"doc_id").as[Long].collect().toSet
+        val viaSelection = Sampling.perSourceCapLargeCap(df, "doc_id",
+          "source", cap, bins).select($"doc_id").as[Long].collect().toSet
+        assert(viaWindow == want, s"window form != reference (cap=$cap bins=$bins)")
+        assert(viaSelection == want, s"selection != reference (cap=$cap bins=$bins)")
+      }
+    }
+  }
+
   test("Packing: bins are contiguous, conserve docs and token budget") {
     import graft.llm.Packing
     forAll(packGen) { rows =>
