@@ -68,11 +68,24 @@ object LangModel {
     * PRE-AGGREGATED bigram multiset, never per occurrence. */
   def surprisal(docs: DataFrame, idCol: String, textCol: String,
                 uni: DataFrame, bi: DataFrame, total: DataFrame)
-      : DataFrame = {
-    val perDocBigram = docs
+      : DataFrame =
+    surprisalFromBigrams(docs.select(col(idCol)), idCol,
+      perDocBigrams(docs, idCol, textCol), uni, bi, total)
+
+  /** The candidate side's bigram multiset — the expensive stage
+    * (tokenize + explode + hash-agg); factored so a two-LM consumer
+    * ([[importance]]) pays it once. */
+  private def perDocBigrams(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    docs
       .select(col(idCol), explode(bigrams(col(textCol))).as("g"))
       .groupBy(col(idCol), col("g.prev").as("prev"), col("g.w").as("w"))
       .agg(count(lit(1)).as("k"))
+
+  private def surprisalFromBigrams(docIds: DataFrame, idCol: String,
+                                   perDocBigram: DataFrame, uni: DataFrame,
+                                   bi: DataFrame, total: DataFrame)
+      : DataFrame = {
     val scored = perDocBigram
       .join(bi, Seq("prev", "w"), "left")
       .join(uni.select(col("w").as("prev"), col("cu").as("cu_prev")),
@@ -87,7 +100,7 @@ object LangModel {
     val agg = scored.groupBy(col(idCol))
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("k") * col("__bits")).cast("long").as("bits"))
-    docs.select(col(idCol))
+    docIds
       .join(agg, Seq(idCol), "left")
       .na.fill(0L, Seq("n_bigrams", "bits"))
   }
@@ -105,15 +118,20 @@ object LangModel {
     * TARGET (what-we-want) LM — positive means the doc looks more like
     * the target than like the pool, exactly log(p_tgt/p_src) up to the
     * integer-bits quantization. Returns (idCol, n_bigrams,
-    * importance_bits); both scoring passes share the candidate's
-    * pre-aggregated bigram multiset shape, and docs with no bigrams
-    * get importance 0 (neutral). */
+    * importance_bits); both scoring passes share ONE cached
+    * pre-aggregated bigram multiset (the tokenize+explode+agg stage
+    * runs once, not per LM), and docs with no bigrams get
+    * importance 0 (neutral). */
   def importance(docs: DataFrame, idCol: String, textCol: String,
                  target: (DataFrame, DataFrame, DataFrame),
                  source: (DataFrame, DataFrame, DataFrame)): DataFrame = {
-    val tgt = surprisal(docs, idCol, textCol, target._1, target._2, target._3)
+    val pdb = graft.core.Caching.eager(perDocBigrams(docs, idCol, textCol))
+    val docIds = docs.select(col(idCol))
+    val tgt = surprisalFromBigrams(docIds, idCol, pdb,
+        target._1, target._2, target._3)
       .select(col(idCol), col("n_bigrams"), col("bits").as("__tgt_bits"))
-    val src = surprisal(docs, idCol, textCol, source._1, source._2, source._3)
+    val src = surprisalFromBigrams(docIds, idCol, pdb,
+        source._1, source._2, source._3)
       .select(col(idCol), col("bits").as("__src_bits"))
     tgt.join(src, Seq(idCol))
       .withColumn("importance_bits", col("__src_bits") - col("__tgt_bits"))

@@ -185,6 +185,8 @@ object Sampling {
                    cap: Long, bins: Int = 4096): DataFrame = {
     require(cap >= 0, s"cap must be >= 0: $cap")
     require(bins > 0 && bins <= Buckets, s"bins out of range: $bins")
+    require(!df.columns.contains("__rn"),
+      "input already has the reserved column __rn")
     val binCol = pmod(bucket(col(idCol)), lit(bins.toLong))
     df.withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -213,6 +215,13 @@ object Sampling {
                            cap: Long, bins: Int = 4096): DataFrame = {
     require(cap >= 0, s"cap must be >= 0: $cap")
     require(bins > 0 && bins <= Buckets, s"bins out of range: $bins")
+    locally {
+      val reserved = Set("__n", "__bin", "__c", "__cum", "__tbin",
+        "__take", "__rn", "__src")
+      require(df.columns.forall(c => !reserved.contains(c)),
+        s"input already has a reserved column: " +
+          df.columns.toSet.intersect(reserved))
+    }
     val outCols = df.columns.map(col).toSeq
     val binCol = pmod(bucket(col(idCol)), lit(bins.toLong))
 
@@ -220,9 +229,17 @@ object Sampling {
     val underSources = totals.where(col("__n") <= cap).select(col(sourceCol))
     val overSources = totals.where(col("__n") > cap).select(col(sourceCol))
 
-    val kept = df.join(underSources, Seq(sourceCol), "left_semi")
+    // NULL is a legal source value (SQL GROUP BY semantics — the window
+    // form's partitionBy groups it too), so every membership join here
+    // must be NULL-SAFE: a plain equi-join would silently drop the
+    // whole NULL-source group and diverge from the window form
+    def semiNullSafe(left: DataFrame, sources: DataFrame): DataFrame =
+      left.join(sources.withColumnRenamed(sourceCol, "__src"),
+        col(sourceCol) <=> col("__src"), "left_semi")
 
-    val overRows = df.join(overSources, Seq(sourceCol), "left_semi")
+    val kept = semiNullSafe(df, underSources)
+
+    val overRows = semiNullSafe(df, overSources)
       .withColumn("__bin", binCol)
     val hist = overRows.groupBy(col(sourceCol), col("__bin"))
       .agg(count(lit(1)).as("__c"))
@@ -237,7 +254,9 @@ object Sampling {
       .select(col(sourceCol), col("__bin").as("__tbin"),
         (lit(cap) - (col("__cum") - col("__c"))).as("__take"))
 
-    val joined = overRows.join(boundary, Seq(sourceCol))
+    val joined = overRows.join(
+      boundary.withColumnRenamed(sourceCol, "__src"),
+      col(sourceCol) <=> col("__src"))
     val below = joined.where(col("__bin") < col("__tbin")).select(outCols: _*)
     val wBoundary = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol)).orderBy(col(idCol))

@@ -59,9 +59,10 @@ object ProbeQ97 {
     println(s"window plan: groupLimit=${wplan.contains("WindowGroupLimit")} " +
       s"exch=${"Exchange".r.findAllIn(wplan).size}")
 
-    def keyHash(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(pmod(xxhash64(col("doc_id")), lit(1000000007L)))
-          .cast("long")).collect()(0).getLong(0)
+    def keyHash(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      df.agg(coalesce(sum(pmod(xxhash64(col("doc_id")), lit(1000000007L))),
+          lit(0L)).cast("long"), count(lit(1)))
+        .collect()(0) match { case r => (r.getLong(0), r.getLong(1)) }
     val a = keyHash(
       Sampling.perSourceCapLargeCap(docs, "doc_id", "source", cap, bins))
     val b = keyHash(windowForm)

@@ -168,13 +168,14 @@ class PlanSpec extends AnyFunSuite {
     // batch-hit buckets ever shuffle) ...
     assert(p.contains("LeftSemi"),
       s"q98 lost the probe's hot-bucket semi-join:\n$p")
-    // ... and the only Window is the intra-batch first-keeper over the
-    // batch's fingerprints — batch-sized by construction; a second
-    // window would mean a corpus-sized rank crept in
-    val windows = "(?m)^\\s*[+:-]*\\s*Window ".r.findAllIn(p).size +
-      "WindowExec".r.findAllIn(p).size
-    assert("Window".r.findAllIn(p).size >= 1 && windows <= 2,
-      s"q98 window count off ($windows):\n$p")
+    // ... and the only Window node is the intra-batch first-keeper
+    // over the batch's fingerprints — batch-sized by construction; a
+    // second window would mean a corpus-sized rank crept in (count the
+    // exact `Window [` node print, which WindowGroupLimit etc. cannot
+    // match)
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1, s"q98 expected exactly one Window node, " +
+      s"found $windows:\n$p")
     spark.catalog.clearCache()
   }
 

@@ -258,7 +258,11 @@ class PropertySpec extends AnyFunSuite {
     n <- Gen.choose(1, 60)
     rows <- Gen.listOfN(n, for {
       id <- Gen.choose(0L, 5000000000L) // past 2^31: exercises the hi limb
-      src <- Gen.choose(0, nSources - 1).map(i => s"s$i")
+      // NULL is a legal source (SQL group semantics) — both variants
+      // must cap the NULL group like any other
+      src <- Gen.frequency(
+        (4, Gen.choose(0, nSources - 1).map(i => s"s$i")),
+        (1, Gen.const(null: String)))
     } yield (id, src))
     cap <- Gen.oneOf(0L, 1L, 3L, 10L, 1000L)
     bins <- Gen.oneOf(2, 7, 4096)

@@ -687,17 +687,20 @@ class StreamingSpec extends AnyFunSuite {
     val corpus = d.where($"doc_id" % 10 =!= 7)
 
     val root = Files.createTempDirectory("graft_admission")
-    val (seenDir, indexDir, auditDir, srcDir, ckpt) =
-      (root.resolve("seen"), root.resolve("index"), root.resolve("audit"),
-        root.resolve("src"), root.resolve("ckpt"))
+    val (seenDir, indexDir, fpsDir, auditDir, srcDir, ckpt) =
+      (root.resolve("seen"), root.resolve("index"), root.resolve("fps"),
+        root.resolve("audit"), root.resolve("src"), root.resolve("ckpt"))
     Files.createDirectories(srcDir)
     try {
-      // freeze the corpus artifacts: seen docs + their band index,
-      // seeded under their own store subdirs (the service layout)
+      // freeze the corpus artifacts: seen docs, their band index, and
+      // their fingerprints, seeded under their own store subdirs (the
+      // service layout)
       corpus.select($"doc_id", $"text")
         .write.parquet(seenDir.resolve("mb_init").toString)
       Dedup.minhashBandIndex(corpus, "doc_id", "text")
         .write.parquet(indexDir.resolve("mb_init").toString)
+      corpus.select(graft.llm.TextStats.fingerprint($"text").as("fp"))
+        .write.parquet(fpsDir.resolve("mb_init").toString)
 
       // the batch arrives as FIVE id-ordered micro-batches (ids
       // monotone ACROSS batches — the documented arrival contract)
@@ -729,7 +732,8 @@ class StreamingSpec extends AnyFunSuite {
           .writeStream
           .foreachBatch { (b: DataFrame, id: Long) =>
             Admission.processMicroBatch(b, id, "doc_id", "text",
-              seenDir.toString, indexDir.toString, auditDir.toString)
+              seenDir.toString, indexDir.toString, fpsDir.toString,
+              auditDir.toString)
           }
           .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
