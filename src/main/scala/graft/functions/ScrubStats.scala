@@ -53,7 +53,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    and the trailing `\b` forces the final run to be <=3 digits
   *    followed by a non-word char; `\b` before the first digit means
   *    candidate starts are exactly digit-run heads with a non-word
-  *    predecessor.
+  *    predecessor. WORD-BOUNDARY DIALECT: this scanner's `\b` is
+  *    RE2's — a word char is ASCII `[A-Za-z0-9_]`, so an IP abutting
+  *    a non-ASCII letter/digit ("café1.2.3.4", "1.2.3.4µ") IS
+  *    redacted, exactly as DuckDB/RE2 (byte-level `\b`; no multibyte
+  *    UTF-8 unit is an ASCII word byte) and therefore as the q83
+  *    oracle. Java's `\b` is Unicode-aware even without
+  *    UNICODE_CHARACTER_CLASS (verified: `Pattern.find` on
+  *    "café1.2.3.4" is false on JDK 17), so the Java-regex twin
+  *    [[graft.llm.Scrub.scrubWithCounts]] diverges on exactly those
+  *    inputs — the divergence is pinned, both directions, in
+  *    CodegenParitySpec ("\b dialect" test).
   *  - phone `\+?\d[\d-]{7,}\d`: within one maximal [0-9-] run the
   *    match is head..last-digit provided that digit sits >=8 chars
   *    past the head; if the EARLIEST start in a run fails, every
@@ -61,9 +71,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the scanner skips runs whole on failure — and rescans the run
   *    remainder after a success, exactly like `Matcher.find`.
   *
-  * All classes are pure ASCII, so astral/multibyte characters are
-  * "not in class, not a word char" in Java (UTF-16 units), RE2
-  * (bytes) and here (UTF-16 units) alike.
+  * All explicit character CLASSES are pure ASCII, so astral/multibyte
+  * characters are "not in class" in Java (UTF-16 units), RE2 (bytes)
+  * and here (UTF-16 units) alike. The one dialect split is `\b`
+  * (IP stage only): Java's is Unicode-aware, RE2's is ASCII/byte —
+  * this kernel follows RE2, i.e. the oracle engine; see the IP bullet
+  * above. On pure-ASCII neighborhoods all three agree exactly.
   *
   * Output: STRUCT<scrubbed STRING, n_email BIGINT, n_url BIGINT,
   * n_ip BIGINT, n_phone BIGINT>. Null text => null struct (callers

@@ -41,6 +41,11 @@ object Encoding {
   /** Input plus one exact `n_<name>` count per signal and a `clean`
     * boolean (all four zero) — the keep gate. */
   def anomalyCounts(df: DataFrame, textCol: String): DataFrame = {
+    val reserved = patterns.map(p => s"n_${p._1}") :+ "clean"
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"anomalyCounts writes ${reserved.mkString(", ")}; input already has " +
+        s"${clash.mkString(", ")} — rename before calling")
     val counted = patterns.foldLeft(df) { case (d, (name, p)) =>
       d.withColumn(s"n_$name",
         coalesce(size(regexp_extract_all(col(textCol), lit(p), lit(0))),

@@ -19,10 +19,20 @@ import org.apache.spark.sql.functions._
   *
   * Every pattern is deliberately restricted to the regex dialect
   * intersection of Java (Spark) and RE2 (DuckDB/oracle): character
-  * classes, bounded/unbounded repetition, `\d`, `\b` — no
-  * lookaround, no backreferences, no `\s` (whose class membership
-  * differs between the dialects). That is what makes the q83 oracle
-  * an exact replay rather than a rows-only check.
+  * classes, bounded/unbounded repetition, `\d` — no lookaround, no
+  * backreferences, no `\s` (whose class membership differs between
+  * the dialects). That is what makes the q83 oracle an exact replay
+  * rather than a rows-only check.
+  *
+  * ONE residual dialect split: the IP pattern's `\b`. RE2's `\b` is
+  * byte-level ASCII (`[A-Za-z0-9_]`); Java's is Unicode-aware even
+  * without UNICODE_CHARACTER_CLASS. They differ only when an IP
+  * abuts a non-ASCII letter/digit ("café1.2.3.4" redacts under RE2,
+  * not under Java). The PRODUCTION path (q83 via
+  * [[scrubWithCountsFused]]) and the DuckDB oracle both follow RE2's
+  * ASCII `\b`; this Java-regexp twin is therefore the divergent one
+  * on those inputs, and exists as the parity/readability reference
+  * only — the divergence is pinned in CodegenParitySpec.
   */
 object Scrub {
 

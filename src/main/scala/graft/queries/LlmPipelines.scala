@@ -1528,9 +1528,11 @@ object LlmPipelines {
         try Bpe.loadMergePairs(s, modelPath.toString + "/merges")
         finally {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(modelPath).iterator().asScala.toSeq
+          val walk = java.nio.file.Files.walk(modelPath)
+          try walk.iterator().asScala.toSeq
             .sortBy(-_.getNameCount)
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
         }
       val toks = docs.select(col("source"),
           explode(Bpe.alnumTokens(col("text"))).as("tok"))

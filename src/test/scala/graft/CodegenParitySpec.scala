@@ -421,6 +421,39 @@ class CodegenParitySpec extends AnyFunSuite {
       generated.exists(_._5 > 0) && generated.exists(_._6 > 0))
   }
 
+  /** The one deliberate dialect split (ScrubStats scaladoc, IP
+    * bullet): `\b` is ASCII in RE2 (the DuckDB oracle engine — a
+    * multibyte UTF-8 unit is never a word byte) but Unicode-aware in
+    * Java even without UNICODE_CHARACTER_CLASS. The fused kernel
+    * follows RE2 — i.e. the engine the q83 oracle replays — so an IP
+    * abutting a non-ASCII letter/digit IS redacted by the kernel and
+    * is NOT by the java.util.regex twin. Pin BOTH directions so a
+    * change to either semantics is loud. */
+  test("ScrubStats: \\b dialect — fused follows RE2 ASCII word boundary, Java \\b diverges on Unicode adjacency") {
+    val ipPat = java.util.regex.Pattern.compile(
+      graft.llm.Scrub.patterns.find(_._1 == "ip").get._2)
+    val divergent = Seq("café1.2.3.4", "1.2.3.4µ", "ип1.2.3.4", "1.2.3.4é")
+    val agree = Seq("café 1.2.3.4", "x1.2.3.4", "1.2.3.4_", "(1.2.3.4)")
+    val fused = graft.llm.Scrub.scrubWithCountsFused(
+        (divergent ++ agree).zipWithIndex
+          .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "t"), "t")
+      .select($"doc_id", $"scrubbed_t", $"n_ip".cast("long"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    divergent.zipWithIndex.foreach { case (s, i) =>
+      assert(!ipPat.matcher(s).find(), s"Java \\b unexpectedly matched [$s]")
+      val (_, scrubbed, nIp) = fused(i)
+      assert(nIp == 1L && scrubbed.contains("<IP>") && !scrubbed.contains("1.2.3.4"),
+        s"fused kernel must follow RE2 ASCII \\b on [$s], got [$scrubbed]")
+    }
+    agree.zipWithIndex.foreach { case (s, i) =>
+      val (_, scrubbed, nIp) = fused(divergent.length + i)
+      val javaMatches = ipPat.matcher(s).find()
+      assert((nIp > 0L) == javaMatches,
+        s"dialects must agree on ASCII neighborhood [$s]: fused=$nIp java=$javaMatches")
+      if (javaMatches) assert(scrubbed.contains("<IP>"))
+    }
+  }
+
   test("SimHash64 / DmsToDecimalDegrees / vector kernels: codegen == interpreted") {
     val generated = withConfs(
       "spark.sql.codegen.wholeStage" -> "true",
