@@ -286,11 +286,32 @@ object Similarity {
     * `partitionBy("cent")` store prunes to the probed lists only. The
     * query side broadcasts with its probe arrays; candidates are
     * scored by exact cosine and ranked per query (same output schema
-    * and tie-break as [[ivfTopK]]/[[bruteForceTopK]]). */
+    * and tie-break as [[ivfTopK]]/[[bruteForceTopK]]).
+    *
+    * RECALL-SCALING CONTRACT (nProbe ≤ 0, the default): nProbe
+    * resolves to `min(nlist, max(8, ceil(nlist/4)))` — the probe
+    * always scans ~1/4 of the inverted lists, floored at 8 so
+    * corpus-floor indexes (nlist ≤ 32) keep a usable probe set.
+    * nlist grows with the corpus (FAISS practice, so lists stay
+    * ~constant-size), and a FIXED nProbe therefore shrinks the
+    * scanned corpus fraction by a decade per decade — measured on
+    * the decorrelated GenScaleEmb fixture as recall@5 decaying
+    * 0.80→0.30 across 2k→2M vectors (SCALE.md round 10). Holding the
+    * scan fraction holds recall: under this rule the round-11 decade
+    * table measures recall@5 = 0.80/0.64/0.84/0.90 at 2k/20k/200k/2M
+    * vectors — ≥0.6 at every decade of the deliberately decorrelated
+    * fixture (IVF's worst case; real clustered corpora sit higher at
+    * the same fraction), with the 2M probe still 8.7× ahead of
+    * per-batch recompute. Callers trading recall for cost pass an
+    * explicit nProbe; the driver-SF registration (q96) pins its
+    * recall floor by oracle at an explicit setting. */
   def ivfProbeTopK(queries: DataFrame, index: DataFrame,
                    centroids: DataFrame, idCol: String, vecCol: String,
-                   k: Int, nProbe: Int = 4): DataFrame = {
+                   k: Int, nProbe: Int = 0): DataFrame = {
     val cents = collectCentroids(centroids)
+    val nProbeEff =
+      if (nProbe > 0) nProbe
+      else math.min(cents.length, math.max(8, (cents.length + 3) / 4))
     val centArray = array(cents.zipWithIndex.map { case (v, i) =>
       struct(lit(i).as("cid"), typedLit(v.toSeq).as("cv")) }: _*)
     val q = graft.core.Caching.eager(
@@ -301,7 +322,7 @@ object Similarity {
             struct((-float_cosine(col("qv"), c.getField("cv"))).as("negcos"),
                    c.getField("cid").as("cid")))))
         .withColumn("probes",
-          transform(slice(col("__scored"), 1, nProbe), s => s.getField("cid")))
+          transform(slice(col("__scored"), 1, nProbeEff), s => s.getField("cid")))
         .drop("__scored"))
     // driver-sized by the small-query contract: ≤ |queries|·nProbe ids
     val probed = q.select(explode(col("probes")).as("cent")).distinct()
