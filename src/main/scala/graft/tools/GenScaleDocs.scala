@@ -16,13 +16,22 @@ import graft.core.{Sessions, Tables}
   * there — use GenScale end-to-end for those (its invariants are
   * argued per-table).
   *
-  * Usage: runMain graft.tools.GenScaleDocs <inDir> <outDir> <replicas>
+  * `tailLen` > 0 appends that many doc-unique tokens to every doc
+  * (`zq<doc_id>x<i>`) — a NATURAL-VOCABULARY tail: each tailed doc
+  * contributes `tailLen` singleton bigrams, so vocabulary grows with
+  * the corpus the way real text's does (the replicated fixtures
+  * alone have no singleton bigrams — q99's `minCount` prune removes
+  * zero rows on them, which is why its prune leg was untimed through
+  * round 10).
+  *
+  * Usage: runMain graft.tools.GenScaleDocs <inDir> <outDir> <replicas> [tailLen]
   */
 object GenScaleDocs {
   def main(args: Array[String]): Unit = {
     val inDir  = if (args.length > 0) args(0) else "/root/repo/testdata-sf10"
     val outDir = if (args.length > 1) args(1) else "/root/repo/testdata-sf100docs"
     val n      = if (args.length > 2) args(2).toInt else 10
+    val tailLen = if (args.length > 3) args(3).toInt else 0
     val spark: SparkSession = Sessions.build("graft-genscale-docs")
 
     def write(df: DataFrame, name: String): Unit =
@@ -44,10 +53,17 @@ object GenScaleDocs {
               .otherwise(concat(w, lit(s"s$k")))), " ")
       base.withColumn("doc_id", col("doc_id") + lit(k * KeyOff))
         .withColumn("text", txt)
-        .withColumn("n_chars", length(col("text")).cast("long"))
     }
-    write(replicas.reduce(_ unionAll _), "documents")
-    println(s"""{"gen":"$outDir","replicas":$n,"tables":["region","documents"]}""")
+    val unioned = replicas.reduce(_ unionAll _)
+    val tailed =
+      if (tailLen == 0) unioned
+      else unioned.withColumn("text",
+        concat(col("text"), lit(" "),
+          array_join(transform(sequence(lit(0), lit(tailLen - 1)),
+            i => concat(lit("zq"), col("doc_id"), lit("x"), i)), " ")))
+    write(tailed.withColumn("n_chars", length(col("text")).cast("long")),
+      "documents")
+    println(s"""{"gen":"$outDir","replicas":$n,"tail":$tailLen,"tables":["region","documents"]}""")
     spark.stop()
   }
 }
