@@ -2912,9 +2912,171 @@ object LlmPipelines {
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin
     })
 
+  /** FULL-MODALITY admission — the freeze gate a multimodal corpus
+    * runs before training: a document survives only if it is the
+    * CANONICAL member (cluster min-id, the q91 rule) of its near-dup
+    * cluster in EVERY modality — text (MinHash-LSH pairs → CC), image
+    * (q80's perceptual-dHash Hamming pairs → CC), audio (q84's
+    * acoustic-fingerprint Hamming pairs → CC). One plan per modality
+    * feed, each the member operator's own shape (banded/Hamming-keyed
+    * equi-joins, never all-pairs); the three dropped-id sets are
+    * cluster-member-sized and re-enter as broadcast left joins, so the
+    * composition adds no exchange beyond the members' plus the final
+    * rollup. Drop columns are NON-exclusive (a doc duplicated in two
+    * modalities counts in both); `admitted` requires all three clear.
+    * The oracle recomposes all three modalities exactly: the q91
+    * all-pairs-Jaccard text edges and the q80/q84 generated bit
+    * tables, each fed through its own recursive min-label CC. */
+  val q101 = QueryDef(
+    "q101_multimodal_freeze",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      def droppedIds(edges: org.apache.spark.sql.DataFrame,
+                     as: String): org.apache.spark.sql.DataFrame =
+        Dedup.connectedComponents(edges)
+          .where(col("id") =!= col("cluster_id"))
+          .select(col("id").as(as))
+      val textDrop = droppedIds(
+        Dedup.minhashNearDupPairs(d, "doc_id", "text",
+            threshold = 0.8, shingleN = 2, bands = 16, rows = 4)
+          .select(col("id_a").as("src"), col("id_b").as("dst")), "__tid")
+      val imgDrop = droppedIds(
+        graft.llm.Multimodal.imageNearDupPairs(
+            graft.llm.Multimodal.syntheticImageTable(
+              d.select(col("doc_id")), "doc_id"), "media_id", "payload")
+          .select(col("id_a").as("src"), col("id_b").as("dst")), "__iid")
+      val audDrop = droppedIds(
+        graft.llm.Multimodal.audioNearDupPairs(
+            graft.llm.Multimodal.syntheticAudioTable(
+              d.select(col("doc_id")), "doc_id"), "media_id", "payload")
+          .select(col("id_a").as("src"), col("id_b").as("dst")), "__aid")
+      d.join(broadcast(textDrop), col("doc_id") === col("__tid"), "left")
+        .join(broadcast(imgDrop), col("doc_id") === col("__iid"), "left")
+        .join(broadcast(audDrop), col("doc_id") === col("__aid"), "left")
+        .withColumn("__t", col("__tid").isNotNull)
+        .withColumn("__i", col("__iid").isNotNull)
+        .withColumn("__a", col("__aid").isNotNull)
+        .withColumn("__adm", !col("__t") && !col("__i") && !col("__a"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__t").cast("long")).as("text_dropped"),
+          sum(col("__i").cast("long")).as("image_dropped"),
+          sum(col("__a").cast("long")).as("audio_dropped"),
+          sum(col("__adm").cast("long")).as("admitted"),
+          sum(when(col("__adm"), col("doc_id")).otherwise(lit(0L)))
+            .cast("long").as("admitted_id_sum"),
+          sum(when(col("__adm"), col("n_chars")).otherwise(lit(0L)))
+            .cast("long").as("admitted_chars"))
+        .orderBy(col("source"))
+    },
+    Some(q101Oracle))
+
+  /** The q101 oracle, GENERATED: the q91 exact-Jaccard text edges plus
+    * the q80/q84 bit tables (via [[q80Gray]]/[[q84Sample]]), each
+    * closed under its own recursive min-label reachability, rolled up
+    * per source. */
+  private def q101Oracle: String = {
+    val pixCols = (for (y <- 0 until 8; x <- 0 until 9)
+      yield s"${q80Gray(x, y)} AS p${y * 9 + x}").mkString(",\n    ")
+    val dhBits = (0 until 64).map { k =>
+      val x = k % 8; val y = k / 8
+      s"(p${y * 9 + x} > p${y * 9 + x + 1}) AS db$k"
+    }.mkString(",\n    ")
+    val dhHam = (0 until 64).map(k =>
+      s"CASE WHEN a.db$k <> b.db$k THEN 1 ELSE 0 END").mkString(" +\n      ")
+    val sampleCols = (0 until 144).map(i =>
+      s"${q84Sample(i)} AS s$i").mkString(",\n    ")
+    val energyCols = (0 until 72).map(k =>
+      s"(s${2 * k}*s${2 * k} + s${2 * k + 1}*s${2 * k + 1}) AS e$k")
+      .mkString(",\n    ")
+    val aBits = (0 until 64).map { k =>
+      val x = k % 8; val y = k / 8
+      s"(e${y * 9 + x} > e${y * 9 + x + 1}) AS db$k"
+    }.mkString(",\n    ")
+    val aHam = (0 until 64).map(k =>
+      s"CASE WHEN a.db$k <> b.db$k THEN 1 ELSE 0 END").mkString(" +\n      ")
+    def reach(name: String, edges: String): String =
+      s"""${name}_e AS (SELECT id_a AS a, id_b AS b FROM $edges
+         |  UNION ALL SELECT id_b, id_a FROM $edges),
+         |${name}_r(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.r FROM ${name}_r r JOIN ${name}_e e ON e.a = r.id),
+         |${name}_l AS (SELECT id, min(r) AS cl FROM ${name}_r GROUP BY id)""".stripMargin
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(w) >= 2
+       |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |      ELSE [array_to_string(w, ' ')] END) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |        FROM documents)),
+       |ex AS (SELECT doc_id, unnest(sh) AS s2 FROM toks),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
+       |  FROM ex x JOIN ex y ON x.s2 = y.s2 AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |tpairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.8),
+       |ipix AS (
+       |  SELECT doc_id AS id,
+       |    $pixCols
+       |  FROM documents),
+       |ibits AS (
+       |  SELECT id,
+       |    $dhBits
+       |  FROM ipix),
+       |ipairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM ibits a JOIN ibits b ON a.id < b.id
+       |  WHERE ($dhHam) <= 7),
+       |asmp AS (
+       |  SELECT doc_id AS id,
+       |    $sampleCols
+       |  FROM documents),
+       |anrg AS (
+       |  SELECT id,
+       |    $energyCols
+       |  FROM asmp),
+       |abits AS (
+       |  SELECT id,
+       |    $aBits
+       |  FROM anrg),
+       |apairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM abits a JOIN abits b ON a.id < b.id
+       |  WHERE ($aHam) <= 7),
+       |${reach("t", "tpairs")},
+       |${reach("i", "ipairs")},
+       |${reach("a", "apairs")}
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN d.doc_id != lt.cl THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS text_dropped,
+       |  CAST(sum(CASE WHEN d.doc_id != li.cl THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS image_dropped,
+       |  CAST(sum(CASE WHEN d.doc_id != la.cl THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS audio_dropped,
+       |  CAST(sum(CASE WHEN d.doc_id = lt.cl AND d.doc_id = li.cl
+       |    AND d.doc_id = la.cl THEN 1 ELSE 0 END) AS BIGINT) AS admitted,
+       |  CAST(sum(CASE WHEN d.doc_id = lt.cl AND d.doc_id = li.cl
+       |    AND d.doc_id = la.cl THEN d.doc_id ELSE 0 END) AS BIGINT)
+       |    AS admitted_id_sum,
+       |  CAST(sum(CASE WHEN d.doc_id = lt.cl AND d.doc_id = li.cl
+       |    AND d.doc_id = la.cl THEN d.n_chars ELSE 0 END) AS BIGINT)
+       |    AS admitted_chars
+       |FROM documents d
+       |JOIN t_l lt ON d.doc_id = lt.id
+       |JOIN i_l li ON d.doc_id = li.id
+       |JOIN a_l la ON d.doc_id = la.id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-      q95, q96, q97, q98, q99, q100)
+      q95, q96, q97, q98, q99, q100, q101)
 }
