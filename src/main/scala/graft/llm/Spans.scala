@@ -358,16 +358,8 @@ object Spans {
   def removeDuplicateParagraphs(docs: DataFrame, idCol: String,
                                 textCol: String,
                                 sep: String = "\n\n"): DataFrame = {
-    val sepRe = java.util.regex.Pattern.quote(sep)
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("__text"),
-      split(col(textCol), sepRe, -1).as("ps"))
-    val slots = base
-      .select(col("doc_id"), posexplode(col("ps")).as(Seq("p0", "para")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("para"))
-    val occ = slots.where(length(col("para")) > 0)
-      .select(md5(col("para").cast("binary")).as("g"),
-        col("doc_id"), col("pos"))
+    val base = paragraphBase(docs, idCol, textCol, sep)
+    val occ = paragraphOcc(base)
     val keeper = occ.groupBy(col("g"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("k"),
         count(lit(1)).as("__cnt"))
@@ -377,6 +369,32 @@ object Spans {
       .where(!(col("doc_id") === col("k.doc_id") &&
         col("pos") === col("k.pos")))
       .select(col("doc_id"), col("pos"))
+    rebuildFromRemoval(base, removal, sep)
+  }
+
+  /** (doc_id, __text, ps) — the shared split stage of the paragraph
+    * operators (literal separator, trailing empties kept). */
+  private def paragraphBase(docs: DataFrame, idCol: String,
+                            textCol: String, sep: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"),
+      split(col(textCol), java.util.regex.Pattern.quote(sep), -1).as("ps"))
+
+  /** Non-empty paragraph occurrences: (g = md5(para), doc_id, pos). */
+  private def paragraphOcc(base: DataFrame): DataFrame =
+    base
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("p0", "para")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("para"))
+      .where(length(col("para")) > 0)
+      .select(md5(col("para").cast("binary")).as("g"),
+        col("doc_id"), col("pos"))
+
+  /** Rebuild cleaned documents from a (doc_id, pos) removal set: only
+    * CHANGED documents shuffle their paragraphs; untouched ones pass
+    * through byte-identical. Output: (doc_id, cleaned, paras_before,
+    * paras_removed, changed). */
+  private def rebuildFromRemoval(base: DataFrame, removal: DataFrame,
+                                 sep: String): DataFrame = {
     val changed = removal.select(col("doc_id")).distinct()
     val survivors = base.join(changed, Seq("doc_id"))
       .select(col("doc_id"), posexplode(col("ps")).as(Seq("p0", "para")))
@@ -401,6 +419,61 @@ object Spans {
             size(col("ps")).cast("long") - coalesce(col("__after"), lit(0L)))
           .otherwise(lit(0L)).as("paras_removed"),
         col("__chg").isNotNull.as("changed"))
+  }
+
+  /** The persistable PARAGRAPH-HASH store of a corpus: the distinct
+    * md5 of every non-empty paragraph — the artifact incremental
+    * paragraph cleaning probes so a growing corpus never re-splits or
+    * re-hashes seen documents (the q95 band-index pattern at paragraph
+    * grain). Write with any parquet sink;
+    * [[removeDuplicateParagraphsIncremental]] consumes it. The
+    * incremental-append law holds per-doc (hashing is per-paragraph
+    * and distinct is idempotent): store(a ∪ b) == store(a) ∪ store(b)
+    * up to distinct. */
+  def paragraphHashStore(docs: DataFrame, idCol: String, textCol: String,
+                         sep: String = "\n\n"): DataFrame =
+    paragraphOcc(paragraphBase(docs, idCol, textCol, sep))
+      .select(col("g")).distinct()
+
+  /** INCREMENTAL paragraph dedup — the corpus-growth shape: clean an
+    * arriving batch against a frozen corpus by probing its persisted
+    * [[paragraphHashStore]]. With ids monotone across arrivals (the
+    * admission contract), a batch occurrence is a LATER occurrence of
+    * any store hash it matches, so: delete every batch slot whose hash
+    * is in the store; among store-unseen hashes keep the batch-first
+    * occurrence (min (doc_id, pos)) of each duplicated one — exactly
+    * the one-shot [[removeDuplicateParagraphs]] over corpus ∪ batch
+    * RESTRICTED to batch docs (spec-pinned; corpus docs are never
+    * changed by later arrivals, which is what makes the incremental
+    * form exact).
+    *
+    * Plan shape (the q98 lesson): the store is scanned ONCE and
+    * semi-joined against the BROADCAST batch hashes — never shuffled,
+    * never re-hashed — and the ≤batch-sized hit set broadcasts back;
+    * everything else is batch-sized. */
+  def removeDuplicateParagraphsIncremental(batch: DataFrame, idCol: String,
+                                           textCol: String, store: DataFrame,
+                                           sep: String = "\n\n"): DataFrame = {
+    val base = paragraphBase(batch, idCol, textCol, sep)
+    val occ = paragraphOcc(base)
+    val hits = store.select(col("g"))
+      .join(broadcast(occ.select(col("g")).distinct()), Seq("g"), "left_semi")
+      .distinct()
+    val marked = occ.join(broadcast(hits.withColumn("__seen", lit(true))),
+      Seq("g"), "left")
+    val seenRemoval = marked.where(col("__seen"))
+      .select(col("doc_id"), col("pos"))
+    val fresh = marked.where(col("__seen").isNull)
+    val keeper = fresh.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"),
+        count(lit(1)).as("__cnt"))
+      .where(col("__cnt") >= 2)
+      .select(col("g"), col("k"))
+    val freshRemoval = fresh.join(keeper, Seq("g"))
+      .where(!(col("doc_id") === col("k.doc_id") &&
+        col("pos") === col("k.pos")))
+      .select(col("doc_id"), col("pos"))
+    rebuildFromRemoval(base, seenRemoval.union(freshRemoval), sep)
   }
 
   /** Corpus vocabulary: per-token term frequency and document

@@ -3074,9 +3074,117 @@ object LlmPipelines {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  /** INCREMENTAL paragraph dedup
+    * ([[graft.llm.Spans.removeDuplicateParagraphsIncremental]]) — the
+    * q95 corpus-growth pattern at PARAGRAPH grain: every 10th document
+    * arrives as the new batch (its ids boosted monotone above the
+    * corpus's, the admission contract) and is cleaned against the
+    * frozen corpus's persisted [[graft.llm.Spans.paragraphHashStore]]
+    * — seen documents are never re-split or re-hashed; the store scan
+    * is the only corpus term. Fixture: the q94 paragraph injection
+    * (two corpus-wide boilerplate families + unique footnotes).
+    * Output mirrors q94's rollup over the BATCH. The oracle replays
+    * the ONE-SHOT rule over corpus ∪ batch restricted to batch docs —
+    * the restriction equality IS the incremental operator's contract
+    * (also spec-pinned in SpansSpec). */
+  val q102 = QueryDef(
+    "q102_incremental_paragraph_dedup",
+    (s, dir) => {
+      import graft.llm.Spans
+      val Big = 1000000000000L
+      val id0 = col("doc_id")
+      val para = when(id0 % 3 === 0,
+          lit("subscribe to our newsletter for updates"))
+        .when(id0 % 3 === 1, lit("copyright all rights reserved worldwide"))
+        .otherwise(concat(lit("unique footnote ref "), id0.cast("string")))
+      val docs = Tables.documents(s, dir)
+        .select(
+          when(id0 % 10 === 7, id0 + Big).otherwise(id0).as("doc_id2"),
+          col("source"),
+          concat(col("text"), lit("\n\n"), para).as("t"))
+      val corpus = docs.where(col("doc_id2") < Big)
+      val batch = docs.where(col("doc_id2") >= Big)
+      val store = Spans.paragraphHashStore(corpus, "doc_id2", "t")
+      val cleaned = Spans.removeDuplicateParagraphsIncremental(
+        batch, "doc_id2", "t", store)
+      batch.select(col("doc_id2").as("doc_id"), col("source"))
+        .join(cleaned, Seq("doc_id"))
+        .withColumn("__h",
+          graft.functions.PolyHash31.poly_hash31(col("cleaned")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("changed").cast("long")).as("docs_changed"),
+          sum(col("paras_before")).as("paras_before"),
+          sum(col("paras_removed")).as("paras_removed"),
+          sum(col("__h")).as("cleaned_checksum"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH base AS (
+           |  SELECT CASE WHEN doc_id % 10 = 7
+           |           THEN doc_id + 1000000000000 ELSE doc_id END AS did,
+           |    source,
+           |    text || chr(10) || chr(10) || CASE CAST(doc_id % 3 AS INTEGER)
+           |      WHEN 0 THEN 'subscribe to our newsletter for updates'
+           |      WHEN 1 THEN 'copyright all rights reserved worldwide'
+           |      ELSE 'unique footnote ref ' || CAST(doc_id AS VARCHAR)
+           |    END AS t
+           |  FROM documents),
+           |sp AS (
+           |  SELECT did, string_split(t, chr(10) || chr(10)) AS ps
+           |  FROM base),
+           |slots AS (
+           |  SELECT did, i AS pos, ps[i] AS para, len(ps) AS np
+           |  FROM sp, UNNEST(generate_series(1, len(ps))) AS s(i)),
+           |occ AS (
+           |  SELECT did, pos, md5(para) AS g FROM slots
+           |  WHERE length(para) > 0),
+           |marked AS (
+           |  SELECT did, pos FROM (
+           |    SELECT did, pos,
+           |      row_number() OVER (PARTITION BY g ORDER BY did, pos) AS rn
+           |    FROM occ) WHERE rn > 1),
+           |changed AS (SELECT DISTINCT did FROM marked),
+           |surv AS (
+           |  SELECT sl.did, sl.pos, sl.para
+           |  FROM slots sl JOIN changed USING (did)
+           |  LEFT JOIN marked m ON m.did = sl.did AND m.pos = sl.pos
+           |  WHERE m.did IS NULL),
+           |rebuilt AS (
+           |  SELECT did, count(*) AS after,
+           |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned
+           |  FROM surv GROUP BY did),
+           |perdoc AS (
+           |  SELECT b.source,
+           |    CASE WHEN c.did IS NOT NULL THEN 1 ELSE 0 END AS chg,
+           |    sp2.np AS nb,
+           |    CASE WHEN c.did IS NOT NULL
+           |         THEN sp2.np - coalesce(r.after, 0) ELSE 0 END AS nr,
+           |    CASE WHEN c.did IS NOT NULL THEN coalesce(r.cleaned, '')
+           |         ELSE b.t END AS cleaned
+           |  FROM base b
+           |  JOIN (SELECT DISTINCT did, np FROM slots) sp2 USING (did)
+           |  LEFT JOIN changed c USING (did)
+           |  LEFT JOIN rebuilt r USING (did)
+           |  WHERE b.did >= 1000000000000),
+           |hashed AS (
+           |  SELECT source, chg, nb, nr,
+           |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+           |      list_transform(
+           |        generate_series(1, CAST(length(cleaned) AS INTEGER)),
+           |        i -> CAST(ord(substr(cleaned, i, 1)) AS BIGINT))),
+           |      (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+           |  FROM perdoc)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(chg) AS BIGINT) AS docs_changed,
+           |  CAST(sum(nb) AS BIGINT) AS paras_before,
+           |  CAST(sum(nr) AS BIGINT) AS paras_removed,
+           |  CAST(sum(h) AS BIGINT) AS cleaned_checksum
+           |FROM hashed GROUP BY source ORDER BY source""".stripMargin)
+    )
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-      q95, q96, q97, q98, q99, q100, q101)
+      q95, q96, q97, q98, q99, q100, q101, q102)
 }

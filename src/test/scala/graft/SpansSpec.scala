@@ -331,6 +331,58 @@ class SpansSpec extends AnyFunSuite {
     assert(re.toSeq.map(_.toSeq) == got.toSeq.map(_.toSeq))
   }
 
+  test("incremental paragraph dedup == one-shot restriction to batch docs (monotone ids)") {
+    import graft.llm.Spans
+    val sep = "\n\n"
+    // corpus: ids 0..3; batch: ids 100.. (monotone above the corpus)
+    val corpus = Seq(
+      (0L, s"alpha${sep}shared one${sep}beta"),
+      (1L, s"corpus solo${sep}gamma"),
+      (2L, "singleton para"), // corpus-SINGLETON: still deletes a batch copy
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, s"shared one${sep}fresh a"),      // store hit -> cut
+      (101L, "singleton para"),                // store hit on a corpus singleton -> empty
+      (102L, s"batchdup${sep}tail x"),         // batch-internal keeper
+      (103L, s"batchdup${sep}tail y"),         // batch-internal later copy -> cut
+      (104L, s"alpha$sep${sep}fresh b"),       // store hit + empty slot survives
+      (105L, "untouched batch doc"),           // unchanged
+      (106L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val store = Spans.paragraphHashStore(corpus, "doc_id", "text")
+    val inc = Spans.removeDuplicateParagraphsIncremental(
+        batch, "doc_id", "text", store)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"cleaned", $"paras_before", $"paras_removed",
+        $"changed")
+      .collect().toSeq.map(_.toSeq)
+    val oneShot = Spans.removeDuplicateParagraphs(
+        corpus.union(batch), "doc_id", "text")
+      .where($"doc_id" >= 100L)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"cleaned", $"paras_before", $"paras_removed",
+        $"changed")
+      .collect().toSeq.map(_.toSeq)
+    assert(inc == oneShot,
+      s"incremental diverged from one-shot restriction:\n$inc\nvs\n$oneShot")
+    // spot-pins so the fixture provably exercises each rule
+    assert(inc(0)(1) == "fresh a")                  // store hit cut
+    assert(inc(1)(1) == "" && inc(1)(4) == true)    // corpus-singleton hit
+    assert(inc(2)(1) == s"batchdup${sep}tail x")    // batch keeper survives
+    assert(inc(3)(1) == "tail y")                   // batch later copy cut
+    assert(inc(4)(1) == s"${sep}fresh b")           // empty slot survives
+    assert(inc(5)(1) == "untouched batch doc" && inc(5)(4) == false)
+    assert(inc(6)(1) == null && inc(6)(2) == 0L)    // NULL convention
+    // store append law: store(a ∪ b) == distinct(store(a) ∪ store(b))
+    val ab = Spans.paragraphHashStore(corpus.union(batch), "doc_id", "text")
+      .as[String].collect().toSet
+    val aUb = Spans.paragraphHashStore(corpus, "doc_id", "text")
+      .union(Spans.paragraphHashStore(batch, "doc_id", "text"))
+      .as[String].collect().toSet
+    assert(ab == aUb)
+  }
+
   test("encoding anomaly counts: each signal hand-pinned, overlap counted by both") {
     import graft.llm.Encoding
     val d = Seq(
