@@ -85,11 +85,28 @@ object ProbeQ98Legs {
           index, 0.8))
       }
       // probe sub-leg: index scan + hot semi-join + bucket agg only
-      t("probe: index hot-restrict") {
+      // PRE-round-11 shape (regression sentinel): the unhinted hot
+      // semi-join — the planner sees no stats on `hot` and
+      // sort-merges, shuffling the corpus-sized index
+      t("index restrict: SMJ (old)") {
         val newSh = batch.select(col("doc_id").cast("long").as("id"),
           graft.llm.Dedup.shingles(col("text"), 2).as("sh"))
         val newBanded = Dedup.bandedSignatures(newSh, 16, 4)
         val hot = newBanded.select(col("band"), col("band_hash")).distinct()
+        noop(index
+          .select(col("id").cast("long").as("id"), col("band"),
+            col("band_hash"))
+          .join(hot, Seq("band", "band_hash"), "left_semi")
+          .groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("n")))
+      }
+      // the round-11 operator shape: broadcast hot set, index streamed
+      t("index restrict: broadcast") {
+        val newSh = batch.select(col("doc_id").cast("long").as("id"),
+          graft.llm.Dedup.shingles(col("text"), 2).as("sh"))
+        val newBanded = Dedup.bandedSignatures(newSh, 16, 4)
+        val hot = broadcast(
+          newBanded.select(col("band"), col("band_hash")).distinct())
         noop(index
           .select(col("id").cast("long").as("id"), col("band"),
             col("band_hash"))
@@ -103,14 +120,25 @@ object ProbeQ98Legs {
           graft.llm.Dedup.shingles(col("text"), 2).as("sh"))
         noop(Dedup.bandedSignatures(newSh, 16, 4))
       }
-      // probe sub-leg: seen-text scan restricted to a tiny id set
-      t("probe: seen-text restrict") {
-        val someIds = seen.select(col("doc_id").cast("long").as("id"))
-          .limit(100)
+      val someIds = seen.select(col("doc_id").cast("long").as("id"))
+        .limit(100)
+      // PRE-round-11 shape (regression sentinel): shingles projected
+      // above the semi-join — Catalyst does not push a semi-join under
+      // an expensive projection, so this shingles ALL corpus texts to
+      // keep 100 docs
+      t("text restrict: shingle-first (old)") {
         noop(seen
           .select(col("doc_id").cast("long").as("id"),
             graft.llm.Dedup.shingles(col("text"), 2).as("sh"))
           .join(broadcast(someIds), Seq("id"), "left_semi"))
+      }
+      // the round-11 operator shape: restrict raw rows, then shingle
+      t("text restrict: join-first") {
+        noop(seen
+          .join(broadcast(someIds.select(col("id").as("__cid"))),
+            col("doc_id").cast("long") === col("__cid"), "left_semi")
+          .select(col("doc_id").cast("long").as("id"),
+            graft.llm.Dedup.shingles(col("text"), 2).as("sh")))
       }
     } finally {
       import scala.jdk.CollectionConverters._

@@ -176,6 +176,26 @@ class PlanSpec extends AnyFunSuite {
     val windows = "Window \\[".r.findAllIn(p).size
     assert(windows == 1, s"q98 expected exactly one Window node, " +
       s"found $windows:\n$p")
+    // round-11 shape: the corpus-sized sides (band index, fp store,
+    // corpus texts) are never exchanged — every join against them is
+    // broadcast (the batch-bounded side builds). A SortMergeJoin here
+    // means a corpus-sized shuffle crept back into the arrival path
+    // (the round-10 weak: 64.9 s/arrival at 5M docs, 4x the fixed
+    // plan).
+    assert(!p.contains("SortMergeJoin"),
+      s"q98 audit must not sort-merge any corpus-sized side:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q102: the paragraph store is scanned once, never shuffled; rebuild only for changed docs") {
+    val p = planOf("q102_incremental_paragraph_dedup")
+    assert(p.contains("LeftSemi"),
+      s"q102 lost the store-vs-batch-hashes semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q102 must not sort-merge the corpus-sized store:\n$p")
+    // the keeper is a hash agg (min-struct), never a sort-window
+    assert(!p.contains("Window ["),
+      s"q102 keeper must be a hash agg, not a window:\n$p")
     spark.catalog.clearCache()
   }
 
