@@ -765,24 +765,7 @@ object Dedup {
       import e.sparkSession.implicits._
       val pairs = e.where(col("src") =!= col("dst"))
         .as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      // iterative find with path compression: a recursive find on a
-      // long union chain (adversarial edge order builds O(n) parent
-      // chains) overflows the JVM stack at exactly the edge counts
-      // this path exists for
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (c != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      pairs.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
-      return nodes.map(n => (n, find(n))).toDF("id", "cluster_id")
+      return driverUnionFind(pairs).toDF("id", "cluster_id")
     }
     // Adaptive execution is OFF for the WHOLE invocation (restored on
     // exit) — setup included, not just the rounds: every frame here
@@ -812,6 +795,7 @@ object Dedup {
     val partsWas = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.adaptive.enabled", "false")
     var bidir: DataFrame = null
+    var seed: DataFrame = null
     try {
     // cached PRE-PARTITIONED on the neighbor-join key: a cached
     // DataFrame advertises its outputPartitioning, so every round's
@@ -826,6 +810,83 @@ object Dedup {
         .where(col("src") =!= col("dst"))
         .repartition(col("dst")).dropDuplicates("src", "dst"))
     bidir = bidir0
+    // SEED labels, materialized: min(id, neighbors) — this is both the
+    // loop's init (saving round 1's inline recompute) and the
+    // contraction key below; the count riding the cache job is the
+    // node count that decides WHETHER to contract.
+    // Below ~1M edges the extra seed-materialization job costs more
+    // than any contraction could save (toy-floor regime, measured on
+    // the q67 chain fixture) — keep the untouched loop there.
+    if (nEdges >= 1000000L) {
+      seed = graft.core.Caching.eager(
+        bidir.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+          .select(col("src").as("id"),
+            least(col("src"), col("__mn")).as("rep")))
+    }
+    val nNodes = if (seed ne null) seed.count() else Long.MaxValue
+    // SEED CONTRACTION (round 11), DENSITY-GATED: the loop's per-round
+    // cost is one label message PER EDGE, so on dense near-dup graphs
+    // (clique-like duplicate families — the q101 image graph carries
+    // 24.8M pairs for 500k nodes) every round shuffles the whole edge
+    // multiset. The seed labeling already collapses each clique onto
+    // its minimum, so quotienting the edges by the seed labels leaves
+    // only edges BETWEEN seed-blocks — for clique-heavy graphs a tiny
+    // remainder (measured: the image graph's 24.8M edges quotient to
+    // its cross-family bridges; CC fell 183 s → 9.3 s), and the loop
+    // (or the driver union-find, if the quotient now fits the
+    // threshold) runs on the quotient with labels composed back
+    // through the seed. Quotient node ids are original ids and each
+    // component's minimum is its own seed rep, so the composed output
+    // is bit-identical to the un-contracted loop's (spec-pinned on
+    // random graphs, both paths). The DENSITY GATE: sparse graphs
+    // (chains/trees, bidir/node ratio ~2) quotient to ~the same edge
+    // count and would pay the two contraction joins for nothing
+    // (measured: +43% on the q67 chain fixture) — so contraction runs
+    // only when the mean degree says blocks exist to collapse
+    // (bidir rows ≥ 8 × nodes, i.e. mean undirected degree ≥ 4).
+    val contracted = (seed ne null) && nEdges >= 8L * nNodes
+    def compose(repLabels: DataFrame): DataFrame =
+      seed.join(repLabels.select(col("id").as("rep"), col("cluster_id")),
+          Seq("rep"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+        .localCheckpoint(true)
+    var loopEdgeCount = nEdges
+    if (contracted) {
+      val (quot0, qEdges) = graft.core.Caching.eagerCounted(
+        bidir
+          .join(seed.select(col("id").as("src"), col("rep").as("__ra"))
+            .hint("shuffle_hash"), Seq("src"))
+          .join(seed.select(col("id").as("dst"), col("rep").as("__rb"))
+            .hint("shuffle_hash"), Seq("dst"))
+          .where(col("__ra") =!= col("__rb"))
+          .select(col("__ra").as("src"), col("__rb").as("dst"))
+          .repartition(col("dst")).dropDuplicates("src", "dst"))
+      // the original edge cache serves no path below — free it now
+      bidir.unpersist()
+      bidir = quot0
+      loopEdgeCount = qEdges
+      if (qEdges == 0L) {
+        // an empty quotient means every edge's endpoints share a seed
+        // rep — the seed IS a consistent component labeling, and each
+        // component's global min labels itself
+        return compose(seed.limit(0).select(col("id"),
+          col("rep").as("cluster_id")))
+      }
+      if (isLongIds && driverThreshold > 0 && qEdges <= driverThreshold) {
+        import sess.implicits._
+        val pairs = bidir.where(col("src") < col("dst"))
+          .as[(Long, Long)].collect()
+        return compose(
+          driverUnionFind(pairs).toDF("id", "cluster_id"))
+      }
+      if (qEdges * 2 <= nEdges) {
+        // the quotient halved the graph — recurse (geometric progress;
+        // base cases above terminate it)
+        return compose(connectedComponents(
+          bidir.where(col("src") < col("dst")), maxIter, driverThreshold))
+      }
+    }
     // Loop parallelism is sized ONCE to the measured edge volume —
     // the same decision AQE's partition coalescing makes per stage,
     // paid a single time for the whole iteration instead of per round.
@@ -837,7 +898,7 @@ object Dedup {
     // matched to the data instead of rounds x (session partitions)
     // near-empty tasks.
     val sessParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
-    val loopParts = math.min(math.max(1L, (nEdges + 249999L) / 250000L),
+    val loopParts = math.min(math.max(1L, (loopEdgeCount + 249999L) / 250000L),
       math.max(sessParts, 2048).toLong).toInt
     // The edge cache is RE-laid-out only when the loop needs MORE
     // partitions than the session width gave it (a graph so fat that
@@ -850,9 +911,10 @@ object Dedup {
     // narrow stages ever did (r6 setup = 2 jobs; now 1). Aggregates
     // and the jump join still run at loopParts via the conf below.
     if (loopParts > sessParts) {
+      val wide = bidir
       val b = graft.core.Caching.eager(
-        bidir0.repartition(loopParts, col("dst")))
-      bidir0.unpersist()
+        wide.repartition(loopParts, col("dst")))
+      wide.unpersist()
       bidir = b
     }
     sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
@@ -866,10 +928,19 @@ object Dedup {
     // aggregate exchange over the cached edge frame, so ReuseExchange
     // pays the shuffle once, and skipping the seed checkpoint is one
     // fewer job per invocation.
-    var labels = bidir.groupBy(col("src"))
-      .agg(min(col("dst")).as("__mn"))
-      .select(col("src").as("id"),
-        least(col("src"), col("__mn")).as("label"))
+    var labels =
+      if (contracted)
+        // fresh seed over the QUOTIENT (reps' min neighboring rep)
+        bidir.groupBy(col("src"))
+          .agg(min(col("dst")).as("__mn"))
+          .select(col("src").as("id"),
+            least(col("src"), col("__mn")).as("label"))
+      else if (seed ne null) seed.select(col("id"), col("rep").as("label"))
+      else
+        bidir.groupBy(col("src"))
+          .agg(min(col("dst")).as("__mn"))
+          .select(col("src").as("id"),
+            least(col("src"), col("__mn")).as("label"))
     // the checkpoint currently backing `labels` (none until round 1
     // materializes) — released as soon as the next round lands (each
     // round's blocks would otherwise stay persisted on the executors
@@ -968,12 +1039,36 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
       "raise maxIter (component diameter exceeds 2^rounds)")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    val raw = labels.select(col("id"), col("label").as("cluster_id"))
+    if (contracted) compose(raw) else raw
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
       sess.conf.set("spark.sql.shuffle.partitions", partsWas)
       if (bidir ne null) bidir.unpersist()
+      if (seed ne null) seed.unpersist()
     }
+  }
+
+  /** Driver-side union-find over an edge array: (node, component-min)
+    * for every node appearing in `pairs`. Iterative find with path
+    * compression — a recursive find on a long union chain (adversarial
+    * edge order builds O(n) parent chains) overflows the JVM stack at
+    * exactly the edge counts this path exists for. */
+  private def driverUnionFind(pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+    nodes.map(n => (n, find(n)))
   }
 
   /** Free the executor storage behind an eager `localCheckpoint`: the
