@@ -138,23 +138,9 @@ object Admission {
                         auditDir: String,
                         threshold: Double = 0.8): Unit = {
     val s = batch.sparkSession
-    def readExceptSelf(root: String): DataFrame = {
-      val path = new org.apache.hadoop.fs.Path(root)
-      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
-      val keep = fs.listStatus(path)
-        .filter(st => st.isDirectory &&
-          st.getPath.getName != s"mb_$batchId" &&
-          // dot-dirs are compaction scratch ([[compactStore]]) — never
-          // part of the readable store
-          !st.getPath.getName.startsWith("."))
-        .map(_.getPath.toString)
-      require(keep.nonEmpty, s"no seeded store under $root (write the " +
-        "initial corpus under a subdir, e.g. mb_init)")
-      s.read.option("recursiveFileLookup", "true").parquet(keep.toSeq: _*)
-    }
-    val seen = readExceptSelf(seenDir)
-    val index = readExceptSelf(indexDir)
-    val fps = readExceptSelf(fpsDir)
+    val seen = readStoreExceptSelf(s, seenDir, batchId)
+    val index = readStoreExceptSelf(s, indexDir, batchId)
+    val fps = readStoreExceptSelf(s, fpsDir, batchId)
     // Batch-sized cache for the arrival itself: six consumers below
     // (audit legs + three store appends) would each replay the
     // arriving batch's plan — for a foreachBatch source that is one
@@ -170,6 +156,59 @@ object Admission {
         .write.mode("overwrite").parquet(s"$indexDir/mb_$batchId")
       b.select(TextStats.fingerprint(col(textCol)).as("fp"))
         .write.mode("overwrite").parquet(s"$fpsDir/mb_$batchId")
+    } finally b.unpersist()
+  }
+
+  /** The readable view of an mb_ store for batch `batchId`: every
+    * committed subdir EXCEPT the current batch's own (a crash-replay
+    * must not see its first attempt's rows) and except compaction
+    * scratch (dot-dirs, [[compactStore]]). */
+  private def readStoreExceptSelf(s: org.apache.spark.sql.SparkSession,
+                                  root: String, batchId: Long): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+    val keep = fs.listStatus(path)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName != s"mb_$batchId" &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+    require(keep.nonEmpty, s"no seeded store under $root (write the " +
+      "initial corpus under a subdir, e.g. mb_init)")
+    s.read.option("recursiveFileLookup", "true").parquet(keep.toSeq: _*)
+  }
+
+  /** ONE micro-batch step of the streaming PARAGRAPH-CLEANING service
+    * — the continuous twin of q102, shaped exactly like
+    * [[processMicroBatch]] (same `mb_<batchId>` overwrite idempotence,
+    * same store listing, same [[compactStore]] maintenance): clean the
+    * arriving batch against the persisted paragraph-hash store
+    * ([[Spans.paragraphHashStore]] rows under `storeDir`, seeded with
+    * the initial corpus under e.g. `mb_init`), write the cleaned docs
+    * under `cleanedDir/mb_<batchId>`, then append the batch's OWN
+    * paragraph hashes to the store — the RAW batch's, not the cleaned
+    * output's, because the one-shot rule compares every occurrence
+    * against all earlier occurrences including removed ones.
+    *
+    * Equality contract (spec-pinned with a crash-replay leg): with ids
+    * monotone across micro-batches, the cumulative cleaned output
+    * equals the one-shot [[Spans.removeDuplicateParagraphs]] over the
+    * concatenated corpus restricted to the batches' docs — batch k's
+    * earlier occurrences are exactly the seed corpus, batches < k, and
+    * its own earlier slots, which is precisely what the store plus the
+    * operator's intra-batch keeper see. */
+  def processCleaningMicroBatch(batch: DataFrame, batchId: Long,
+                                idCol: String, textCol: String,
+                                storeDir: String, cleanedDir: String,
+                                sep: String = "\n\n"): Unit = {
+    val s = batch.sparkSession
+    val store = readStoreExceptSelf(s, storeDir, batchId)
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Spans.removeDuplicateParagraphsIncremental(b, idCol, textCol,
+          store, sep)
+        .write.mode("overwrite").parquet(s"$cleanedDir/mb_$batchId")
+      Spans.paragraphHashStore(b, idCol, textCol, sep)
+        .write.mode("overwrite").parquet(s"$storeDir/mb_$batchId")
     } finally b.unpersist()
   }
 

@@ -783,6 +783,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph-cleaning service: cumulative micro-batch output == one-shot restriction; crash-replay idempotent") {
+    import graft.llm.{Admission, Spans}
+    val sep = "\n\n"
+    val d = Tables.documents(spark, SparkTestBase.sf)
+    // q94-style second paragraph: corpus-wide boilerplate + unique tails
+    val para = when($"doc_id" % 3 === 0,
+        lit("subscribe to our newsletter for updates"))
+      .when($"doc_id" % 3 === 1, lit("copyright all rights reserved worldwide"))
+      .otherwise(concat(lit("unique footnote ref "), $"doc_id".cast("string")))
+    val Big = 1000000000000L
+    val docs = d.select(
+      when($"doc_id" % 10 === 7, $"doc_id" + Big).otherwise($"doc_id")
+        .as("doc_id"),
+      concat($"text", lit(sep), para).as("t"))
+    val corpus = docs.where($"doc_id" < Big)
+    val arriving = docs.where($"doc_id" >= Big)
+    val ids = arriving.select($"doc_id").as[Long].collect().sorted
+    val parts = (0 until 3).map { i =>
+      val lo = ids(i * ids.length / 3)
+      val hi = if (i == 2) Long.MaxValue else ids((i + 1) * ids.length / 3)
+      arriving.where($"doc_id" >= lo && $"doc_id" < hi)
+    }
+    val root = Files.createTempDirectory("graft_para_svc")
+    try {
+      val (store, cleaned) = (s"$root/store", s"$root/cleaned")
+      Spans.paragraphHashStore(corpus, "doc_id", "t")
+        .write.parquet(s"$store/mb_init")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Admission.processCleaningMicroBatch(p, i.toLong, "doc_id", "t",
+          store, cleaned)
+      }
+      // crash-replay of the LAST batch: its subdirs rewrite, not append
+      Admission.processCleaningMicroBatch(parts(2), 2L, "doc_id", "t",
+        store, cleaned)
+      def rows(df: DataFrame) = df
+        .select($"doc_id", $"cleaned", $"paras_before", $"paras_removed",
+          $"changed")
+        .as[(Long, String, Long, Long, Boolean)]
+        .collect().toSeq.sortBy(_._1)
+      val streamed = rows(spark.read
+        .option("recursiveFileLookup", "true").parquet(cleaned))
+      assert(streamed.map(_._1).distinct.size == streamed.size,
+        "duplicate cleaned rows after replay")
+      val oneShot = rows(Spans.removeDuplicateParagraphs(
+          corpus.unionByName(arriving), "doc_id", "t")
+        .where($"doc_id" >= Big))
+      assert(streamed == oneShot,
+        s"service diverged from one-shot restriction: " +
+          s"${streamed.diff(oneShot).take(3)} vs ${oneShot.diff(streamed).take(3)}")
+      // the fixture provably exercises both rules: store hits AND
+      // batch-internal keepers
+      assert(streamed.exists(_._4 > 0))
+      assert(streamed.exists(!_._5))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("admission compaction: audits and stores identical with and without compactStore; replay after compaction stays idempotent") {
     import graft.llm.{Admission, Dedup}
     val d = Tables.documents(spark, SparkTestBase.sf)
