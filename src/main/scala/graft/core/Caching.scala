@@ -31,9 +31,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caching {
 
+  // per-driver-thread stack of open [[scoped]] blocks; eager() calls
+  // register into the innermost one (DataFrame construction and the
+  // materializing count() both run on the calling thread, so a
+  // ThreadLocal sees every cache the scope's body creates)
+  private val scopes =
+    ThreadLocal.withInitial[List[scala.collection.mutable.ArrayBuffer[DataFrame]]](
+      () => Nil)
+
   /** Persist `df` and force it NOW (single job), so downstream branches
     * never race to build it. Callers own the lifecycle; Bench/Verify
-    * clearCache() between queries.
+    * clearCache() between queries, and long-running service entry
+    * points (e.g. `Admission.processMicroBatch`) wrap each arrival in
+    * [[scoped]] so per-arrival caches never accumulate across the
+    * service's lifetime.
     */
   def eager(df: DataFrame): DataFrame = eagerCounted(df)._1
 
@@ -44,6 +55,37 @@ object Caching {
   def eagerCounted(df: DataFrame): (DataFrame, Long) = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     val n = p.count()
+    register(p)
     (p, n)
+  }
+
+  /** Enroll an already-persisted frame in the innermost open [[scoped]]
+    * block (no-op outside one) — for operators that persist directly
+    * because their materializing action doubles as a stats job and
+    * [[eager]]'s count() would be a second pass. */
+  def register(df: DataFrame): DataFrame = {
+    scopes.get() match {
+      case buf :: _ => buf += df
+      case Nil      =>
+    }
+    df
+  }
+
+  /** Run `body` and then unpersist every cache [[eager]] created inside
+    * it (transitively — library internals included), so a long-running
+    * caller that invokes cache-using operators once PER ARRIVAL does
+    * not leak one batch-sized MEMORY_AND_DISK block per call. The body
+    * must fully materialize everything it needs (writes/collects)
+    * before returning: the caches are gone afterwards and any
+    * unmaterialized plan over them would silently recompute its
+    * lineage. Nested scopes release only their own caches. */
+  def scoped[T](body: => T): T = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    scopes.set(buf :: scopes.get())
+    try body
+    finally {
+      scopes.set(scopes.get().tail)
+      buf.foreach(_.unpersist(false))
+    }
   }
 }

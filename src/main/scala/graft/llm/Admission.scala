@@ -147,7 +147,13 @@ object Admission {
     // source read per consumer, and per-arrival cost must not depend
     // on how expensive that plan is.
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // Caching.scoped: auditWithFps and the probe it calls eager-cache
+    // batch-sized internals; a long-running service calls this once per
+    // arrival, so without the scope each arrival would leak one
+    // MEMORY_AND_DISK block per internal cache for the service's
+    // lifetime. All four writes below are actions, so everything the
+    // caches feed is fully materialized before the scope releases them.
+    try graft.core.Caching.scoped {
       auditWithFps(seen, b, idCol, textCol, index, fps, threshold)
         .write.mode("overwrite").parquet(s"$auditDir/mb_$batchId")
       b.select(col(idCol), col(textCol))
@@ -162,16 +168,32 @@ object Admission {
   /** The readable view of an mb_ store for batch `batchId`: every
     * committed subdir EXCEPT the current batch's own (a crash-replay
     * must not see its first attempt's rows) and except compaction
-    * scratch (dot-dirs, [[compactStore]]). */
-  private def readStoreExceptSelf(s: org.apache.spark.sql.SparkSession,
-                                  root: String, batchId: Long): DataFrame = {
+    * scratch (dot-dirs, [[compactStore]]) — with ONE dot-dir exception:
+    * `.folded_<gen>_*` dirs whose generation has NO matching
+    * `mb_compact_<gen>` belong to a compaction that crashed between its
+    * fold-renames and its final rename, so their data is folded into no
+    * compact dir and they remain the store of record. Including them
+    * keeps the store complete through the crash window; the next
+    * [[compactStore]] run renames them back. */
+  private[graft] def readStoreExceptSelf(
+      s: org.apache.spark.sql.SparkSession,
+      root: String, batchId: Long): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(s.sessionState.newHadoopConf())
-    val keep = fs.listStatus(path)
-      .filter(st => st.isDirectory &&
-        st.getPath.getName != s"mb_$batchId" &&
-        !st.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
+    val dirs = fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
+    val compactGens = dirs.map(_.getName)
+      .filter(_.startsWith("mb_compact_"))
+      .map(_.stripPrefix("mb_compact_")).toSet
+    val keep = dirs.filter { p =>
+      val n = p.getName
+      if (n == s"mb_$batchId") false
+      else if (!n.startsWith(".")) true
+      else if (n.startsWith(".folded_")) {
+        val gen = n.stripPrefix(".folded_").takeWhile(_ != '_')
+        val orig = n.stripPrefix(s".folded_${gen}_")
+        !compactGens.contains(gen) && orig != s"mb_$batchId"
+      } else false
+    }.map(_.toString)
     require(keep.nonEmpty, s"no seeded store under $root (write the " +
       "initial corpus under a subdir, e.g. mb_init)")
     s.read.option("recursiveFileLookup", "true").parquet(keep.toSeq: _*)
@@ -203,7 +225,8 @@ object Admission {
     val s = batch.sparkSession
     val store = readStoreExceptSelf(s, storeDir, batchId)
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // per-arrival cache scope, same reasoning as [[processMicroBatch]]
+    try graft.core.Caching.scoped {
       Spans.removeDuplicateParagraphsIncremental(b, idCol, textCol,
           store, sep)
         .write.mode("overwrite").parquet(s"$cleanedDir/mb_$batchId")
@@ -230,28 +253,49 @@ object Admission {
     * run it BETWEEN arrivals, exactly where a stream's foreachBatch
     * would call it): the compacted data is fully written under a
     * dot-hidden temp dir first; folded dirs are then renamed into
-    * dot-hidden `.folded_*` names (invisible to every parquet reader
-    * and to [[processMicroBatch]]'s listing); the temp dir is renamed
-    * to its final `mb_compact_<gen>` name LAST, and only then are the
-    * `.folded_*` dirs deleted. A crash before the final rename leaves
-    * the store readable minus the folded batches with their data
-    * recoverable by renaming `.folded_<gen>_mb_X` back to `mb_X`; a
-    * crash after it leaves only redundant `.folded_*` dirs, already
-    * invisible, deletable by the next compaction. */
+    * dot-hidden `.folded_*` names (invisible to parquet readers, though
+    * [[readStoreExceptSelf]] deliberately re-includes a crashed
+    * generation's — see there); the temp dir is renamed to its final
+    * `mb_compact_<gen>` name LAST, and only then are the `.folded_*`
+    * dirs deleted. A crash before the final rename is RECOVERED at the
+    * start of the next run: `.folded_<gen>_*` dirs with no matching
+    * `mb_compact_<gen>` are renamed back to their original names and
+    * the orphaned `.compact_tmp_<gen>` is deleted — never silently
+    * discarded, because their data was folded into no compact dir. A
+    * crash after the final rename leaves only redundant `.folded_*`
+    * dirs, already invisible, deleted by the next compaction. The
+    * generation counter is derived from the max across `mb_compact_*`,
+    * `.compact_tmp_*` AND `.folded_*` names, so a crashed generation
+    * number is never reused for different contents. */
   def compactStore(spark: org.apache.spark.sql.SparkSession, root: String,
                    safeBelow: Long): Unit = {
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) return
-    val dirs = fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
-    // leftover .folded_* from a completed earlier compaction: redundant
-    // copies, remove (a crashed one would lack its mb_compact dir; we
-    // only delete when the matching generation dir exists)
-    dirs.filter(_.getName.startsWith(".folded_")).foreach { p =>
+    val dirs0 = fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
+    // .folded_* housekeeping: a generation WITH its mb_compact dir
+    // completed — its folded dirs are redundant copies, remove; a
+    // generation WITHOUT one crashed mid-compaction — its folded dirs
+    // are the only copy of their rows, so RECOVER them (rename back)
+    // and drop that generation's orphaned tmp
+    dirs0.filter(_.getName.startsWith(".folded_")).foreach { p =>
       val gen = p.getName.stripPrefix(".folded_").takeWhile(_ != '_')
       if (fs.exists(new org.apache.hadoop.fs.Path(root, s"mb_compact_$gen")))
         fs.delete(p, true)
+      else {
+        val orig = new org.apache.hadoop.fs.Path(root,
+          p.getName.stripPrefix(s".folded_${gen}_"))
+        require(!fs.exists(orig),
+          s"cannot recover crashed compaction: both $p and $orig exist")
+        require(fs.rename(p, orig), s"recovery rename failed: $p -> $orig")
+      }
     }
+    dirs0.filter(_.getName.startsWith(".compact_tmp_")).foreach { p =>
+      val gen = p.getName.stripPrefix(".compact_tmp_")
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"mb_compact_$gen")))
+        fs.delete(p, true)
+    }
+    val dirs = fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
     def numericId(name: String): Option[Long] =
       if (name.startsWith("mb_") && name.drop(3).forall(_.isDigit))
         Some(name.drop(3).toLong)
@@ -262,8 +306,18 @@ object Admission {
         numericId(n).exists(_ < safeBelow)
     }
     if (fold.length < 2) return
-    val gen = dirs.map(_.getName).filter(_.startsWith("mb_compact_"))
-      .map(_.stripPrefix("mb_compact_").toLong).foldLeft(-1L)(math.max) + 1
+    // max over ALL generation-bearing names (completed compacts,
+    // orphaned tmps, crashed/leftover folds) so a generation number is
+    // never reused — recovery above normally clears the latter two, but
+    // a delete that itself failed must still not cause reuse
+    val gen = dirs0.map(_.getName).flatMap { n =>
+      if (n.startsWith("mb_compact_")) Some(n.stripPrefix("mb_compact_"))
+      else if (n.startsWith(".compact_tmp_")) Some(n.stripPrefix(".compact_tmp_"))
+      else if (n.startsWith(".folded_"))
+        Some(n.stripPrefix(".folded_").takeWhile(_ != '_'))
+      else None
+    }.flatMap(s => scala.util.Try(s.toLong).toOption)
+      .foldLeft(-1L)(math.max) + 1
     val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$gen")
     spark.read.option("recursiveFileLookup", "true")
       .parquet(fold.map(_.toString).toSeq: _*)

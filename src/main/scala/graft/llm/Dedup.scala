@@ -660,8 +660,8 @@ object Dedup {
     // the bounded driver stats job (one row, two scalars) doubles as
     // the cache-materializing action — persist + one agg, not
     // Caching.eager's count() followed by a second stats pass
-    val q = quantizeWithNorm(emb, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = graft.core.Caching.register(quantizeWithNorm(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val stats = q.agg(count(lit(1)), max(col("norm2"))).head()
     val n = stats.getLong(0)
     val maxNorm2 = if (stats.isNullAt(1)) 0L else stats.getLong(1)
@@ -843,7 +843,8 @@ object Dedup {
     // count and would pay the two contraction joins for nothing
     // (measured: +43% on the q67 chain fixture) — so contraction runs
     // only when the mean degree says blocks exist to collapse
-    // (bidir rows ≥ 8 × nodes, i.e. mean undirected degree ≥ 4).
+    // (bidir rows ≥ 8 × nodes, i.e. 2E ≥ 8N — mean undirected
+    // degree 2E/N ≥ 8).
     val contracted = (seed ne null) && nEdges >= 8L * nNodes
     def compose(repLabels: DataFrame): DataFrame =
       seed.join(repLabels.select(col("id").as("rep"), col("cluster_id")),

@@ -32,7 +32,8 @@ object ProbeQ96 {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mod = sys.env.getOrElse("SPARK_GRAFT_BATCH_MOD", "20").toLong
     val nCentroids = sys.env.getOrElse("SPARK_GRAFT_NLIST", "16").toInt
-    // 0 = the operator's scan-fraction-held default (ceil(nlist/8))
+    // 0 = the operator's scan-fraction-held default
+    // (min(nlist, max(8, ceil(nlist/4))))
     val nProbe = sys.env.getOrElse("SPARK_GRAFT_NPROBE", "0").toInt
     val refine = sys.env.getOrElse("SPARK_GRAFT_REFINE", "0").toInt
     val sample = sys.env.getOrElse("SPARK_GRAFT_SAMPLE",

@@ -905,4 +905,133 @@ class StreamingSpec extends AnyFunSuite {
         s"${compAudit.diff(plainAudit).take(5)}")
     assert(compStore == plainStore, "index store diverged under compaction")
   }
+
+  test("compaction fold-then-crash window: store stays complete, recovery loses nothing, crashed generation never reused") {
+    import graft.llm.{Admission, Dedup}
+    import org.apache.hadoop.fs.Path
+    val d = Tables.documents(spark, SparkTestBase.sf)
+    val corpus = d.where($"doc_id" % 10 =!= 7)
+    val all = d.where($"doc_id" % 10 === 7)
+      .select($"doc_id", $"text").orderBy($"doc_id")
+    val ids = all.select($"doc_id").as[Long].collect()
+    val parts = (0 until 4).map { i =>
+      val lo = ids(i * ids.length / 4)
+      val hi = if (i == 3) Long.MaxValue else ids((i + 1) * ids.length / 4)
+      all.where($"doc_id" >= lo && $"doc_id" < hi)
+    }
+
+    // replicate compactStore's steps UP TO the crash point: compacted
+    // tmp written, fold dirs renamed into .folded_<gen>_*, then crash
+    // (no final rename, no deletes) — the exact window the generation
+    // counter and readStoreExceptSelf must survive
+    def crashMidCompaction(root: String): Unit = {
+      val p = new Path(root)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val fold = Seq("mb_init", "mb_0", "mb_1")
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(fold.map(n => s"$root/$n"): _*)
+        .write.mode("overwrite").parquet(s"$root/.compact_tmp_0")
+      fold.foreach(n =>
+        assert(fs.rename(new Path(root, n), new Path(root, s".folded_0_$n"))))
+    }
+
+    def run(crash: Boolean): (Seq[(Long, Boolean, Boolean, Boolean, Boolean)], Set[(Long, Int, Long)]) = {
+      val root = Files.createTempDirectory("graft_adm_crash")
+      val (seen, index, fps, audit) = (s"$root/seen", s"$root/index",
+        s"$root/fps", s"$root/audit")
+      try {
+        corpus.select($"doc_id", $"text").write.parquet(s"$seen/mb_init")
+        Dedup.minhashBandIndex(corpus, "doc_id", "text")
+          .write.parquet(s"$index/mb_init")
+        corpus.select(graft.llm.TextStats.fingerprint($"text").as("fp"))
+          .write.parquet(s"$fps/mb_init")
+        parts.zipWithIndex.foreach { case (p, i) =>
+          if (crash && i == 2) {
+            Seq(seen, index, fps).foreach(crashMidCompaction)
+            // crash-window read must serve the FULL store: folded-but-
+            // uncommitted dirs are the store of record
+            val visible = Admission
+              .readStoreExceptSelf(spark, seen, 2L).count()
+            val expected = corpus.count() +
+              parts(0).count() + parts(1).count()
+            assert(visible == expected,
+              s"crash window dropped rows: $visible != $expected")
+          }
+          Admission.processMicroBatch(p, i.toLong, "doc_id", "text",
+            seen, index, fps, audit)
+          if (crash && i == 2) {
+            // next maintenance run: must RECOVER the crashed fold (not
+            // delete it) and never reuse its generation number
+            Seq(seen, index, fps)
+              .foreach(Admission.compactStore(spark, _, 3L))
+            val fs = new Path(seen)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            val names = fs.listStatus(new Path(seen))
+              .filter(_.isDirectory).map(_.getPath.getName).toSet
+            assert(!names.exists(_.startsWith(".folded_")),
+              s"unrecovered fold dirs: $names")
+            assert(!names.exists(_.startsWith(".compact_tmp_")),
+              s"orphaned tmp dirs: $names")
+            assert(!names.contains("mb_compact_0") &&
+              names.contains("mb_compact_1"),
+              s"crashed generation 0 was reused: $names")
+          }
+        }
+        val audits = spark.read.option("recursiveFileLookup", "true")
+          .parquet(audit)
+          .select($"doc_id", $"gate_pass", $"exact_dup", $"near_dup",
+            $"admitted")
+          .as[(Long, Boolean, Boolean, Boolean, Boolean)]
+          .collect().toSeq.sortBy(_._1)
+        val store = spark.read.option("recursiveFileLookup", "true")
+          .parquet(index).select($"id", $"band", $"band_hash")
+          .as[(Long, Int, Long)].collect().toSet
+        (audits, store)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+    val (plainAudit, plainStore) = run(crash = false)
+    val (crashAudit, crashStore) = run(crash = true)
+    assert(plainAudit.nonEmpty)
+    assert(crashAudit == plainAudit,
+      s"audits diverged across crash+recovery: " +
+        s"${crashAudit.diff(plainAudit).take(5)}")
+    assert(crashStore == plainStore,
+      "index store lost rows across crash+recovery")
+  }
+
+  test("admission service leaks no caches: per-arrival scope releases every internal persist") {
+    import graft.llm.{Admission, Dedup}
+    val d = Tables.documents(spark, SparkTestBase.sf)
+    val corpus = d.where($"doc_id" % 10 =!= 7)
+    val batch = d.where($"doc_id" % 10 === 7).select($"doc_id", $"text")
+    val root = Files.createTempDirectory("graft_adm_leak")
+    val (seen, index, fps, audit) = (s"$root/seen", s"$root/index",
+      s"$root/fps", s"$root/audit")
+    try {
+      corpus.select($"doc_id", $"text").write.parquet(s"$seen/mb_init")
+      Dedup.minhashBandIndex(corpus, "doc_id", "text")
+        .write.parquet(s"$index/mb_init")
+      corpus.select(graft.llm.TextStats.fingerprint($"text").as("fp"))
+        .write.parquet(s"$fps/mb_init")
+      spark.catalog.clearCache()
+      val before = spark.sparkContext.getPersistentRDDs.size
+      // a long-running service calls this once PER ARRIVAL: any cache
+      // surviving a call accumulates for the service's lifetime
+      Admission.processMicroBatch(batch, 0L, "doc_id", "text",
+        seen, index, fps, audit)
+      Admission.processMicroBatch(batch.where($"doc_id" % 2 === 1), 1L,
+        "doc_id", "text", seen, index, fps, audit)
+      val after = spark.sparkContext.getPersistentRDDs.size
+      assert(after == before,
+        s"admission arrivals leaked ${after - before} persisted RDDs")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }
