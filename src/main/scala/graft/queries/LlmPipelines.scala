@@ -2919,10 +2919,15 @@ object LlmPipelines {
     * (q80's perceptual-dHash Hamming pairs → CC), audio (q84's
     * acoustic-fingerprint Hamming pairs → CC). One plan per modality
     * feed, each the member operator's own shape (banded/Hamming-keyed
-    * equi-joins, never all-pairs); the three dropped-id sets are
-    * cluster-member-sized and re-enter as broadcast left joins, so the
-    * composition adds no exchange beyond the members' plus the final
-    * rollup. Drop columns are NON-exclusive (a doc duplicated in two
+    * equi-joins, never all-pairs); the three dropped-id sets re-enter
+    * as plain left joins with NO broadcast hint (pinned in PlanSpec) —
+    * dropped ids are every non-canonical member of every cluster, which
+    * at realistic dup rates (30-50% of a web corpus; this fixture drops
+    * ~99% of its width-100 media families) is CORPUS-proportional, so a
+    * forced broadcast would materialize an unbounded set on the driver;
+    * the planner/AQE broadcasts only when runtime stats say the side is
+    * actually small (the q91 label-join convention). Drop columns are
+    * NON-exclusive (a doc duplicated in two
     * modalities counts in both); `admitted` requires all three clear.
     * The oracle recomposes all three modalities exactly: the q91
     * all-pairs-Jaccard text edges and the q80/q84 generated bit
@@ -2950,9 +2955,9 @@ object LlmPipelines {
             graft.llm.Multimodal.syntheticAudioTable(
               d.select(col("doc_id")), "doc_id"), "media_id", "payload")
           .select(col("id_a").as("src"), col("id_b").as("dst")), "__aid")
-      d.join(broadcast(textDrop), col("doc_id") === col("__tid"), "left")
-        .join(broadcast(imgDrop), col("doc_id") === col("__iid"), "left")
-        .join(broadcast(audDrop), col("doc_id") === col("__aid"), "left")
+      d.join(textDrop, col("doc_id") === col("__tid"), "left")
+        .join(imgDrop, col("doc_id") === col("__iid"), "left")
+        .join(audDrop, col("doc_id") === col("__aid"), "left")
         .withColumn("__t", col("__tid").isNotNull)
         .withColumn("__i", col("__iid").isNotNull)
         .withColumn("__a", col("__aid").isNotNull)

@@ -199,6 +199,31 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q101: drop-set joins carry no broadcast hint (drop sides are corpus-proportional)") {
+    // dropped ids = every non-canonical member of every near-dup
+    // cluster — at realistic dup rates that is O(corpus), and a forced
+    // broadcast() is a hint the planner MUST honor: at the 100× decade
+    // it materializes 10⁸-10⁹ longs on the driver. The contract is
+    // planner/AQE choice (broadcast only when runtime stats are small),
+    // so the logical join must carry NO hint on either side.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = SparkEntry.queries("q101_multimodal_freeze")(
+      spark, SparkTestBase.sf).queryExecution.optimizedPlan
+    val dropCols = Set("__tid", "__iid", "__aid")
+    val dropJoins = lp.collect {
+      case j: Join if j.condition.exists(
+        _.references.exists(a => dropCols.contains(a.name))) => j
+    }
+    assert(dropJoins.size == 3,
+      s"expected the three drop-set joins, found ${dropJoins.size}:\n$lp")
+    dropJoins.foreach { j =>
+      assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+        s"drop-set join must tolerate an unbounded drop side " +
+          s"(no forced broadcast), got hint ${j.hint}:\n$j")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q46: the six slice/dim/audit consumers read the cached projection") {
     // the 4 quarter-month slices, the LINE dim and the audit watermark
     // must all come from ONE cached scan — day-of-month predicates
