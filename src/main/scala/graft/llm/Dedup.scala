@@ -784,19 +784,22 @@ object Dedup {
     // a hub node's neighbor list, and the min() aggregate that
     // consumes the join is map-side combinable, so a hot key
     // collapses to one row per map task before the shuffle.
-    // NOTE: the invocation mutates SESSION-global conf (AQE off, loop-
-    // sized shuffle width) and restores it on exit — correct under the
-    // serial bench/driver harness, but a query running CONCURRENTLY on
-    // the same SparkSession would silently execute under these
-    // settings. Concurrent use needs a cloned session (newSession())
-    // scoping its own SQLConf.
-    val sess = e.sparkSession
-    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsWas = sess.conf.get("spark.sql.shuffle.partitions")
+    // The loop settings (AQE off, loop-sized shuffle width) live on a
+    // CLONED session — newSession(): own SessionState/SQLConf, shared
+    // SparkContext and CacheManager — so a query running CONCURRENTLY
+    // on the caller's session keeps its own conf (spec-pinned in
+    // LlmSpec). The edge frame is re-rooted onto the clone and the
+    // result handed back on the caller's session; caching is shared,
+    // so the finally-block unpersists work unchanged.
+    val origSess = e.sparkSession
+    val sess = origSess.newSession()
     sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions",
+      origSess.conf.get("spark.sql.shuffle.partitions"))
+    val ec = org.apache.spark.sql.GraftSqlBridge.rebase(sess, e)
     var bidir: DataFrame = null
     var seed: DataFrame = null
-    try {
+    def body(): DataFrame = {
     // cached PRE-PARTITIONED on the neighbor-join key: a cached
     // DataFrame advertises its outputPartitioning, so every round's
     // join reuses this layout instead of re-shuffling the edge side
@@ -806,7 +809,7 @@ object Dedup {
     // whole setup is ONE shuffle and the cache still advertises the
     // dst layout every round's join reuses
     val (bidir0, nEdges) = graft.core.Caching.eagerCounted(
-      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      ec.union(ec.select(col("dst").as("src"), col("src").as("dst")))
         .where(col("src") =!= col("dst"))
         .repartition(col("dst")).dropDuplicates("src", "dst"))
     bidir = bidir0
@@ -984,7 +987,7 @@ object Dedup {
       // exact, because every successful task's updates are merged
       // exactly once and the eager checkpoint materializes every
       // partition before `.value`.
-      val changed = e.sparkSession.sparkContext.longAccumulator("cc_changed")
+      val changed = sess.sparkContext.longAccumulator("cc_changed")
       val hop = hopPlan.map { r =>
           if (r.get(1) != r.get(2)) changed.add(1L)
           r
@@ -1042,9 +1045,12 @@ object Dedup {
       "raise maxIter (component diameter exceeds 2^rounds)")
     val raw = labels.select(col("id"), col("label").as("cluster_id"))
     if (contracted) compose(raw) else raw
-    } finally {
-      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      sess.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
+    // every body() exit is localCheckpoint-backed or a projection over
+    // one, so the result survives the finally-block unpersists; rebase
+    // hands it back on the caller's session
+    try org.apache.spark.sql.GraftSqlBridge.rebase(origSess, body())
+    finally {
       if (bidir ne null) bidir.unpersist()
       if (seed ne null) seed.unpersist()
     }

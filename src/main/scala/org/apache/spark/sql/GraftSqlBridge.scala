@@ -17,6 +17,17 @@ object GraftSqlBridge {
     * active classic SparkSession, which all graft entry points have). */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Re-root a DataFrame's logical plan onto `spark` (same
+    * SparkContext/SharedState, different SessionState) so an operator
+    * that tunes session conf for an iterative loop can run inside a
+    * `newSession()` clone — its conf changes invisible to queries
+    * running concurrently on the caller's session — and hand the result
+    * back on the caller's session. Cached data is shared (CacheManager
+    * lives in SharedState), so persist/unpersist work across the pair. */
+  def rebase(spark: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical)
+
   /** Register an expression builder as a SQL function on this session. */
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =

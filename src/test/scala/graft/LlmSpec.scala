@@ -272,6 +272,42 @@ class LlmSpec extends AnyFunSuite {
     assert(labels.size == 64 && labels.values.forall(_ == 0L))
   }
 
+  test("connectedComponents scopes its loop conf to a cloned session: concurrent queries keep AQE") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    assert(aqeBefore == "true", "fixture expects AQE on in the caller session")
+    // deep chain at threshold 0 → the distributed loop runs many
+    // rounds, so the main thread provably overlaps it
+    val n = 20000L
+    val chain = spark.range(1, n)
+      .select(($"id" - 1).as("src"), $"id".as("dst"))
+    val fut = Future {
+      Dedup.connectedComponents(chain, driverThreshold = 0)
+        .as[(Long, Long)].collect()
+    }
+    var checks = 0
+    while (!fut.isCompleted) {
+      // a query planned on the CALLER's session mid-CC must still be
+      // adaptive — the loop's AQE-off/width conf lives on the clone
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+        "CC leaked AQE-off into the caller session")
+      val p = spark.range(1000).groupBy(($"id" % 7).as("k")).count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("AdaptiveSparkPlan"),
+        s"concurrent query lost AQE mid-CC:\n$p")
+      checks += 1
+    }
+    val labels = Await.result(fut, 300.seconds).toMap
+    assert(labels.size == n.toInt && labels.values.forall(_ == 0L))
+    assert(checks > 0, "CC finished before any mid-flight check — grow the fixture")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore &&
+      spark.conf.get("spark.sql.shuffle.partitions") == partsBefore,
+      "caller-session conf changed across the CC invocation")
+  }
+
   test("nearDupPairsUnique equals minhashNearDupPairs on fingerprint-deduped input") {
     // one representative per canonical fingerprint = the precondition
     // the lean variant documents; both paths must emit identical pairs
