@@ -502,9 +502,25 @@ object Dedup {
     * Sizing: keyBlocks·(64/blocks) should land near log2(n) — e.g.
     * blocks=9, maxHamming=7 forces keyBlocks ≤ 2; 36 combinations of
     * ~15-bit keys hold bucket sizes flat to n ≈ 10^6-10^7 where the
-    * single-block form saturated at 2^8 buckets by n ≈ 10^5. */
+    * single-block form saturated at 2^8 buckets by n ≈ 10^5.
+    *
+    * `maxBucketSize` (0 = OFF, the default — exhaustiveness by
+    * pigeonhole is this operator's contract): pair volume is quadratic
+    * in duplicate-family WIDTH (a width-w family is a near-clique
+    * emitting ~w²/2 pairs — measured 24.8M pairs per modality on q101's
+    * width-100 families at sf10), so a width-10⁴ boilerplate family
+    * would emit ~5·10⁷ pairs from ONE family. A positive cap bounds
+    * that the STREAMING twin's way ([[graft.streaming.EventStream
+    * .streamingImageNearDupCandidates]]): per (combo, key) bucket only
+    * the `maxBucketSize` LOWEST ids pair (id order = the twin's arrival
+    * order), and each over-cap bucket announces itself with ONE loud
+    * sentinel row `(id_a = -1, id_b = <bucket key>, hamming = -1)` —
+    * recall loss is declared, never silent (filter `id_a >= 0` for the
+    * pair stream). With ids arriving in order, capped batch output ==
+    * the capped streaming twin's (spec-pinned in StreamingSpec). */
   def hammingCandidatesFromFp(fp: DataFrame, blocks: Int,
-                              maxHamming: Int, keyBlocks: Int): DataFrame = {
+                              maxHamming: Int, keyBlocks: Int,
+                              maxBucketSize: Int = 0): DataFrame = {
     require(blocks >= 1 && blocks <= 64, s"blocks out of range: $blocks")
     require(maxHamming >= 0 && maxHamming < blocks,
       s"exhaustive only for hamming < blocks: blocks=$blocks maxHamming=$maxHamming")
@@ -545,14 +561,44 @@ object Dedup {
       case ((m, i), els) =>
         when(xor.bitwiseAND(lit(m)) === 0L, lit(i)).otherwise(els)
     }
-    keyed.as("a").join(keyed.as("b"),
-        col("a.combo") === col("b.combo") &&
-        col("a.key") === col("b.key") &&
-        col("a.id") < col("b.id"))
-      .where(col("a.combo") === canonical &&
-        bit_count(xor) <= maxHamming)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+    if (maxBucketSize <= 0) {
+      keyed.as("a").join(keyed.as("b"),
+          col("a.combo") === col("b.combo") &&
+          col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+        .where(col("a.combo") === canonical &&
+          bit_count(xor) <= maxHamming)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+    } else {
+      // capped path: buckets collect their members (sorted → struct
+      // ordering is (id, sh), ids unique, so "first cap members" = the
+      // cap lowest ids, the streaming twin's arrival-order semantics
+      // under ordered ids); pairs explode from the truncated list, so
+      // a width-w family emits O(cap·w) candidate rows per bucket
+      // instead of w²/2, and each over-cap bucket emits ONE sentinel
+      val grouped = keyed
+        .groupBy(col("combo"), col("key"))
+        .agg(sort_array(collect_list(struct(col("id"), col("sh"))))
+          .as("ms"), count(lit(1)).as("n"))
+      val sentinels = grouped.where(col("n") > maxBucketSize)
+        .select(lit(-1L).as("id_a"), col("key").cast("long").as("id_b"),
+          lit(-1).as("hamming"))
+      val pairs = grouped
+        .select(col("combo"),
+          when(col("n") > maxBucketSize,
+            slice(col("ms"), 1, maxBucketSize)).otherwise(col("ms"))
+            .as("ms"))
+        .where(size(col("ms")) >= 2)
+        .select(col("combo"), col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+        .select(col("combo"), col("a"),
+          explode(slice(col("ms"), col("i") + lit(2),
+            lit(maxBucketSize))).as("b"))
+        .where(col("combo") === canonical && bit_count(xor) <= maxHamming)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      pairs.unionByName(sentinels)
+    }
   }
 
   /** Nearly-equal contiguous bit-block layout over a 64-bit

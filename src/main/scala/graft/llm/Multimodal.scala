@@ -261,12 +261,14 @@ object Multimodal {
     * quadratic, 391 s). Output: (id_a, id_b, hamming). */
   def imageNearDupPairs(media: DataFrame, idCol: String,
                         payloadCol: String, blocks: Int = 9,
-                        maxHamming: Int = 7, keyBlocks: Int = 2): DataFrame = {
+                        maxHamming: Int = 7, keyBlocks: Int = 2,
+                        maxBucketSize: Int = 0): DataFrame = {
     val fp = graft.core.Caching.eager(media.select(
         col(idCol).cast("long").as("id"),
         graft.functions.PerceptualHash.d_hash(col(payloadCol)).as("sh"))
       .where(col("sh").isNotNull))
-    Dedup.hammingCandidatesFromFp(fp, blocks, maxHamming, keyBlocks)
+    Dedup.hammingCandidatesFromFp(fp, blocks, maxHamming, keyBlocks,
+      maxBucketSize)
   }
 
   /** Per-sample value of doc `id`'s synthetic PCM stream — the audio
@@ -349,12 +351,14 @@ object Multimodal {
     * all-pairs. */
   def audioNearDupPairs(media: DataFrame, idCol: String,
                         payloadCol: String, blocks: Int = 9,
-                        maxHamming: Int = 7, keyBlocks: Int = 2): DataFrame = {
+                        maxHamming: Int = 7, keyBlocks: Int = 2,
+                        maxBucketSize: Int = 0): DataFrame = {
     val fp = graft.core.Caching.eager(media.select(
         col(idCol).cast("long").as("id"),
         graft.functions.AudioFingerprint.audio_fp(col(payloadCol)).as("sh"))
       .where(col("sh").isNotNull))
-    Dedup.hammingCandidatesFromFp(fp, blocks, maxHamming, keyBlocks)
+    Dedup.hammingCandidatesFromFp(fp, blocks, maxHamming, keyBlocks,
+      maxBucketSize)
   }
 
   /** STUB feature hash: stands in for an embedding/perceptual hash. */

@@ -637,6 +637,43 @@ class StreamingSpec extends AnyFunSuite {
       s"sentinels=${sentinels.size}: ${sentinels.take(5)}")
   }
 
+  test("batch Hamming bucket cap matches the streaming twin: capped pairs + loud sentinels, exhaustive with cap off") {
+    // the batch form of the streaming cap test above: same 4 identical
+    // images, cap 3. With ids in order (the twin's arrival order) the
+    // batch output must equal the stream's — pairs among the 3
+    // lowest-id members once each (canonical combo), plus ONE
+    // (-1, key, -1) sentinel per over-cap bucket with the SAME bucket
+    // keys the streaming state keys on (both sides use comboKeyExprs).
+    val media = Seq(1L, 2L, 3L, 4L)
+      .map(id => (id, graft.llm.Multimodal.syntheticBmp(7L)))
+      .toDF("media_id", "payload")
+    val rows = graft.llm.Multimodal.imageNearDupPairs(media, "media_id",
+        "payload", maxBucketSize = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    val (sentinels, pairs) = rows.partition(_._1 < 0)
+    assert(pairs.toSet == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)) &&
+      pairs.size == 3, s"pairs=$pairs")
+    assert(sentinels.size == 36 &&
+      sentinels.forall(r => r._1 == -1L && r._3 == -1),
+      s"sentinels=${sentinels.size}: ${sentinels.take(5)}")
+    // bucket-key parity with the streaming twin, pinned exactly: the
+    // sentinel keys must be the 36 combination keys of the shared hash
+    val sh = media.limit(1).select(
+      graft.functions.PerceptualHash.d_hash($"payload").as("sh"))
+    val expectedKeys = sh.select(posexplode(array(
+        graft.llm.Dedup.comboKeyExprs($"sh", 9, 2): _*)).as(Seq("c", "k")))
+      .select($"k").as[Long].collect().toSeq.sorted
+    assert(sentinels.map(_._2).sorted == expectedKeys,
+      "sentinel bucket keys diverged from comboKeyExprs")
+    // cap off (the default): exhaustive, no sentinels — the registered
+    // q80/q84/q101 plans are unchanged
+    val off = graft.llm.Multimodal.imageNearDupPairs(media, "media_id",
+        "payload")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(off.size == 6 && off.forall(_._1 >= 0), s"off=$off")
+    spark.catalog.clearCache()
+  }
+
   test("streaming MinHash bucket cap poisons hot buckets and bounds state") {
     // 4 identical docs with cap 3: members 1..3 emit C(3,2)=3 pairs per
     // band; member 4 overflows — no new pairs, list dropped. Identical
