@@ -268,6 +268,90 @@ object Sampling {
     kept.select(outCols: _*).unionAll(below).unionAll(atBoundary)
   }
 
+  /** Global top-fraction keep flag — the DSIR-style resampling rule
+    * (q100): `kept` = global rank <= floor(n·num/den) under
+    * (`rateCol` DESC, `idCol` ASC), WITHOUT a candidate-sized
+    * single-partition sort. This is [[perSourceCapLargeCap]]'s
+    * histogram-boundary selection applied globally, on a REAL-VALUED
+    * key:
+    *   1. one cache-materializing count gives n (and k = n·num/den);
+    *   2. one bounded agg gives (min, max) of the rate; rates map to
+    *      `bins` equal-width DESCENDING bins (bin 0 = highest rates);
+    *   3. a bins-bounded histogram (≤ `bins` rows, regardless of
+    *      corpus size) + running sum finds the boundary bin and how
+    *      many rows to take from it;
+    *   4. bins above the boundary keep outright, bins below drop
+    *      outright (both map-side after a one-row broadcast); ONLY the
+    *      boundary bin's rows — expected n/bins — are window-ranked by
+    *      (rate DESC, id).
+    * Kept set is IDENTICAL to the single-partition-window form
+    * (spec-pinned, ties and k=0 included). Worst case: every rate
+    * equal puts ALL rows in one bin and step 4 degenerates to the
+    * window form — the same cost as the exact form, never worse.
+    *
+    * `exactBelow`: inputs at or under it take the single-partition
+    * window form outright — for genuinely batch-sized candidate sets
+    * (an arriving batch) the two extra jobs cost more than the sort.
+    * Registered corpus-scale plans pass 0 to force the selection
+    * shape. `rateCol` must be non-null, non-NaN (q100 filters
+    * n_bigrams > 0 before calling); `idCol` must be unique. */
+  def topFractionByRate(df: DataFrame, rateCol: String, idCol: String,
+                        num: Long, den: Long, bins: Int = 4096,
+                        exactBelow: Long = 100000): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den,
+      s"fraction out of range: $num/$den")
+    require(bins > 1 && bins <= Buckets, s"bins out of range: $bins")
+    locally {
+      val reserved = Set("__bin", "__c", "__cum", "__tbin", "__take", "__rn")
+      require(df.columns.forall(c => !reserved.contains(c)),
+        s"input already has a reserved column: " +
+          df.columns.toSet.intersect(reserved))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+    val outCols = df.columns.map(col).toSeq
+    val (c, n) = graft.core.Caching.eagerCounted(df)
+    val k = n * num / den
+    if (k <= 0)
+      return df.withColumn("kept", lit(false))
+    if (k >= n)
+      return df.withColumn("kept", lit(true))
+    if (n <= exactBelow)
+      return c.withColumn("__rn", row_number().over(
+          w.orderBy(col(rateCol).desc, col(idCol))))
+        .withColumn("kept", col("__rn") <= k).drop("__rn")
+    val stats = c.agg(min(col(rateCol)).cast("double"),
+      max(col(rateCol)).cast("double")).head()
+    val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
+    // bin 0 holds the HIGHEST rates so the running sum walks rank order
+    val binExpr =
+      if (mn == mx) lit(0L)
+      else least(lit(bins - 1L), greatest(lit(0L),
+        floor((lit(mx) - col(rateCol).cast("double")) / lit(mx - mn)
+          * bins).cast("long")))
+    val binned = c.withColumn("__bin", binExpr)
+    // the histogram is ≤ bins rows by construction — the partitionBy
+    // constant keeps the cumsum a partitioned window over that bounded
+    // frame, never a corpus-sized exchange
+    val hist = binned.groupBy(col("__bin")).agg(count(lit(1)).as("__c"))
+    val boundary = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        w.partitionBy(lit(0)).orderBy(col("__bin"))))
+      .where(col("__cum") >= k && col("__cum") - col("__c") < k)
+      .select(col("__bin").as("__tbin"),
+        (lit(k) - (col("__cum") - col("__c"))).as("__take"))
+    val j = binned.crossJoin(broadcast(boundary))
+    val above = j.where(col("__bin") < col("__tbin"))
+      .select(outCols :+ lit(true).as("kept"): _*)
+    val below = j.where(col("__bin") > col("__tbin"))
+      .select(outCols :+ lit(false).as("kept"): _*)
+    val atBoundary = j.where(col("__bin") === col("__tbin"))
+      .withColumn("__rn", row_number().over(
+        w.partitionBy(col("__tbin"))
+          .orderBy(col(rateCol).desc, col(idCol))))
+      .select(outCols :+ (col("__rn") <= col("__take")).as("kept"): _*)
+    above.unionByName(atBoundary).unionByName(below)
+  }
+
   /** Split label by consecutive half-open bucket ranges; fractions must
     * sum to <= 1, remainder labeled null (caller filters or maps). */
   def splitColumn(id: Column, splits: Seq[(String, Double)]): Column = {

@@ -2800,10 +2800,13 @@ object LlmPipelines {
     * language draws from the same synthetic vocabulary — so the
     * per-lang kept counts hover at ~25% each; the operator's value
     * here is the exact mechanism, pinned end-to-end, not a separation
-    * this data cannot contain. The global rank is candidate-sized (an
-    * arriving batch); at corpus scale replace it with a quantile
-    * threshold (approx_percentile) — same keep semantics, no global
-    * sort. Oracle replays BOTH scoring chains (the q99 CTE block
+    * this data cannot contain. The 25% cut runs as
+    * [[graft.ops.Sampling.topFractionByRate]]'s bins-bounded
+    * distributed selection (no candidate-sized single-partition sort —
+    * only the boundary bin is ever window-ranked; plan-pinned in
+    * PlanSpec), EXACT by construction, so the oracle's global-rank
+    * replay still hashes identically. Oracle replays BOTH scoring
+    * chains (the q99 CTE block
     * twice, parameterized by the reference WHERE) against the shared
     * candidate bigram multiset, then the same rank. */
   val q100 = QueryDef(
@@ -2818,14 +2821,16 @@ object LlmPipelines {
         corpus.where(col("lang") === "en"), "text")
       val src = LangModel.trainBigramLm(corpus, "text")
       val imp = LangModel.importance(batch, "doc_id", "text", tgt, src)
-      val ranked = imp.where(col("n_bigrams") > 0)
-        .withColumn("__rate",
-          col("importance_bits").cast("double") / col("n_bigrams"))
-        .withColumn("__rn", row_number().over(
-          Window.orderBy(col("__rate").desc, col("doc_id"))))
-        .withColumn("__n", count(lit(1)).over(
-          Window.partitionBy(lit(1))))
-        .withColumn("kept", col("__rn") * 4 <= col("__n"))
+      // the 25% cut via the bins-bounded distributed selection
+      // (Sampling.topFractionByRate, exactBelow = 0 forcing the
+      // corpus-scale shape): kept set identical to the single-partition
+      // rank — rn·4 <= N ⇔ rn <= floor(N/4) — with only the boundary
+      // BIN ever window-ranked
+      val ranked = graft.ops.Sampling.topFractionByRate(
+          imp.where(col("n_bigrams") > 0)
+            .withColumn("__rate",
+              col("importance_bits").cast("double") / col("n_bigrams")),
+          "__rate", "doc_id", 1, 4, exactBelow = 0)
         .select(col("doc_id"), col("n_bigrams"),
           col("importance_bits"), col("kept"))
       batch.select(col("doc_id"), col("lang"))

@@ -509,4 +509,55 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit in the small-cap plan:\n$plan")
   }
+
+  test("topFractionByRate: selection form == single-partition window, ties and edges included") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.expressions.Window
+
+    def windowForm(df: org.apache.spark.sql.DataFrame,
+                   num: Long, den: Long): Set[Long] = {
+      val n = df.count()
+      val k = n * num / den
+      df.withColumn("__rn", row_number().over(
+          Window.orderBy($"rate".desc, $"id")))
+        .where($"__rn" <= k).select($"id").as[Long].collect().toSet
+    }
+    def keptOf(df: org.apache.spark.sql.DataFrame, num: Long, den: Long,
+               bins: Int): Set[Long] = {
+      val out = Sampling.topFractionByRate(df, "rate", "id", num, den,
+          bins, exactBelow = 0)
+        .where($"kept").select($"id").as[Long].collect().toSet
+      spark.catalog.clearCache()
+      out
+    }
+
+    // distinct rates, a heavy tie block straddling the cut, and a
+    // constant tail — the boundary-bin tie-break path gets exercised
+    // at bins=4 (coarse bins force multi-rate boundary bins) and 4096
+    val rnd = new scala.util.Random(20260815L)
+    val rows = (1L to 400L).map { i =>
+      val rate =
+        if (i <= 120) rnd.nextDouble() * 10.0  // distinct-ish
+        else if (i <= 280) 5.0                 // tie block
+        else -3.25                             // negative constant tail
+      (i, rate)
+    }
+    val df = rows.toDF("id", "rate")
+    for (bins <- Seq(4, 4096); num <- Seq(1L, 3L); den <- Seq(4L)) {
+      val want = windowForm(df, num, den)
+      val got = keptOf(df, num, den, bins)
+      assert(got == want,
+        s"selection != window at $num/$den bins=$bins: " +
+          s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+    // partitioning invariance
+    assert(keptOf(df.repartition(7), 1, 4, 4) == windowForm(df, 1, 4))
+    // ALL rates equal: the documented degenerate case must still be
+    // exact (k lowest ids)
+    val flat = (1L to 100L).map(i => (i, 1.5)).toDF("id", "rate")
+    assert(keptOf(flat, 1, 4, 4096) == (1L to 25L).toSet)
+    // k = 0 (fraction rounds to zero) and num == den (keep everything)
+    assert(keptOf(df.limit(3), 1, 4, 4096) == Set.empty[Long])
+    assert(keptOf(df, 4, 4, 4096) == rows.map(_._1).toSet)
+  }
 }

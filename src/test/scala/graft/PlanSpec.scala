@@ -199,6 +199,29 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q100: no candidate-sized global rank — every row_number Window is partitioned") {
+    // the 25% cut runs as the bins-bounded distributed selection; a
+    // regression back to the global rank shows up as a row_number
+    // Window with an EMPTY partition spec (plan text: two bracket
+    // groups instead of three). The histogram CUMSUM windows are
+    // legitimately unpartitioned — their input is the groupBy(__bin)
+    // aggregate, ≤ bins (4096) rows by construction — so the pin
+    // targets ranking windows, whose input is the candidate set.
+    val p = planOf("q100_importance_resampling")
+    val offenders = p.linesIterator
+      .filter(l => l.contains("Window [") && l.contains("row_number"))
+      .filterNot(_.contains("WindowGroupLimit"))
+      .filter(l => "\\], \\[".r.findAllIn(l).size < 2)
+      .toSeq
+    assert(offenders.isEmpty,
+      s"global rank window in q100's plan:\n${offenders.mkString("\n")}")
+    // and the boundary-bin rank must exist, partitioned
+    assert(p.linesIterator.exists(l =>
+      l.contains("row_number") && "\\], \\[".r.findAllIn(l).size >= 2),
+      s"expected the partitioned boundary-bin rank:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q101: drop-set joins carry no broadcast hint (drop sides are corpus-proportional)") {
     // dropped ids = every non-canonical member of every near-dup
     // cluster — at realistic dup rates that is O(corpus), and a forced
