@@ -601,6 +601,52 @@ object Dedup {
     }
   }
 
+  /** MEMBERSHIP probe for the admission service's media stores: the
+    * batch ids having ANY Hamming-≤`maxHamming` partner in `storeFp`
+    * or among SMALLER-ID rows of `batchFp` (q98's conservative
+    * monotone rule, per modality). Both inputs are `(id, sh)` with
+    * non-null sh (non-decodable media never flags — drop nulls before
+    * calling).
+    *
+    * Scale shape, the q95 probe discipline: the batch side is keyed
+    * once and cached (batch-sized); the STORE is scanned exactly once
+    * — its combo keys are generated map-side and restricted to the
+    * batch's hot buckets via a broadcast semi-join BEFORE any
+    * exchange, so no corpus-sized shuffle exists and per-arrival cost
+    * is the store's columnar scan plus batch-sized joins. Exhaustive
+    * by the same pigeonhole as [[hammingCandidatesFromFp]]
+    * (membership needs only ONE clean combination, so no
+    * canonical-combo dedup is needed — the final distinct is over
+    * batch ids). */
+  def hammingProbeTouch(storeFp: DataFrame, batchFp: DataFrame,
+                        blocks: Int = 9, maxHamming: Int = 7,
+                        keyBlocks: Int = 2): DataFrame = {
+    require(blocks >= 1 && blocks <= 64, s"blocks out of range: $blocks")
+    require(maxHamming >= 0 && maxHamming < blocks,
+      s"exhaustive only for hamming < blocks: blocks=$blocks maxHamming=$maxHamming")
+    require(keyBlocks >= 1 && keyBlocks <= blocks - maxHamming,
+      s"pigeonhole needs keyBlocks <= blocks - maxHamming: " +
+        s"blocks=$blocks maxHamming=$maxHamming keyBlocks=$keyBlocks")
+    def keyed(fp: DataFrame): DataFrame = fp.select(col("id"), col("sh"),
+      posexplode(array(comboKeyExprs(col("sh"), blocks, keyBlocks): _*))
+        .as(Seq("combo", "key")))
+    val bk = graft.core.Caching.eager(keyed(batchFp))
+    val hot = bk.select(col("combo"), col("key")).distinct()
+    val sk = keyed(storeFp)
+      .join(broadcast(hot), Seq("combo", "key"), "left_semi")
+    val xor = col("a.sh").bitwiseXOR(col("b.sh"))
+    val vsStore = bk.as("a").join(sk.as("b"),
+        col("a.combo") === col("b.combo") && col("a.key") === col("b.key"))
+      .where(bit_count(xor) <= maxHamming)
+      .select(col("a.id").as("id"))
+    val vsBatch = bk.as("a").join(bk.as("b"),
+        col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
+        col("b.id") < col("a.id"))
+      .where(bit_count(xor) <= maxHamming)
+      .select(col("a.id").as("id"))
+    vsStore.unionByName(vsBatch).distinct()
+  }
+
   /** Nearly-equal contiguous bit-block layout over a 64-bit
     * fingerprint: (widths, bit offsets); the first 64 % blocks blocks
     * carry the extra bit. Shared by the batch combo join and the
