@@ -280,10 +280,15 @@ object Sampling {
     *   3. a bins-bounded histogram (≤ `bins` rows, regardless of
     *      corpus size) + running sum finds the boundary bin and how
     *      many rows to take from it;
-    *   4. bins above the boundary keep outright, bins below drop
-    *      outright (both map-side after a one-row broadcast); ONLY the
+    *   4. the boundary row (ONE row by construction — the running-sum
+    *      predicate `cum >= k && cum - c < k` selects exactly one bin)
+    *      is fetched to the driver like the (min, max) stats row and
+    *      inlined as literals: bins above it keep outright, bins below
+    *      drop outright (both map-side, no join), and ONLY the
     *      boundary bin's rows — expected n/bins — are window-ranked by
-    *      (rate DESC, id).
+    *      (rate DESC, id). A broadcast-join handoff would be
+    *      equivalent work but folds the bin inequalities into the join
+    *      condition, reading as an all-pairs join to plan audits.
     * Kept set is IDENTICAL to the single-partition-window form
     * (spec-pinned, ties and k=0 included). Worst case: every rate
     * equal puts ALL rows in one bin and step 4 degenerates to the
@@ -333,23 +338,24 @@ object Sampling {
     // constant keeps the cumsum a partitioned window over that bounded
     // frame, never a corpus-sized exchange
     val hist = binned.groupBy(col("__bin")).agg(count(lit(1)).as("__c"))
-    val boundary = hist
+    // ONE row by construction: the running sum crosses k exactly once
+    val b = hist
       .withColumn("__cum", sum(col("__c")).over(
         w.partitionBy(lit(0)).orderBy(col("__bin"))))
       .where(col("__cum") >= k && col("__cum") - col("__c") < k)
-      .select(col("__bin").as("__tbin"),
-        (lit(k) - (col("__cum") - col("__c"))).as("__take"))
-    val j = binned.crossJoin(broadcast(boundary))
-    val above = j.where(col("__bin") < col("__tbin"))
-      .select(outCols :+ lit(true).as("kept"): _*)
-    val below = j.where(col("__bin") > col("__tbin"))
-      .select(outCols :+ lit(false).as("kept"): _*)
-    val atBoundary = j.where(col("__bin") === col("__tbin"))
+      .select(col("__bin"), (lit(k) - (col("__cum") - col("__c"))))
+      .head()
+    val (tbin, take) = (b.getLong(0), b.getLong(1))
+    val offBoundary = binned.where(col("__bin") =!= tbin)
+      .select(outCols :+ (col("__bin") < tbin).as("kept"): _*)
+    // partitioned by __bin (a single group here — every row has
+    // __bin == tbin) so the rank window is never the unpartitioned
+    // global-rank shape this operator exists to avoid
+    val atBoundary = binned.where(col("__bin") === tbin)
       .withColumn("__rn", row_number().over(
-        w.partitionBy(col("__tbin"))
-          .orderBy(col(rateCol).desc, col(idCol))))
-      .select(outCols :+ (col("__rn") <= col("__take")).as("kept"): _*)
-    above.unionByName(atBoundary).unionByName(below)
+        w.partitionBy(col("__bin")).orderBy(col(rateCol).desc, col(idCol))))
+      .select(outCols :+ (col("__rn") <= take).as("kept"): _*)
+    offBoundary.unionByName(atBoundary)
   }
 
   /** Split label by consecutive half-open bucket ranges; fractions must
