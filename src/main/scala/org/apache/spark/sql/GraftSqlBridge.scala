@@ -23,10 +23,17 @@ object GraftSqlBridge {
     * `newSession()` clone — its conf changes invisible to queries
     * running concurrently on the caller's session — and hand the result
     * back on the caller's session. Cached data is shared (CacheManager
-    * lives in SharedState), so persist/unpersist work across the pair. */
+    * lives in SharedState), so persist/unpersist work across the pair.
+    *
+    * Re-roots the ANALYZED plan, not the raw logical one: resolved
+    * nodes survive the target session's analyzer untouched, so a frame
+    * referencing the CALLER's temp views, `spark.sql` text, or
+    * session-registered functions rebases cleanly — re-analyzing the
+    * unresolved form on a fresh SessionState would fail to find any of
+    * those (they live in the caller's catalog, not the clone's). */
   def rebase(spark: SparkSession, df: DataFrame): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
-      df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical)
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed)
 
   /** Register an expression builder as a SQL function on this session. */
   def registerFunction(spark: SparkSession, name: String,

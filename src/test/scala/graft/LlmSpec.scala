@@ -308,6 +308,22 @@ class LlmSpec extends AnyFunSuite {
       "caller-session conf changed across the CC invocation")
   }
 
+  test("connectedComponents accepts edges rooted in caller temp views and spark.sql text") {
+    // the loop runs on a conf-isolated clone whose catalog has no temp
+    // views — the rebase must carry the RESOLVED plan across (an
+    // unresolved re-analysis on the clone would fail to find the view)
+    val n = 5000L
+    spark.range(1, n)
+      .select(($"id" - 1).as("src"), $"id".as("dst"))
+      .createOrReplaceTempView("cc_edges_view")
+    try {
+      val edges = spark.sql("SELECT src, dst FROM cc_edges_view")
+      val labels = Dedup.connectedComponents(edges, driverThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(labels.size == n.toInt && labels.values.forall(_ == 0L))
+    } finally spark.catalog.dropTempView("cc_edges_view")
+  }
+
   test("nearDupPairsUnique equals minhashNearDupPairs on fingerprint-deduped input") {
     // one representative per canonical fingerprint = the precondition
     // the lean variant documents; both paths must emit identical pairs
