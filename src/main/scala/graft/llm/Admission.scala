@@ -90,6 +90,75 @@ object Admission {
         col("near_dup"), col("admitted"))
   }
 
+  /** [[auditWithFps]] extended to the MULTIMODAL admission decision —
+    * the per-document audit a corpus with image/audio payloads makes
+    * on arrival: the three text legs (gate, exact fingerprint, LSH
+    * near-dup probe) plus one Hamming-membership probe per media
+    * modality against that modality's PERSISTED fingerprint store
+    * ([[Dedup.hammingProbeTouch]]: store scanned once, batch-hot
+    * buckets only, exhaustive by pigeonhole). `batchImageFp` /
+    * `batchAudioFp` are the arriving batch's `(id, sh)` fingerprints
+    * with non-null sh (a doc with undecodable — or absent — media
+    * never media-flags; it can still fail the text legs); the store
+    * frames have the same shape over the seen corpus. Media legs use
+    * the SAME conservative monotone rule as the text near-dup leg: a
+    * batch doc flags if any seen doc or any smaller-id batch doc sits
+    * within `maxHamming`, so the audit replays identically under any
+    * arrival interleaving. Output: (id, gate_pass, exact_dup,
+    * near_dup, image_dup, audio_dup, admitted), admitted iff all five
+    * clear. */
+  def auditMultimodalWithFps(seen: DataFrame, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             index: DataFrame, fps: DataFrame,
+                             imageFps: DataFrame, audioFps: DataFrame,
+                             batchImageFp: DataFrame,
+                             batchAudioFp: DataFrame,
+                             threshold: Double = 0.8,
+                             maxHamming: Int = 7): DataFrame = {
+    def touchFlag(store: DataFrame, batchFp: DataFrame,
+                  flag: String): DataFrame =
+      Dedup.hammingProbeTouch(store, batchFp, maxHamming = maxHamming)
+        .select(col("id").as(s"__${flag}_id"))
+        .withColumn(s"__$flag", lit(true))
+    val img = touchFlag(imageFps, batchImageFp, "img")
+    val aud = touchFlag(audioFps, batchAudioFp, "aud")
+    // both flag sets are batch-bounded → broadcast, never a shuffle of
+    // the audit side
+    auditWithFps(seen, batch, idCol, textCol, index, fps, threshold)
+      .join(broadcast(img), col(idCol) === col("__img_id"), "left")
+      .join(broadcast(aud), col(idCol) === col("__aud_id"), "left")
+      .withColumn("image_dup", coalesce(col("__img"), lit(false)))
+      .withColumn("audio_dup", coalesce(col("__aud"), lit(false)))
+      .withColumn("admitted",
+        col("admitted") && !col("image_dup") && !col("audio_dup"))
+      .select(col(idCol), col("gate_pass"), col("exact_dup"),
+        col("near_dup"), col("image_dup"), col("audio_dup"),
+        col("admitted"))
+  }
+
+  /** One-shot [[auditMultimodalWithFps]] over payload columns: media
+    * fingerprints for BOTH sides are computed inline (image dHash,
+    * audio energy-gradient fp — the codegen kernels), the form a
+    * single frozen audit takes. The service path persists the media
+    * fingerprint stores instead ([[processMultimodalMicroBatch]]):
+    * re-hashing every seen payload per arriving batch is the
+    * O(corpus)-per-batch term the stores exist to avoid. */
+  def auditMultimodal(seen: DataFrame, batch: DataFrame, idCol: String,
+                      textCol: String, imageCol: String, audioCol: String,
+                      index: DataFrame, threshold: Double = 0.8,
+                      maxHamming: Int = 7): DataFrame = {
+    def imgFp(df: DataFrame) = df.select(col(idCol).cast("long").as("id"),
+        graft.functions.PerceptualHash.d_hash(col(imageCol)).as("sh"))
+      .where(col("sh").isNotNull)
+    def audFp(df: DataFrame) = df.select(col(idCol).cast("long").as("id"),
+        graft.functions.AudioFingerprint.audio_fp(col(audioCol)).as("sh"))
+      .where(col("sh").isNotNull)
+    auditMultimodalWithFps(seen, batch, idCol, textCol, index,
+      seen.select(TextStats.fingerprint(col(textCol)).as("fp")),
+      imgFp(seen), audFp(seen), imgFp(batch), audFp(batch),
+      threshold, maxHamming)
+  }
+
   /** ONE micro-batch step of the streaming admission service — the
     * `foreachBatch` body of the continuous twin: audit the arriving
     * batch against the PERSISTED artifacts (seen-docs parquet under
@@ -162,6 +231,72 @@ object Admission {
         .write.mode("overwrite").parquet(s"$indexDir/mb_$batchId")
       b.select(TextStats.fingerprint(col(textCol)).as("fp"))
         .write.mode("overwrite").parquet(s"$fpsDir/mb_$batchId")
+    } finally b.unpersist()
+  }
+
+  /** ONE micro-batch step of the MULTIMODAL admission service — the
+    * `foreachBatch` body of the [[auditMultimodal]] twin, shaped
+    * exactly like [[processMicroBatch]] (same `mb_<batchId>` overwrite
+    * idempotence, same store listing, same [[compactStore]]
+    * maintenance) with two more persisted artifacts: an image and an
+    * audio fingerprint store (`(id, sh)` parquet under `imgFpDir` /
+    * `audFpDir`, seeded like the others under e.g. `mb_init`). Media
+    * payloads are hashed ONCE, on arrival, by the codegen kernels —
+    * the stores keep per-arrival cost O(batch + store-scan) and the
+    * payloads themselves are never persisted here (the caller owns
+    * payload storage; dedup needs only the 64-bit fingerprints, which
+    * is what makes the stores ~16 bytes/doc/modality at any corpus
+    * size). Undecodable media contribute no store rows and never flag
+    * — mirroring the one-shot form. Audit rows land under `auditDir`
+    * BEFORE any store mutates, and every write is `mb_<batchId>`
+    * overwrite-idempotent, so a crash-replay neither double-audits nor
+    * pairs a batch with its own first-attempt rows.
+    *
+    * Equality contract (spec-pinned incl. kill-resume): with ids
+    * monotone across micro-batches, cumulative audits equal the
+    * one-shot [[auditMultimodal]] of the concatenated batch, under the
+    * same LSH bucket-cap proviso as [[processMicroBatch]] (Hamming
+    * probes are cap-free — exhaustive by pigeonhole — so the media
+    * legs carry no proviso at all). */
+  def processMultimodalMicroBatch(batch: DataFrame, batchId: Long,
+                                  idCol: String, textCol: String,
+                                  imageCol: String, audioCol: String,
+                                  seenDir: String, indexDir: String,
+                                  fpsDir: String, imgFpDir: String,
+                                  audFpDir: String, auditDir: String,
+                                  threshold: Double = 0.8,
+                                  maxHamming: Int = 7): Unit = {
+    val s = batch.sparkSession
+    val seen = readStoreExceptSelf(s, seenDir, batchId)
+    val index = readStoreExceptSelf(s, indexDir, batchId)
+    val fps = readStoreExceptSelf(s, fpsDir, batchId)
+    val imgFps = readStoreExceptSelf(s, imgFpDir, batchId)
+    val audFps = readStoreExceptSelf(s, audFpDir, batchId)
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-arrival cache scope ([[processMicroBatch]]'s leak-fix
+    // reasoning); the media kernels run inside it, so each payload is
+    // hashed once per arrival and the batch fp frames feed both the
+    // audit probes and the store appends from cache
+    try graft.core.Caching.scoped {
+      val bImg = graft.core.Caching.eager(
+        b.select(col(idCol).cast("long").as("id"),
+            graft.functions.PerceptualHash.d_hash(col(imageCol)).as("sh"))
+          .where(col("sh").isNotNull))
+      val bAud = graft.core.Caching.eager(
+        b.select(col(idCol).cast("long").as("id"),
+            graft.functions.AudioFingerprint.audio_fp(col(audioCol)).as("sh"))
+          .where(col("sh").isNotNull))
+      auditMultimodalWithFps(seen, b, idCol, textCol, index, fps,
+          imgFps, audFps, bImg, bAud, threshold, maxHamming)
+        .write.mode("overwrite").parquet(s"$auditDir/mb_$batchId")
+      b.select(col(idCol), col(textCol))
+        .write.mode("overwrite").parquet(s"$seenDir/mb_$batchId")
+      Dedup.minhashBandIndex(b, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$indexDir/mb_$batchId")
+      b.select(TextStats.fingerprint(col(textCol)).as("fp"))
+        .write.mode("overwrite").parquet(s"$fpsDir/mb_$batchId")
+      bImg.write.mode("overwrite").parquet(s"$imgFpDir/mb_$batchId")
+      bAud.write.mode("overwrite").parquet(s"$audFpDir/mb_$batchId")
     } finally b.unpersist()
   }
 

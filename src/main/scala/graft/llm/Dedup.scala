@@ -571,24 +571,30 @@ object Dedup {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
     } else {
-      // capped path: buckets collect their members (sorted → struct
-      // ordering is (id, sh), ids unique, so "first cap members" = the
-      // cap lowest ids, the streaming twin's arrival-order semantics
-      // under ordered ids); pairs explode from the truncated list, so
-      // a width-w family emits O(cap·w) candidate rows per bucket
-      // instead of w²/2, and each over-cap bucket emits ONE sentinel
+      // capped path: buckets accumulate through the bounded top-k
+      // aggregate ([[graft.functions.BoundedMinK]] — a size-cap
+      // max-heap per (combo, key) buffer, hash-agg shape, map-side
+      // partial merge), so BOTH the aggregation state and the shuffle
+      // are O(cap) per bucket regardless of family width — where a
+      // collect-then-slice form materialized the ENTIRE over-cap
+      // bucket in one unspillable agg buffer (a width-10^7 family =
+      // a 10^7-struct array per (combo, key) task, the exact executor
+      // OOM the cap exists to prevent), and a rank-window form pays a
+      // per-partition sort of every keyed row (measured 1.6-1.9×
+      // slower, ProbeCap). The cap lowest ids = the streaming twin's
+      // arrival-order semantics under ordered ids; the true bucket
+      // size rides along as the sentinel witness.
       val grouped = keyed
         .groupBy(col("combo"), col("key"))
-        .agg(sort_array(collect_list(struct(col("id"), col("sh"))))
-          .as("ms"), count(lit(1)).as("n"))
+        .agg(graft.functions.BoundedMinK.collect_min_k(
+          col("id"), col("sh"), maxBucketSize).as("mk"))
+        .select(col("combo"), col("key"),
+          col("mk.ms").as("ms"), col("mk.n").as("n"))
       val sentinels = grouped.where(col("n") > maxBucketSize)
         .select(lit(-1L).as("id_a"), col("key").cast("long").as("id_b"),
           lit(-1).as("hamming"))
       val pairs = grouped
-        .select(col("combo"),
-          when(col("n") > maxBucketSize,
-            slice(col("ms"), 1, maxBucketSize)).otherwise(col("ms"))
-            .as("ms"))
+        .select(col("combo"), col("ms"))
         .where(size(col("ms")) >= 2)
         .select(col("combo"), col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
         .select(col("combo"), col("a"),
@@ -617,20 +623,69 @@ object Dedup {
     * by the same pigeonhole as [[hammingCandidatesFromFp]]
     * (membership needs only ONE clean combination, so no
     * canonical-combo dedup is needed — the final distinct is over
-    * batch ids). */
+    * batch ids).
+    *
+    * Size dispatch (`bruteBelow`): a batch at or under it skips the
+    * banding entirely — the batch's (id, sh) pairs aggregate to ONE
+    * broadcast row and a codegen xor/popcount kernel
+    * ([[graft.functions.HammingKernels]]) tests every store row
+    * against all of them during the bare columnar scan. Measured at a
+    * 5M-row store (ProbeTouch): the banding probe's 36-combo map-side
+    * key expansion alone costs 30.4 s materialized (the probe ~15 s)
+    * vs 0.42 s for the bare scan — the kernel keeps the scan bare, so
+    * a ~500-doc arrival pays ~|store|·|batch| popcounts ≈ the scan
+    * floor. Above the threshold the per-row popcount sweep loses to
+    * the fixed 36-key expansion and the banding probe takes over.
+    * Both paths are exact (spec-pinned equal); the brute path's only
+    * join is a one-row broadcast (condition-free, never a shuffle).
+    *
+    * Cache contract: the batch frame is `Caching.eager`-cached (it
+    * feeds both legs on either path). A long-running caller must
+    * invoke this inside a `Caching.scoped` block spanning the
+    * consuming action — the admission service entry points do — or
+    * clearCache afterwards; otherwise each call leaks one batch-sized
+    * MEMORY_AND_DISK block. */
   def hammingProbeTouch(storeFp: DataFrame, batchFp: DataFrame,
                         blocks: Int = 9, maxHamming: Int = 7,
-                        keyBlocks: Int = 2): DataFrame = {
+                        keyBlocks: Int = 2,
+                        bruteBelow: Long = 2048): DataFrame = {
     require(blocks >= 1 && blocks <= 64, s"blocks out of range: $blocks")
     require(maxHamming >= 0 && maxHamming < blocks,
       s"exhaustive only for hamming < blocks: blocks=$blocks maxHamming=$maxHamming")
     require(keyBlocks >= 1 && keyBlocks <= blocks - maxHamming,
       s"pigeonhole needs keyBlocks <= blocks - maxHamming: " +
         s"blocks=$blocks maxHamming=$maxHamming keyBlocks=$keyBlocks")
+    val (bf, nBatch) = graft.core.Caching.eagerCounted(
+      batchFp.select(col("id"), col("sh")))
+    if (nBatch == 0L)
+      return bf.select(col("id")).limit(0)
+    if (nBatch <= bruteBelow) {
+      import graft.functions.HammingKernels.hamming_touched_ids
+      // ONE row: the batch as index-aligned id/fingerprint arrays
+      val bArr = broadcast(bf
+        .agg(sort_array(collect_list(struct(col("id"), col("sh")))).as("bp"))
+        .select(transform(col("bp"), x => x("id")).as("__ids"),
+          transform(col("bp"), x => x("sh")).as("__shs")))
+      val vsStore = storeFp.select(col("sh")).crossJoin(bArr)
+        .select(explode(hamming_touched_ids(col("sh"), col("__ids"),
+          col("__shs"), maxHamming)).as("id"))
+      // the smaller-id test sits ABOVE the explode (a predicate on
+      // generator output cannot fold into the one-row join's condition
+      // — an `array_min(...) < id` filter directly on the join would,
+      // turning the condition-free broadcast into what plan audits
+      // read as an inequality-only join); duplicates collapse in the
+      // final distinct
+      val vsBatch = bf.crossJoin(bArr)
+        .select(col("id"), explode(hamming_touched_ids(col("sh"),
+          col("__ids"), col("__shs"), maxHamming)).as("__t"))
+        .where(col("__t") < col("id"))
+        .select(col("id"))
+      return vsStore.unionByName(vsBatch).distinct()
+    }
     def keyed(fp: DataFrame): DataFrame = fp.select(col("id"), col("sh"),
       posexplode(array(comboKeyExprs(col("sh"), blocks, keyBlocks): _*))
         .as(Seq("combo", "key")))
-    val bk = graft.core.Caching.eager(keyed(batchFp))
+    val bk = graft.core.Caching.eager(keyed(bf))
     val hot = bk.select(col("combo"), col("key")).distinct()
     val sk = keyed(storeFp)
       .join(broadcast(hot), Seq("combo", "key"), "left_semi")

@@ -3192,9 +3192,185 @@ object LlmPipelines {
            |FROM hashed GROUP BY source ORDER BY source""".stripMargin)
     )
 
+  /** MULTIMODAL incremental admission — q98's per-document arrival
+    * decision extended to image/audio payloads (the q101 freeze's
+    * modalities, made incremental): the three text legs (q85 gate,
+    * exact fingerprint, LSH near-dup probe) plus one Hamming-membership
+    * probe per media modality ([[graft.llm.Dedup.hammingProbeTouch]]:
+    * store scanned once, batch-hot buckets broadcast-restricted,
+    * exhaustive by pigeonhole — no cap proviso) against the corpus's
+    * media fingerprint stores. Media legs use the same conservative
+    * monotone rule as the text leg (flag iff a seen partner or a
+    * smaller-id batch partner sits within Hamming 7), so the audit
+    * replays identically under any arrival interleaving — the
+    * service-path equality (cumulative micro-batches == this one-shot
+    * restriction, kill-resume included) is pinned in StreamingSpec.
+    * Payloads are the q80/q84 synthetic BMP/WAV tables, attached by
+    * id join; the oracle recomposes q98's text CTEs plus the q80/q84
+    * bit tables restricted by the monotone rule. */
+  val q103 = QueryDef(
+    "q103_multimodal_admission",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val imgs = graft.llm.Multimodal.syntheticImageTable(
+          d.select(col("doc_id")), "doc_id")
+        .select(col("media_id").as("__iid"), col("payload").as("img"))
+      val wavs = graft.llm.Multimodal.syntheticAudioTable(
+          d.select(col("doc_id")), "doc_id")
+        .select(col("media_id").as("__aid"), col("payload").as("wav"))
+      val full = d.select(col("doc_id"), col("text"))
+        .join(imgs, col("doc_id") === col("__iid")).drop("__iid")
+        .join(wavs, col("doc_id") === col("__aid")).drop("__aid")
+      val batch = full.where(col("doc_id") % 10 === 7)
+      val corpus = full.where(col("doc_id") % 10 =!= 7)
+      val index = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+      graft.llm.Admission.auditMultimodal(corpus, batch, "doc_id",
+          "text", "img", "wav", index)
+        .orderBy(col("doc_id"))
+    },
+    Some(q103Oracle))
+
+  /** The q103 oracle, GENERATED: q98's text-leg CTEs (gate / exact /
+    * batch-touching exact-Jaccard near-dup) verbatim, plus the q80
+    * dHash and q84 energy-gradient bit tables ([[q80Gray]] /
+    * [[q84Sample]]) joined all-pairs at Hamming <= 7 and restricted by
+    * the same monotone rule as the text near-dup CTE. */
+  private def q103Oracle: String = {
+    val hash =
+      """list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(generate_series(1, CAST(length(g) AS INTEGER)),
+        |        i -> CAST(ord(substr(g, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc*31 + c) % 2147483647)""".stripMargin
+    val pixCols = (for (y <- 0 until 8; x <- 0 until 9)
+      yield s"${q80Gray(x, y)} AS p${y * 9 + x}").mkString(",\n    ")
+    val dhBits = (0 until 64).map { k =>
+      val x = k % 8; val y = k / 8
+      s"(p${y * 9 + x} > p${y * 9 + x + 1}) AS db$k"
+    }.mkString(",\n    ")
+    val dhHam = (0 until 64).map(k =>
+      s"CASE WHEN a.db$k <> b.db$k THEN 1 ELSE 0 END").mkString(" +\n      ")
+    val sampleCols = (0 until 144).map(i =>
+      s"${q84Sample(i)} AS s$i").mkString(",\n    ")
+    val energyCols = (0 until 72).map(k =>
+      s"(s${2 * k}*s${2 * k} + s${2 * k + 1}*s${2 * k + 1}) AS e$k")
+      .mkString(",\n    ")
+    val aBits = (0 until 64).map { k =>
+      val x = k % 8; val y = k / 8
+      s"(e${y * 9 + x} > e${y * 9 + x + 1}) AS db$k"
+    }.mkString(",\n    ")
+    val aHam = (0 until 64).map(k =>
+      s"CASE WHEN a.db$k <> b.db$k THEN 1 ELSE 0 END").mkString(" +\n      ")
+    def touch(name: String, pairs: String): String =
+      s"""$name AS (
+         |  SELECT DISTINCT d FROM (
+         |    SELECT id_a AS d, id_b AS o FROM $pairs
+         |    UNION ALL
+         |    SELECT id_b AS d, id_a AS o FROM $pairs)
+         |  WHERE d % 10 = 7 AND (o % 10 != 7 OR o < d))""".stripMargin
+    s"""WITH words AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'),
+       |    x -> regexp_matches(x, '^[a-z0-9]+$$')) AS ws
+       |  FROM documents WHERE doc_id % 10 = 7),
+       |grams AS (
+       |  SELECT doc_id, unnest(ws) AS g FROM words
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i + 1])) AS g FROM words),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ((xor(v0, v0 >> 15) * 2246822519 % 2147483647) % 1001) - 500 AS w
+       |  FROM (
+       |    SELECT doc_id, ((b + 1) * 2654435761) % 2147483647 AS v0
+       |    FROM (SELECT doc_id, ($hash) % 1024 AS b FROM grams))),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(w) AS BIGINT) AS sum_w
+       |  FROM scored GROUP BY doc_id),
+       |gate AS (
+       |  SELECT d.doc_id,
+       |    coalesce(p.sum_w, 0) * 1000 > 25 * coalesce(p.n_grams, 0)
+       |      AS gate_pass
+       |  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |  WHERE d.doc_id % 10 = 7),
+       |fps AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |exact AS (
+       |  SELECT b.doc_id,
+       |    EXISTS (SELECT 1 FROM fps c
+       |            WHERE c.doc_id % 10 != 7 AND c.fp = b.fp)
+       |      OR b.doc_id > min(b.doc_id) OVER (PARTITION BY b.fp)
+       |      AS exact_dup
+       |  FROM fps b WHERE b.doc_id % 10 = 7),
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(w) >= 2
+       |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |      ELSE [array_to_string(w, ' ')] END) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |        FROM documents)),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
+       |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |p0 AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.8),
+       |${touch("nd", "p0")},
+       |ipix AS (
+       |  SELECT doc_id AS id,
+       |    $pixCols
+       |  FROM documents),
+       |ibits AS (
+       |  SELECT id,
+       |    $dhBits
+       |  FROM ipix),
+       |ipairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM ibits a JOIN ibits b ON a.id < b.id
+       |  WHERE ($dhHam) <= 7),
+       |${touch("img_nd", "ipairs")},
+       |asmp AS (
+       |  SELECT doc_id AS id,
+       |    $sampleCols
+       |  FROM documents),
+       |anrg AS (
+       |  SELECT id,
+       |    $energyCols
+       |  FROM asmp),
+       |abits AS (
+       |  SELECT id,
+       |    $aBits
+       |  FROM anrg),
+       |apairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM abits a JOIN abits b ON a.id < b.id
+       |  WHERE ($aHam) <= 7),
+       |${touch("aud_nd", "apairs")}
+       |SELECT g.doc_id, g.gate_pass, e.exact_dup,
+       |  (nd.d IS NOT NULL) AS near_dup,
+       |  (i.d IS NOT NULL) AS image_dup,
+       |  (au.d IS NOT NULL) AS audio_dup,
+       |  g.gate_pass AND NOT e.exact_dup AND nd.d IS NULL
+       |    AND i.d IS NULL AND au.d IS NULL AS admitted
+       |FROM gate g
+       |JOIN exact e ON g.doc_id = e.doc_id
+       |LEFT JOIN nd ON g.doc_id = nd.d
+       |LEFT JOIN img_nd i ON g.doc_id = i.d
+       |LEFT JOIN aud_nd au ON g.doc_id = au.d
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-      q95, q96, q97, q98, q99, q100, q101, q102)
+      q95, q96, q97, q98, q99, q100, q101, q102, q103)
 }

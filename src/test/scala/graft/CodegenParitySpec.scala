@@ -225,6 +225,45 @@ class CodegenParitySpec extends AnyFunSuite {
     }
   }
 
+  private def runHammingTouched(): Seq[(Long, Seq[Long])] = {
+    import graft.functions.HammingKernels.hamming_touched_ids
+    val fps = Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 120)
+      .select($"doc_id".as("id"),
+        graft.functions.SimHash64.simhash64(
+          graft.llm.TextStats.tokens($"text")).as("sh"))
+    val arr = fps
+      .agg(sort_array(collect_list(struct($"id", $"sh"))).as("bp"))
+      .select(transform($"bp", x => x("id")).as("ids"),
+        transform($"bp", x => x("sh")).as("shs"))
+    fps.crossJoin(broadcast(arr))
+      .select($"id",
+        sort_array(hamming_touched_ids($"sh", $"ids", $"shs", 7)).as("touched"))
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+  }
+
+  test("HammingTouchedIds: codegen == interpreted == driver popcount loop") {
+    val generated = withConfs(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")(runHammingTouched())
+    val interpreted = withConfs(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(runHammingTouched())
+    assert(generated == interpreted)
+    // every row touches at least itself (distance 0)
+    assert(generated.forall { case (id, touched) => touched.contains(id) })
+    // agree with a driver-side recomputation
+    val fps = Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 120)
+      .select($"doc_id", graft.functions.SimHash64.simhash64(
+        graft.llm.TextStats.tokens($"text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    generated.foreach { case (id, touched) =>
+      val want = fps.filter { case (_, sh) =>
+        java.lang.Long.bitCount(sh ^ fps(id)) <= 7
+      }.keys.toSeq.sorted
+      assert(touched == want, s"doc $id: $touched != $want")
+    }
+  }
+
   private def runQualityScores(): Seq[(Long, Seq[Long])] =
     Tables.documents(spark, SparkTestBase.sf).where($"doc_id" < 120)
       .select($"doc_id", graft.functions.QualityScore64.quality_score(

@@ -456,6 +456,85 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("CollectMinK == sort+slice of the full collect, true size included") {
+    // the bounded top-k aggregate must agree with the unbounded
+    // collect-then-truncate form on every group — exercised across
+    // many partitions so partial buffers merge and serialize (the
+    // map-side shuffle path), with group widths straddling k
+    import org.apache.spark.sql.Row
+    val k = 5
+    val rnd = new scala.util.Random(20260815L)
+    val rows = (1L to 4000L).map { i =>
+      (i % 37, rnd.nextLong().abs % 1000000L, rnd.nextLong())
+    } ++ (1L to 7L).map { i => // under-cap groups
+      (100L + i % 3, rnd.nextLong().abs % 1000000L, rnd.nextLong())
+    }
+    val df = rows.toDF("g", "id", "sh")
+      // unique ids per group (the banding contract)
+      .groupBy($"g", $"id").agg(min($"sh").as("sh"))
+      .repartition(13)
+    val got = df.groupBy($"g")
+      .agg(graft.functions.BoundedMinK.collect_min_k($"id", $"sh", k).as("mk"))
+      .select($"g", $"mk.ms", $"mk.n")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Row](1).map(x => (x.getLong(0), x.getLong(1))), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    val want = df.groupBy($"g")
+      .agg(slice(sort_array(collect_list(struct($"id", $"sh"))), 1, k).as("ms"),
+        count(lit(1)).as("n"))
+      .select($"g", $"ms", $"n")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Row](1).map(x => (x.getLong(0), x.getLong(1))), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(got == want)
+    assert(want.exists(_._3 > k) && want.exists(_._3 <= k),
+      "fixture must straddle the cap on both sides")
+    // and the plan takes the hash-agg shape (ObjectHashAggregate), not
+    // a sort aggregate — the reason this beats the rank-window form
+    val plan = df.groupBy($"g")
+      .agg(graft.functions.BoundedMinK.collect_min_k($"id", $"sh", k))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate:\n$plan")
+  }
+
+  test("hammingProbeTouch equals brute-force membership under the monotone rule") {
+    // ground truth: a batch id is touched iff SOME store fp or some
+    // SMALLER-ID batch fp sits within maxHamming — the q98 monotone
+    // rule, per modality. Fixture: simhash fingerprints split
+    // store/batch by id parity, so cross-group AND intra-batch pairs
+    // both exist (the doc fixture's near-dup families span parities).
+    val fps = docs
+      .select($"doc_id", graft.functions.SimHash64.simhash64(
+        graft.llm.TextStats.tokens($"text")).as("sh"))
+      .as[(Long, Long)].collect()
+    val maxHamming = 7
+    val store = fps.filter(_._1 % 2 == 0)
+    val batch = fps.filter(_._1 % 2 == 1)
+    val exact = batch.filter { case (id, sh) =>
+      store.exists(s => java.lang.Long.bitCount(s._2 ^ sh) <= maxHamming) ||
+      batch.exists(b => b._1 < id &&
+        java.lang.Long.bitCount(b._2 ^ sh) <= maxHamming)
+    }.map(_._1).toSet
+    assert(exact.nonEmpty, "fixture should contain touched batch ids")
+    // BOTH dispatch paths must equal the ground truth: the codegen
+    // popcount kernel (small batch, default) and the banding probe
+    // (bruteBelow = 0 forces the large-batch shape)
+    for (bruteBelow <- Seq(Long.MaxValue, 0L)) {
+      val got = graft.core.Caching.scoped {
+        Dedup.hammingProbeTouch(
+            store.toSeq.toDF("id", "sh"), batch.toSeq.toDF("id", "sh"),
+            maxHamming = maxHamming, bruteBelow = bruteBelow)
+          .as[Long].collect().toSet
+      }
+      assert(got == exact, s"bruteBelow=$bruteBelow: " +
+        s"missed=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
+    }
+    // and batch ids far from everything are NOT touched
+    assert((batch.map(_._1).toSet -- exact).nonEmpty,
+      "fixture should also contain untouched batch ids")
+  }
+
   test("simhashCandidates rejects unsound parameters (bands <= maxHamming)") {
     intercept[IllegalArgumentException] {
       Dedup.simhashCandidates(docs, "doc_id", "text", bands = 8, maxHamming = 16)

@@ -820,6 +820,127 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal admission service: kill-resume microbatch audits == one-shot multimodal audit") {
+    import graft.llm.{Admission, Dedup, Multimodal}
+    val d = Tables.documents(spark, SparkTestBase.sf)
+    def withMedia(df: DataFrame): DataFrame = {
+      val imgs = Multimodal.syntheticImageTable(df.select($"doc_id"), "doc_id")
+        .select($"media_id".as("__iid"), $"payload".as("img"))
+      val wavs = Multimodal.syntheticAudioTable(df.select($"doc_id"), "doc_id")
+        .select($"media_id".as("__aid"), $"payload".as("wav"))
+      df.select($"doc_id", $"text")
+        .join(imgs, $"doc_id" === $"__iid").drop("__iid")
+        .join(wavs, $"doc_id" === $"__aid").drop("__aid")
+    }
+    val full = withMedia(d)
+    val batch = full.where($"doc_id" % 10 === 7)
+    val corpus = full.where($"doc_id" % 10 =!= 7)
+
+    val root = Files.createTempDirectory("graft_mm_admission")
+    val dirs = Seq("seen", "index", "fps", "imgfp", "audfp", "audit",
+      "src", "ckpt").map(root.resolve)
+    val Seq(seenDir, indexDir, fpsDir, imgFpDir, audFpDir, auditDir,
+      srcDir, ckpt) = dirs
+    Files.createDirectories(srcDir)
+    try {
+      corpus.select($"doc_id", $"text")
+        .write.parquet(seenDir.resolve("mb_init").toString)
+      Dedup.minhashBandIndex(corpus, "doc_id", "text")
+        .write.parquet(indexDir.resolve("mb_init").toString)
+      corpus.select(graft.llm.TextStats.fingerprint($"text").as("fp"))
+        .write.parquet(fpsDir.resolve("mb_init").toString)
+      corpus.select($"doc_id".cast("long").as("id"),
+          graft.functions.PerceptualHash.d_hash($"img").as("sh"))
+        .where($"sh".isNotNull)
+        .write.parquet(imgFpDir.resolve("mb_init").toString)
+      corpus.select($"doc_id".cast("long").as("id"),
+          graft.functions.AudioFingerprint.audio_fp($"wav").as("sh"))
+        .where($"sh".isNotNull)
+        .write.parquet(audFpDir.resolve("mb_init").toString)
+
+      // THREE id-ordered micro-batches (ids monotone across batches)
+      val ids = batch.select($"doc_id").as[Long].collect().sorted
+      val n = 3
+      val bounds = (1 until n).map(i => ids(i * ids.length / n))
+      val parts = (0 until n).map { i =>
+        val lo = if (i == 0) Long.MinValue else bounds(i - 1)
+        val hi = if (i == n - 1) Long.MaxValue else bounds(i)
+        batch.where($"doc_id" >= lo && $"doc_id" < hi)
+      }
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val tmp = Files.createTempDirectory("graft_mm_part")
+        p.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val target = srcDir.resolve(f"b$i%02d.parquet")
+        Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(target,
+          FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+
+      def drain(killEarly: Boolean): Unit = {
+        val q = spark.readStream
+          .schema("doc_id long, text string, img binary, wav binary")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            Admission.processMultimodalMicroBatch(b, id, "doc_id",
+              "text", "img", "wav", seenDir.toString, indexDir.toString,
+              fpsDir.toString, imgFpDir.toString, audFpDir.toString,
+              auditDir.toString)
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (killEarly) {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q.recentProgress.map(_.numInputRows).sum < 1 &&
+                 q.isActive && System.nanoTime() < deadline) Thread.sleep(10)
+          q.stop(); q.awaitTermination()
+        } else q.awaitTermination()
+      }
+      drain(killEarly = true)
+      drain(killEarly = false)
+
+      def rows(df: DataFrame) =
+        df.select($"doc_id", $"gate_pass", $"exact_dup", $"near_dup",
+            $"image_dup", $"audio_dup", $"admitted")
+          .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+          .collect().toSeq.sortBy(_._1)
+      val streamed = rows(spark.read
+        .option("recursiveFileLookup", "true").parquet(auditDir.toString))
+      assert(streamed.map(_._1).distinct.size == streamed.size,
+        "duplicate audit rows after kill-resume")
+      val oneShot = rows(Admission.auditMultimodal(corpus, batch,
+        "doc_id", "text", "img", "wav",
+        Dedup.minhashBandIndex(corpus, "doc_id", "text")))
+      assert(streamed == oneShot,
+        s"streamed multimodal audit diverged: " +
+          s"${streamed.diff(oneShot).take(5)} vs ${oneShot.diff(streamed).take(5)}")
+      // media stores grew by exactly the batch's fingerprints: grown
+      // store == from-scratch rebuild over corpus + batch
+      val grownImg = spark.read.option("recursiveFileLookup", "true")
+        .parquet(imgFpDir.toString).as[(Long, Long)].collect().toSet
+      val rebuiltImg = withMedia(d)
+        .select($"doc_id".cast("long").as("id"),
+          graft.functions.PerceptualHash.d_hash($"img").as("sh"))
+        .where($"sh".isNotNull).as[(Long, Long)].collect().toSet
+      assert(grownImg == rebuiltImg, "grown image-fp store != rebuild")
+      val grownAud = spark.read.option("recursiveFileLookup", "true")
+        .parquet(audFpDir.toString).as[(Long, Long)].collect().toSet
+      val rebuiltAud = withMedia(d)
+        .select($"doc_id".cast("long").as("id"),
+          graft.functions.AudioFingerprint.audio_fp($"wav").as("sh"))
+        .where($"sh".isNotNull).as[(Long, Long)].collect().toSet
+      assert(grownAud == rebuiltAud, "grown audio-fp store != rebuild")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("paragraph-cleaning service: cumulative micro-batch output == one-shot restriction; crash-replay idempotent") {
     import graft.llm.{Admission, Spans}
     val sep = "\n\n"
