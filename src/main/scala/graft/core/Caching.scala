@@ -78,7 +78,17 @@ object Caching {
     * must fully materialize everything it needs (writes/collects)
     * before returning: the caches are gone afterwards and any
     * unmaterialized plan over them would silently recompute its
-    * lineage. Nested scopes release only their own caches. */
+    * lineage. Nested scopes release only their own caches.
+    *
+    * SAME-THREAD contract: the registry is a ThreadLocal, so only
+    * [[eager]]/[[register]] calls made ON THE CALLING THREAD enroll.
+    * Body code that builds caches from other threads (Futures,
+    * parallel collections) escapes the scope silently — release those
+    * yourself — and conversely a cache meant to OUTLIVE the call must
+    * not be built inside one (build it before entering, or persist
+    * directly without [[register]]); every service entry point here
+    * is single-threaded per arrival, which is what makes the
+    * ThreadLocal sufficient. */
   def scoped[T](body: => T): T = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     scopes.set(buf :: scopes.get())

@@ -50,11 +50,34 @@ object LangModel {
   /** Train the bigram LM on a reference corpus: returns
     * (unigrams(w, cu), bigrams(prev, w, cb), totalTokens). `minCount`
     * prunes rare bigrams from the table (KenLM-style) — scoring then
-    * backs off for them, exactly as for never-seen pairs. */
-  def trainBigramLm(ref: DataFrame, textCol: String, minCount: Long = 1L)
+    * backs off for them, exactly as for never-seen pairs.
+    *
+    * `uniFloor = 2` additionally drops SINGLETON unigrams — the
+    * OOV-PRESERVING count floor, and on web-scale reference corpora
+    * the dominant table cut (real vocabularies are singleton-heavy:
+    * the tailed 5M-doc fixture's uni table is 18.9M rows, ~95%
+    * singletons, joined TWICE by every scoring pass). EXACT by the
+    * integer-bits arithmetic, not an approximation: a dropped w
+    * falls from the backoff arm `Backoff + L(T) − L(cu_w)` to the
+    * OOV arm `Backoff + L(T)`, and for cu_w = 1 those coincide
+    * (floorLog2(1) = 0) — so scores are bit-identical (spec-pinned).
+    * Requires `minCount >= 2`: a surviving cb = 1 bigram would
+    * reference its prev's singleton count in the first arm, which the
+    * floor removes (cb >= 2 forces cu_prev >= 2, so the seen-bigram
+    * arm never touches a dropped row). Floors above 2 would CHANGE
+    * scores (floorLog2(2) = 1 != 0) — rejected. */
+  def trainBigramLm(ref: DataFrame, textCol: String, minCount: Long = 1L,
+                    uniFloor: Long = 1L)
       : (DataFrame, DataFrame, DataFrame) = {
+    require(uniFloor == 1L || uniFloor == 2L,
+      s"uniFloor must be 1 (off) or 2 (drop singletons — the only " +
+        s"score-preserving floor); got $uniFloor")
+    require(uniFloor == 1L || minCount >= 2L,
+      "uniFloor = 2 needs minCount >= 2: a surviving cb = 1 bigram " +
+        "references its singleton prev in the seen-bigram arm")
     val toks = ref.select(explode(Bpe.alnumTokens(col(textCol))).as("w"))
-    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val uni0 = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val uni = if (uniFloor > 1L) uni0.where(col("cu") >= uniFloor) else uni0
     val bi = ref.select(explode(bigrams(col(textCol))).as("g"))
       .groupBy(col("g.prev").as("prev"), col("g.w").as("w"))
       .agg(count(lit(1)).as("cb"))

@@ -13,6 +13,7 @@ object ProbeLm {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val minCount = sys.env.getOrElse("SPARK_GRAFT_LM_MINCOUNT", "1").toLong
+    val uniFloor = sys.env.getOrElse("SPARK_GRAFT_LM_UNIFLOOR", "1").toLong
     val s = Sessions.build("probe-lm")
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -25,8 +26,9 @@ object ProbeLm {
     val batch = d.where(col("doc_id") % 10 === 7)
     val corpus = d.where(col("doc_id") % 10 =!= 7)
     t("warmup")(noop(d))
-    println(s"docs=${d.count()} minCount=$minCount dir=$dir")
-    val (uni, bi, total) = LangModel.trainBigramLm(corpus, "text", minCount)
+    println(s"docs=${d.count()} minCount=$minCount uniFloor=$uniFloor dir=$dir")
+    val (uni, bi, total) =
+      LangModel.trainBigramLm(corpus, "text", minCount, uniFloor)
     t("train (uni+bi+total)") { noop(uni); noop(bi); noop(total) }
     println(s"lm rows: uni=${uni.count()} bi=${bi.count()}")
     t("score batch") {

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * small-file-accumulation question (each arrival appends its own
   * mb_<id> subdir, so arrival k reads k-1+seed subdirs; does listing +
   * footer overhead drift the per-arrival cost?). Optionally compacts
-  * the stores midway (SPARK_GRAFT_COMPACT_AT=k) to measure what a
-  * compaction step buys.
+  * the stores midway (SPARK_GRAFT_COMPACT_AT=k) or PERIODICALLY
+  * (SPARK_GRAFT_COMPACT_EVERY=k, the long-running service's
+  * maintenance cadence — safeBelow = the next arrival id, the
+  * documented replay-safety watermark) to measure what compaction
+  * buys across a hundreds-of-arrivals regime.
   *
   * Batches are disjoint hash-mod slices of the fixture, each written to
   * its own parquet BEFORE its timed arrival (the real service's batch
@@ -25,6 +28,7 @@ object ProbeQ98Seq {
     val mod = sys.env.getOrElse("SPARK_GRAFT_BATCH_MOD", "1000").toLong
     val n = sys.env.getOrElse("SPARK_GRAFT_ARRIVALS", "25").toInt
     val compactAt = sys.env.get("SPARK_GRAFT_COMPACT_AT").map(_.toInt)
+    val compactEvery = sys.env.get("SPARK_GRAFT_COMPACT_EVERY").map(_.toInt)
     val s = Sessions.build("probe-q98seq")
     def t(name: String)(f: => Unit): Double = {
       val t0 = System.nanoTime(); f
@@ -55,7 +59,8 @@ object ProbeQ98Seq {
           .write.parquet(s"$fps/mb_init")
       }
       val times = (0 until n).map { k =>
-        compactAt.filter(_ == k).foreach { _ =>
+        if (compactAt.contains(k) ||
+            compactEvery.exists(e => k > 0 && k % e == 0)) {
           t(s"compact stores @$k") {
             Seq(seen, index, fps).foreach(Admission.compactStore(s, _, k))
           }

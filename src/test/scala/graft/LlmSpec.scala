@@ -928,6 +928,28 @@ class LlmSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].head()
     assert(pruned == ((12L, 3L, 5L)), s"$pruned")
 
+    // OOV-preserving unigram floor: with minCount >= 2, dropping
+    // singleton unigrams is EXACT — a dropped w's backoff arm
+    // Backoff + L(T) - L(1) equals the OOV arm Backoff + L(T) — so
+    // scores are bit-identical on a batch exercising all three arms
+    // (seen bigram, backoff via singleton c, true OOV d), while the
+    // uni table shrinks by the singleton count
+    val (u2f, b2f, t2f) =
+      LangModel.trainBigramLm(ref, "text", minCount = 2, uniFloor = 2)
+    assert(u2f.as[(String, Long)].collect().toMap ==
+      Map("a" -> 3L, "b" -> 2L), "floor must drop exactly the singleton c")
+    val floored = LangModel.surprisal(batch, "doc_id", "text", u2f, b2f, t2f)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val unfloored = LangModel.surprisal(batch, "doc_id", "text", u2, b2, t2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(floored == unfloored,
+      s"singleton floor changed scores: $floored vs $unfloored")
+    // the floor without bigram pruning is unsound (a cb=1 bigram
+    // references its singleton prev) — rejected loudly
+    intercept[IllegalArgumentException] {
+      LangModel.trainBigramLm(ref, "text", minCount = 1, uniFloor = 2)
+    }
+
     // DSIR importance = src bits - tgt bits: with target = the full ref
     // LM and source = the PRUNED LM, "a b a b" scores 1 bit under the
     // target and 5 under the source -> importance +4 (more target-like
