@@ -74,7 +74,6 @@ final class MinKState(val k: Int) {
     if (size < k) { ids(size) = id; shs(size) = sh; size += 1; siftUp(size - 1) }
     else if (k > 0 && id < ids(0)) { ids(0) = id; shs(0) = sh; siftDown() }
   }
-  def insert(id: Long, sh: Long): Unit = { total += 1; offer(id, sh) }
 }
 
 case class CollectMinK(idExpr: Expression, shExpr: Expression, k: Int,
@@ -100,11 +99,16 @@ case class CollectMinK(idExpr: Expression, shExpr: Expression, k: Int,
   override def createAggregationBuffer(): MinKState = new MinKState(k)
 
   override def update(b: MinKState, input: InternalRow): MinKState = {
+    // `n` is the TRUE group size including null members — the
+    // count(lit(1)) this aggregate replaced counted every keyed row,
+    // and the over-cap sentinel keys off `n`, so a bucket straddling
+    // the cap only via null-fingerprint rows must still trip it.
+    // Null members stay out of the heap (as collect_list dropped them).
+    b.total += 1
     val id = idExpr.eval(input)
     val sh = shExpr.eval(input)
-    // null members never made it into the old collect_list either
     if (id != null && sh != null)
-      b.insert(id.asInstanceOf[Long], sh.asInstanceOf[Long])
+      b.offer(id.asInstanceOf[Long], sh.asInstanceOf[Long])
     b
   }
 

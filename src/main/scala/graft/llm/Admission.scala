@@ -81,8 +81,10 @@ object Admission {
       .where(!coalesce(col("__in_batch"), lit(false)) || col("o") < col("d"))
       .select(col("d")).distinct()
       .withColumn("__nd", lit(true))
+    // probe ids are long — cast the audit side explicitly (an implicit
+    // string==long comparison goes through double and can misflag)
     exact
-      .join(broadcast(ndFlag), col(idCol) === col("d"), "left")
+      .join(broadcast(ndFlag), col(idCol).cast("long") === col("d"), "left")
       .withColumn("near_dup", coalesce(col("__nd"), lit(false)))
       .withColumn("admitted",
         col("gate_pass") && !col("exact_dup") && !col("near_dup"))
@@ -123,10 +125,12 @@ object Admission {
     val img = touchFlag(imageFps, batchImageFp, "img")
     val aud = touchFlag(audioFps, batchAudioFp, "aud")
     // both flag sets are batch-bounded → broadcast, never a shuffle of
-    // the audit side
+    // the audit side. The probe ids are long (the fingerprint builders
+    // cast the doc id), so cast the audit side explicitly — an implicit
+    // string==long comparison can null out and silently drop flags.
     auditWithFps(seen, batch, idCol, textCol, index, fps, threshold)
-      .join(broadcast(img), col(idCol) === col("__img_id"), "left")
-      .join(broadcast(aud), col(idCol) === col("__aud_id"), "left")
+      .join(broadcast(img), col(idCol).cast("long") === col("__img_id"), "left")
+      .join(broadcast(aud), col(idCol).cast("long") === col("__aud_id"), "left")
       .withColumn("image_dup", coalesce(col("__img"), lit(false)))
       .withColumn("audio_dup", coalesce(col("__aud"), lit(false)))
       .withColumn("admitted",

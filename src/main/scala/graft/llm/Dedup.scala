@@ -903,21 +903,40 @@ object Dedup {
   // One conf-isolated loop session per caller session (weak keys: a
   // dropped caller session releases its clone), reused across
   // [[connectedComponents]] invocations — see the memoization comment
-  // inside. Idempotent: a loop session maps to itself, so the
+  // inside. Idempotent: a loop session maps to its own record, so the
   // quotient-recursion path (whose frames are rooted ON the clone)
   // never stacks clone-of-clone sessions, each of which would pay the
-  // first-use setup again.
-  private val loopSessions = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
-  private def loopSession(orig: org.apache.spark.sql.SparkSession)
-      : org.apache.spark.sql.SparkSession = loopSessions.synchronized {
-    if (loopSessions.containsValue(orig)) orig
-    else {
-      var c = loopSessions.get(orig)
-      if (c == null) { c = orig.newSession(); loopSessions.put(orig, c) }
-      c
-    }
+  // first-use setup again — and, because the lock is reentrant, the
+  // recursive frame re-acquires the lock its outer frame holds.
+  // The lock serializes conf-sync + loop on the shared clone: without
+  // it, a second concurrent invocation's getAll copy could replay a
+  // caller conf change (ANSI, timezone) into the first invocation's
+  // running loop. A contended entry falls back to a fresh clone —
+  // pays the one-time executor-side setup, never waits, never races.
+  // `synced` records the caller conf keys mirrored onto the clone at
+  // the last entry, so a key the caller has since UNSET is unset on
+  // the clone too instead of lingering forever (guarded by `lock`).
+  private final class LoopClone(val sess: org.apache.spark.sql.SparkSession) {
+    val lock = new java.util.concurrent.locks.ReentrantLock()
+    var synced: Set[String] = Set.empty
   }
+  private val loopSessions = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession, LoopClone]()
+  private def loopClone(orig: org.apache.spark.sql.SparkSession): LoopClone =
+    loopSessions.synchronized {
+      import scala.jdk.CollectionConverters._
+      loopSessions.values.asScala.find(_.sess eq orig).getOrElse {
+        var c = loopSessions.get(orig)
+        if (c == null) { c = new LoopClone(orig.newSession()); loopSessions.put(orig, c) }
+        c
+      }
+    }
+  // test-only window onto the memoized clone's conf (the clone is
+  // otherwise unobservable — its staleness rules need a direct pin)
+  private[graft] def loopSessionConf(orig: org.apache.spark.sql.SparkSession,
+                                     key: String): Option[String] =
+    Option(loopSessions.synchronized(loopSessions.get(orig)))
+      .flatMap(r => Option(r.sess.conf.get(key, null)))
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           driverThreshold: Long = 250000): DataFrame = {
@@ -972,8 +991,29 @@ object Dedup {
     // caller's session; caching is shared, so the finally-block
     // unpersists work unchanged.
     val origSess = e.sparkSession
-    val sess = loopSession(origSess)
-    origSess.conf.getAll.foreach { case (k, v) =>
+    val rec = loopClone(origSess)
+    // tryLock, never wait: a contended entry (another CC invocation on
+    // the same caller session is mid-loop on the shared clone) gets a
+    // FRESH clone — it pays the one-time executor-side session setup
+    // but cannot replay this caller's conf into the running loop, and
+    // the running loop cannot leak its width into this one. The
+    // recursion path re-enters on the same thread (reentrant lock).
+    val memoized = rec.lock.tryLock()
+    val sess = if (memoized) rec.sess else origSess.newSession()
+    val origAll = origSess.conf.getAll
+    if (memoized) {
+      // keys a prior sync mirrored that the caller has since unset:
+      // unset them on the clone too (falls back to the shared
+      // SparkConf defaults the caller also sees) — a diff-copy alone
+      // never removes clone-only keys, so e.g. an ANSI flag the caller
+      // set once would otherwise stay on the clone forever
+      (rec.synced -- origAll.keySet).foreach { k =>
+        try sess.conf.unset(k)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      rec.synced = origAll.keySet
+    }
+    origAll.foreach { case (k, v) =>
       if (sess.conf.get(k, null) != v)
         try sess.conf.set(k, v)
         catch { case scala.util.control.NonFatal(_) => () }
@@ -1236,6 +1276,7 @@ object Dedup {
     finally {
       if (bidir ne null) bidir.unpersist()
       if (seed ne null) seed.unpersist()
+      if (memoized) rec.lock.unlock()
     }
   }
 

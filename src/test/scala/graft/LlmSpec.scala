@@ -308,6 +308,49 @@ class LlmSpec extends AnyFunSuite {
       "caller-session conf changed across the CC invocation")
   }
 
+  test("connectedComponents conf sync unsets keys the caller dropped") {
+    // the memoized clone mirrors the caller's runtime conf at entry;
+    // a key the caller set during one invocation and later UNSET must
+    // not linger on the clone (diff-copy alone never removes keys)
+    val key = "spark.graft.test.ccStaleKey"
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    spark.conf.set(key, "set-by-caller")
+    try {
+      Dedup.connectedComponents(edges, driverThreshold = 0).collect()
+      assert(Dedup.loopSessionConf(spark, key).contains("set-by-caller"),
+        "sync should mirror the caller key onto the clone")
+    } finally spark.conf.unset(key)
+    Dedup.connectedComponents(edges, driverThreshold = 0).collect()
+    assert(Dedup.loopSessionConf(spark, key).isEmpty,
+      "clone kept a conf key the caller unset")
+  }
+
+  test("concurrent connectedComponents on one session both label correctly") {
+    // two overlapping CC invocations on the SAME caller session: the
+    // second entry must not wait on or race the first's loop conf —
+    // it falls back to a fresh clone. Both must converge correctly.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val n = 20000L
+    val chainA = spark.range(1, n).select(($"id" - 1).as("src"), $"id".as("dst"))
+    // disjoint id space for B so a cross-labeled row would be loud
+    val chainB = spark.range(1, n)
+      .select(($"id" - 1 + 1000000L).as("src"), ($"id" + 1000000L).as("dst"))
+    val futA = Future {
+      Dedup.connectedComponents(chainA, driverThreshold = 0)
+        .as[(Long, Long)].collect()
+    }
+    val futB = Future {
+      Dedup.connectedComponents(chainB, driverThreshold = 0)
+        .as[(Long, Long)].collect()
+    }
+    val a = Await.result(futA, 300.seconds)
+    val b = Await.result(futB, 300.seconds)
+    assert(a.length == n.toInt && a.forall(_._2 == 0L))
+    assert(b.length == n.toInt && b.forall(_._2 == 1000000L))
+  }
+
   test("connectedComponents accepts edges rooted in caller temp views and spark.sql text") {
     // the loop runs on a conf-isolated clone whose catalog has no temp
     // views — the rebase must carry the RESOLVED plan across (an
@@ -496,6 +539,31 @@ class LlmSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"),
       s"expected ObjectHashAggregate:\n$plan")
+  }
+
+  test("CollectMinK counts null members in n but keeps them out of the heap") {
+    // the count(lit(1)) this aggregate replaced counted EVERY keyed
+    // row — the over-cap sentinel keys off n, so a bucket straddling
+    // the cap only via null-fingerprint rows must still trip it
+    import org.apache.spark.sql.Row
+    val k = 3
+    val df = Seq[(Long, java.lang.Long, java.lang.Long)](
+      // group 1: 2 real members + 3 null rows → n=5 (> k) though only
+      // 2 heap entries
+      (1L, 10L, 100L), (1L, 11L, 101L),
+      (1L, null, null), (1L, 12L, null), (1L, null, 102L),
+      // group 2: k real members exactly
+      (2L, 20L, 200L), (2L, 21L, 201L), (2L, 22L, 202L)
+    ).toDF("g", "id", "sh").repartition(5)
+    val got = df.groupBy($"g")
+      .agg(graft.functions.BoundedMinK.collect_min_k($"id", $"sh", k).as("mk"))
+      .select($"g", $"mk.ms", $"mk.n")
+      .collect().map(r => (r.getLong(0),
+        (r.getSeq[Row](1).map(x => (x.getLong(0), x.getLong(1))), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((Seq((10L, 100L), (11L, 101L)), 5L)),
+      s"group 1 mismatch: ${got(1L)}")
+    assert(got(2L) == ((Seq((20L, 200L), (21L, 201L), (22L, 202L)), 3L)))
   }
 
   test("hammingProbeTouch equals brute-force membership under the monotone rule") {

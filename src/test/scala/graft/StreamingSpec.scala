@@ -820,6 +820,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("auditMultimodalWithFps media flags survive a string id column") {
+    // caller-typed doc ids (numeric strings) must not null out the
+    // long-keyed media probe joins — the join casts explicitly
+    import graft.llm.{Admission, Dedup}
+    val seen = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus text about spark aggregation"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      ("100", "one fresh arriving document with its own unique words"),
+      ("101", "another fresh arriving document carrying different words"),
+      ("102", "a third clean arriving document nothing matches it at all"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(seen, "doc_id", "text")
+    val fps = seen.select(graft.llm.TextStats.fingerprint($"text").as("fp"))
+    val imageFps = Seq((1L, 0L)).toDF("id", "sh")
+    val audioFps = Seq((2L, -1L)).toDF("id", "sh")
+    val batchImageFp = Seq((100L, 3L)).toDF("id", "sh")   // hamming 2 from store
+    val batchAudioFp = Seq((101L, -2L)).toDF("id", "sh")  // hamming 1 from store
+    val got = Admission.auditMultimodalWithFps(seen, batch, "doc_id",
+        "text", index, fps, imageFps, audioFps, batchImageFp, batchAudioFp)
+      .select($"doc_id", $"image_dup", $"audio_dup")
+      .as[(String, Boolean, Boolean)].collect()
+      .map { case (k, i, a) => (k, (i, a)) }.toMap
+    assert(got("100") == ((true, false)), s"got $got")
+    assert(got("101") == ((false, true)), s"got $got")
+    assert(got("102") == ((false, false)), s"got $got")
+  }
+
   test("multimodal admission service: kill-resume microbatch audits == one-shot multimodal audit") {
     import graft.llm.{Admission, Dedup, Multimodal}
     val d = Tables.documents(spark, SparkTestBase.sf)
