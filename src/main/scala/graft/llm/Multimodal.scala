@@ -177,8 +177,46 @@ object Multimodal {
     * the per-family slope and offset terms decorrelate different
     * families' wrap-line bit patterns. Pure integer arithmetic — the
     * q80 DuckDB oracle replays it term for term. */
-  private[graft] def synthGray(id: Long, x: Int, y: Int): Int = {
-    val fam = id / 100L
+  private[graft] def synthGray(id: Long, x: Int, y: Int): Int =
+    grayFromFam(id / 100L, id, x, y)
+
+  /** Family key of the SPARSE media fixtures
+    * ([[syntheticImageTableSparse]] / [[syntheticAudioTableSparse]]):
+    * docs whose 100-wide id block lands on `phase` (mod 4) keep the
+    * block family — they have ~99 near partners, like the dense
+    * fixture — while every other doc gets a SINGLETON key derived from
+    * its own id, so its backbone decorrelates from everything else's
+    * (measured min cross-family fingerprint distance is 6-9, far above
+    * small probe thresholds). Giving image and audio DIFFERENT phases
+    * makes the two modalities' partnered sets DISJOINT — the
+    * discriminating fixture the all-flagged dense one isn't: a known
+    * ~25% minority of any batch has a near partner per modality, and
+    * the modalities disagree on which docs.
+    *
+    * The singleton domain (10^9 + id mod (2^31−1)) is disjoint from
+    * block families (id/100 stays below 10^9 for every fixture in the
+    * repo — GenScaleDocs ids top out near 9·10^10) and keeps
+    * fam·2654435761 < 2^63, the kernels' no-overflow contract
+    * (fam ≤ 10^9 + 2^31 < 3.3·10^9). At driver scale factors ids sit
+    * below 2^31, so the mod reduction is the identity and singleton
+    * keys are collision-free; on replicated scale fixtures a
+    * wraparound collision needs an id gap of exactly k·(2^31−1) —
+    * immaterial for a timing fixture, and the SQL oracle replays the
+    * rule exactly either way. Pure integer arithmetic (//, %, CASE). */
+  private[graft] def sparseFam(id: Long, phase: Long): Long =
+    if (Math.floorMod(id / 100L, 4L) == phase) id / 100L
+    else 1000000000L + Math.floorMod(id, 2147483647L)
+
+  /** [[sparseFam]] phase of each sparse modality — distinct, so the
+    * partnered block sets (and hence the media-dup flags) are disjoint
+    * between image and audio. */
+  private[graft] val SparseImagePhase = 0L
+  private[graft] val SparseAudioPhase = 2L
+
+  private[graft] def synthGraySparse(id: Long, x: Int, y: Int): Int =
+    grayFromFam(sparseFam(id, SparseImagePhase), id, x, y)
+
+  private def grayFromFam(fam: Long, id: Long, x: Int, y: Int): Int = {
     // per-pixel PSEUDO-RANDOM parity keyed by the family, through a
     // murmur-style xor-shift-multiply avalanche over a Mersenne-prime
     // domain — every step stays under 2^63 and uses only %, *, xor,
@@ -206,7 +244,12 @@ object Multimodal {
     * [[synthGray]] — every pixel BGR = (g, g, g), so channel-sum
     * grayscale is 3g and every perceptual-hash comparison reduces to
     * comparing g, which the SQL oracle recomputes from id alone. */
-  private[graft] def syntheticBmp(id: Long): Array[Byte] = {
+  private[graft] def syntheticBmpSparse(id: Long): Array[Byte] =
+    syntheticBmp(id, synthGraySparse)
+
+  private[graft] def syntheticBmp(
+      id: Long,
+      gray: (Long, Int, Int) => Int = synthGray): Array[Byte] = {
     def putLeInt(b: Array[Byte], off: Int, v: Int): Unit = {
       b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
       b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
@@ -228,7 +271,7 @@ object Multimodal {
       val fileRow = h - 1 - yImg
       var x = 0
       while (x < w) {
-        val g = synthGray(id, x, yImg).toByte
+        val g = gray(id, x, yImg).toByte
         val o = 54 + fileRow * rowStride + x * 3
         b(o) = g; b(o + 1) = g; b(o + 2) = g
         x += 1
@@ -245,6 +288,19 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("media_id")).as[Long]
       .mapPartitions(_.map(id => (id, syntheticBmp(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** The SPARSE image fixture ([[sparseFam]]): only ids in every
+    * fourth 100-wide block (phase [[SparseImagePhase]]) share a family
+    * backbone — a known ~25% minority has near partners; everyone else
+    * is a singleton. Discriminates admission selectivity where the
+    * dense fixture flags every doc. */
+  def syntheticImageTableSparse(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticBmpSparse(id))))
       .toDF("media_id", "payload")
   }
 
@@ -279,8 +335,13 @@ object Multimodal {
     * replays it exactly and cliques stay BOUNDED at the family width
     * under corpus replication (the q80 scale argument, verbatim).
     * Values are {200, 1000} + bump 500 — positive, far under 2^15. */
-  private[graft] def synthSample(id: Long, i: Int): Int = {
-    val fam = id / 100L
+  private[graft] def synthSample(id: Long, i: Int): Int =
+    sampleFromFam(id / 100L, id, i)
+
+  private[graft] def synthSampleSparse(id: Long, i: Int): Int =
+    sampleFromFam(sparseFam(id, SparseAudioPhase), id, i)
+
+  private def sampleFromFam(fam: Long, id: Long, i: Int): Int = {
     val par = {
       var v = Math.floorMod(fam * 2654435761L + (i + 1L) * 48271L,
         2147483647L)
@@ -300,7 +361,12 @@ object Multimodal {
     * [[synthSample]] — strict 44-byte header (RIFF/WAVE, "fmt " PCM16,
     * "data" with exact length), so the fingerprint kernel's decode
     * contract holds and any external WAV reader accepts the file. */
-  private[graft] def syntheticPcmWav(id: Long): Array[Byte] = {
+  private[graft] def syntheticPcmWavSparse(id: Long): Array[Byte] =
+    syntheticPcmWav(id, synthSampleSparse)
+
+  private[graft] def syntheticPcmWav(
+      id: Long,
+      sample: (Long, Int) => Int = synthSample): Array[Byte] = {
     def putLeInt(b: Array[Byte], off: Int, v: Int): Unit = {
       b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
       b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
@@ -326,7 +392,7 @@ object Multimodal {
     putLeInt(b, 40, dataLen)
     var i = 0
     while (i < n) {
-      putLeShort(b, 44 + i * 2, synthSample(id, i) & 0xFFFF)
+      putLeShort(b, 44 + i * 2, sample(id, i) & 0xFFFF)
       i += 1
     }
     b
@@ -339,6 +405,18 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("media_id")).as[Long]
       .mapPartitions(_.map(id => (id, syntheticPcmWav(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** The SPARSE audio fixture — [[syntheticImageTableSparse]]'s twin
+    * at phase [[SparseAudioPhase]], so the audio-partnered block set is
+    * DISJOINT from the image-partnered one and the two modalities
+    * disagree on which docs have near partners. */
+  def syntheticAudioTableSparse(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPcmWavSparse(id))))
       .toDF("media_id", "payload")
   }
 

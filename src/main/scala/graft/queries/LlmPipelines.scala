@@ -1263,11 +1263,19 @@ object LlmPipelines {
   /** DuckDB replica of [[graft.llm.Multimodal.synthGray]] for pixel
     * (x, y) of doc `id`'s synthetic 9×8 image — every coefficient
     * folded to a literal so the oracle is pure integer arithmetic. */
-  private def q80Gray(x: Int, y: Int): String = {
+  /** The [[graft.llm.Multimodal.sparseFam]] rule in DuckDB SQL — the
+    * sparse fixtures' family key (ids are nonnegative, so `%` == the
+    * kernel's floorMod). */
+  private def sparseFamSql(phase: Long): String =
+    s"(CASE WHEN (id // 100) % 4 = $phase THEN id // 100 " +
+      "ELSE 1000000000 + id % 2147483647 END)"
+
+  private def q80Gray(x: Int, y: Int,
+                      fam: String = "(id // 100)"): String = {
     // murmur-style avalanche over the family id, term-for-term the
     // Scala kernel (Multimodal.synthGray) — xor/shift/multiply/mod
     // only, every intermediate under 2^63
-    val seed = s"((id // 100) * 2654435761 + ${(9 * y + x + 1) * 40503L})"
+    val seed = s"($fam * 2654435761 + ${(9 * y + x + 1) * 40503L})"
     val v0 = s"($seed % 2147483647)"
     val v1 = s"(xor($v0, $v0 >> 15) * 2246822519 % 2147483647)"
     val v2 = s"(xor($v1, $v1 >> 13) * 3266489917 % 2147483647)"
@@ -1855,8 +1863,9 @@ object LlmPipelines {
   /** DuckDB replica of [[graft.llm.Multimodal.synthSample]] for sample
     * `i` of doc `id`'s synthetic PCM stream — every coefficient folded
     * to a literal, same avalanche style as [[q80Gray]]. */
-  private def q84Sample(i: Int): String = {
-    val seed = s"((id // 100) * 2654435761 + ${(i + 1) * 48271L})"
+  private def q84Sample(i: Int,
+                        fam: String = "(id // 100)"): String = {
+    val seed = s"($fam * 2654435761 + ${(i + 1) * 48271L})"
     val v0 = s"($seed % 2147483647)"
     val v1 = s"(xor($v0, $v0 >> 15) * 2246822519 % 2147483647)"
     val v2 = s"(xor($v1, $v1 >> 13) * 3266489917 % 2147483647)"
@@ -3230,19 +3239,61 @@ object LlmPipelines {
     },
     Some(q103Oracle))
 
+  /** q103 on the DISCRIMINATING sparse media fixture (round-13 verdict
+    * directive #3): [[graft.llm.Multimodal.syntheticImageTableSparse]]
+    * / [[graft.llm.Multimodal.syntheticAudioTableSparse]] give near
+    * partners to a known ~25% minority of docs per modality, at
+    * DISJOINT block phases — so this query pins admission SELECTIVITY
+    * by modality (each media flag marks a strict minority of the
+    * batch, and image/audio disagree on which docs), where the dense
+    * q103 fixture media-flags every batch doc and the oracle's
+    * agreement certifies only the all-flagged corner. Same audit plan
+    * as q103; same generated oracle body with the sparse family keys
+    * ([[sparseFamSql]]). */
+  val q104 = QueryDef(
+    "q104_multimodal_admission_sparse",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val imgs = graft.llm.Multimodal.syntheticImageTableSparse(
+          d.select(col("doc_id")), "doc_id")
+        .select(col("media_id").as("__iid"), col("payload").as("img"))
+      val wavs = graft.llm.Multimodal.syntheticAudioTableSparse(
+          d.select(col("doc_id")), "doc_id")
+        .select(col("media_id").as("__aid"), col("payload").as("wav"))
+      val full = d.select(col("doc_id"), col("text"))
+        .join(imgs, col("doc_id") === col("__iid")).drop("__iid")
+        .join(wavs, col("doc_id") === col("__aid")).drop("__aid")
+      val batch = full.where(col("doc_id") % 10 === 7)
+      val corpus = full.where(col("doc_id") % 10 =!= 7)
+      val index = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+      graft.llm.Admission.auditMultimodal(corpus, batch, "doc_id",
+          "text", "img", "wav", index)
+        .orderBy(col("doc_id"))
+    },
+    Some(multimodalAdmissionOracle(
+      sparseFamSql(graft.llm.Multimodal.SparseImagePhase),
+      sparseFamSql(graft.llm.Multimodal.SparseAudioPhase))))
+
   /** The q103 oracle, GENERATED: q98's text-leg CTEs (gate / exact /
     * batch-touching exact-Jaccard near-dup) verbatim, plus the q80
     * dHash and q84 energy-gradient bit tables ([[q80Gray]] /
     * [[q84Sample]]) joined all-pairs at Hamming <= 7 and restricted by
     * the same monotone rule as the text near-dup CTE. */
-  private def q103Oracle: String = {
+  private def q103Oracle: String = multimodalAdmissionOracle(
+    "(id // 100)", "(id // 100)")
+
+  /** The q103/q104 oracle body, parameterized by each media modality's
+    * family-key SQL (dense `(id // 100)` for q103; the
+    * [[sparseFamSql]] phases for q104's discriminating fixture). */
+  private def multimodalAdmissionOracle(imgFam: String,
+                                        audFam: String): String = {
     val hash =
       """list_reduce(list_prepend(CAST(7 AS BIGINT),
         |      list_transform(generate_series(1, CAST(length(g) AS INTEGER)),
         |        i -> CAST(ord(substr(g, i, 1)) AS BIGINT))),
         |      (acc, c) -> (acc*31 + c) % 2147483647)""".stripMargin
     val pixCols = (for (y <- 0 until 8; x <- 0 until 9)
-      yield s"${q80Gray(x, y)} AS p${y * 9 + x}").mkString(",\n    ")
+      yield s"${q80Gray(x, y, imgFam)} AS p${y * 9 + x}").mkString(",\n    ")
     val dhBits = (0 until 64).map { k =>
       val x = k % 8; val y = k / 8
       s"(p${y * 9 + x} > p${y * 9 + x + 1}) AS db$k"
@@ -3250,7 +3301,7 @@ object LlmPipelines {
     val dhHam = (0 until 64).map(k =>
       s"CASE WHEN a.db$k <> b.db$k THEN 1 ELSE 0 END").mkString(" +\n      ")
     val sampleCols = (0 until 144).map(i =>
-      s"${q84Sample(i)} AS s$i").mkString(",\n    ")
+      s"${q84Sample(i, audFam)} AS s$i").mkString(",\n    ")
     val energyCols = (0 until 72).map(k =>
       s"(s${2 * k}*s${2 * k} + s${2 * k + 1}*s${2 * k + 1}) AS e$k")
       .mkString(",\n    ")
@@ -3372,5 +3423,5 @@ object LlmPipelines {
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-      q95, q96, q97, q98, q99, q100, q101, q102, q103)
+      q95, q96, q97, q98, q99, q100, q101, q102, q103, q104)
 }

@@ -1,0 +1,139 @@
+package graft.tools
+
+import graft.core.{Sessions, Tables}
+import graft.llm.{Dedup, Multimodal}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev probe backing the q101 PERCOLATION-MITIGATION SCALE.md row
+  * (round-13 verdict directive #2): the 5M-doc composed freeze
+  * measured 2228.8 s with CC diameter-bound at 262 s because the
+  * fixture's collision graph percolates at Hamming ≤ 7 (widest
+  * component 3.0M of 5M — rare cross-family collisions chain the 50k
+  * width-100 families; measured min cross-family dHash distance is
+  * 6-9, mean ~23). The round-13 analysis NAMED the production
+  * mitigations (tighter threshold, capped banding) but ran neither on
+  * the percolating fixture. This probe turns that paragraph into a
+  * measurement, on the dominant (image) leg:
+  *
+  *  - `baseline_h7`: maxHamming=7, cap off — the percolating shape,
+  *    re-measured side-by-side (pairs, cross-family bridge pairs, CC
+  *    wall, component-width distribution).
+  *  - `capped_h7`: maxHamming=7, maxBucketSize=20 — the cap bounds
+  *    per-bucket pair volume (width-100 family buckets emit C(20,2)
+  *    not C(100,2); loud sentinels witness every capped bucket) but
+  *    CANNOT un-percolate: bridge buckets are width-2 and survive any
+  *    sane cap, so the giant component persists. The cap is the
+  *    executor-memory/volume guard, not the percolation fix.
+  *  - `tight_h3`: maxHamming=3, cap off, identical geometry (blocks=9,
+  *    keyBlocks=2 — pigeonhole needs keyBlocks ≤ blocks−maxHamming, so
+  *    the 36-combo key expansion is unchanged and the measured delta
+  *    is the threshold alone) — cross-family bridges need distance ≤ 3
+  *    against a measured minimum of 6, so the graph falls back to
+  *    bounded family cliques and CC is shallow again.
+  *
+  * Then the COMPOSED three-modality freeze (q101's exact plan shape)
+  * re-runs with maxHamming=3 on both media legs, for the side-by-side
+  * against the 2228.8 s uncapped row. Noop forcing throughout. */
+object ProbeQ101Mit {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/repo/testdata-sf100docs")
+    val s = Sessions.build("probe-q101mit")
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def t(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"STAGE $name%-28s $sec%8.2f s"); sec
+    }
+    val d = Tables.documents(s, dir)
+    println(s"docs=${d.count()} dir=$dir")
+    val imgs = Multimodal.syntheticImageTable(d.select(col("doc_id")),
+      "doc_id")
+
+    def leg(name: String, maxHamming: Int, cap: Int,
+            runCc: Boolean): Unit = {
+      var out: DataFrame = null
+      t(s"$name pairs gen") {
+        out = graft.core.Caching.eager(Multimodal.imageNearDupPairs(
+          imgs, "media_id", "payload", blocks = 9,
+          maxHamming = maxHamming, keyBlocks = 2, maxBucketSize = cap))
+      }
+      val acct = out.agg(
+        sum(when(col("id_a") >= 0, 1L).otherwise(0L)).as("pairs"),
+        sum(when(col("id_a") < 0, 1L).otherwise(0L)).as("sentinels"),
+        sum(when(col("id_a") >= 0 &&
+          expr("id_a DIV 100") =!= expr("id_b DIV 100"), 1L).otherwise(0L))
+          .as("bridges")).collect()(0)
+      println(s"$name pairs=${acct.getLong(0)} sentinels=${acct.getLong(1)} " +
+        s"cross_family_bridges=${acct.getLong(2)}")
+      if (runCc) {
+        val edges = out.where(col("id_a") >= 0)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        var cc: DataFrame = null
+        t(s"$name CC") {
+          cc = graft.core.Caching.eager(Dedup.connectedComponents(edges))
+        }
+        val stats = cc.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("components"), max(col("n")).as("widest"),
+            avg(col("n")).as("mean_width")).collect()(0)
+        println(s"$name components=${stats.getLong(0)} " +
+          s"widest=${stats.getLong(1)} " +
+          f"mean=${stats.getDouble(2)}%.1f")
+        cc.unpersist()
+      }
+      out.unpersist()
+    }
+
+    leg("baseline_h7", maxHamming = 7, cap = 0, runCc = true)
+    leg("capped_h7_cap20", maxHamming = 7, cap = 20, runCc = true)
+    leg("tight_h3", maxHamming = 3, cap = 0, runCc = true)
+
+    // the composed three-modality freeze, q101's exact plan shape,
+    // with the tight threshold on both media legs — the side-by-side
+    // for SCALE.md's 2228.8 s uncapped row
+    def droppedIds(edges: DataFrame, as: String): DataFrame =
+      Dedup.connectedComponents(edges)
+        .where(col("id") =!= col("cluster_id"))
+        .select(col("id").as(as))
+    t("composed freeze h3 media") {
+      val textDrop = droppedIds(
+        Dedup.minhashNearDupPairs(d, "doc_id", "text",
+            threshold = 0.8, shingleN = 2, bands = 16, rows = 4)
+          .select(col("id_a").as("src"), col("id_b").as("dst")), "__tid")
+      val imgDrop = droppedIds(
+        Multimodal.imageNearDupPairs(
+            Multimodal.syntheticImageTable(
+              d.select(col("doc_id")), "doc_id"), "media_id", "payload",
+            maxHamming = 3)
+          .select(col("id_a").as("src"), col("id_b").as("dst")), "__iid")
+      val audDrop = droppedIds(
+        Multimodal.audioNearDupPairs(
+            Multimodal.syntheticAudioTable(
+              d.select(col("doc_id")), "doc_id"), "media_id", "payload",
+            maxHamming = 3)
+          .select(col("id_a").as("src"), col("id_b").as("dst")), "__aid")
+      noop(d.join(textDrop, col("doc_id") === col("__tid"), "left")
+        .join(imgDrop, col("doc_id") === col("__iid"), "left")
+        .join(audDrop, col("doc_id") === col("__aid"), "left")
+        .withColumn("__t", col("__tid").isNotNull)
+        .withColumn("__i", col("__iid").isNotNull)
+        .withColumn("__a", col("__aid").isNotNull)
+        .withColumn("__adm", !col("__t") && !col("__i") && !col("__a"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__t").cast("long")).as("text_dropped"),
+          sum(col("__i").cast("long")).as("image_dropped"),
+          sum(col("__a").cast("long")).as("audio_dropped"),
+          sum(col("__adm").cast("long")).as("admitted"),
+          sum(when(col("__adm"), col("doc_id")).otherwise(lit(0L)))
+            .cast("long").as("admitted_id_sum"),
+          sum(when(col("__adm"), col("n_chars")).otherwise(lit(0L)))
+            .cast("long").as("admitted_chars"))
+        .orderBy(col("source")))
+    }
+    s.stop()
+  }
+}

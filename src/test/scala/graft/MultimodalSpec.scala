@@ -506,4 +506,48 @@ class MultimodalSpec extends AnyFunSuite {
       .where($"id_a" === 9999L || $"id_b" === 9999L).count()
     assert(gotJunk == 0L)
   }
+
+  test("sparse media fixture: minority partnered, modalities disjoint, exact recall") {
+    import graft.functions.{AudioFingerprint, PerceptualHash}
+    // 12 blocks of 100 ids: image-partnered blocks are phase 0 (0,4,8),
+    // audio-partnered phase 2 (2,6,10) — disjoint by construction
+    val ids = (0L until 1200L).toSeq
+    val imgs = ids.toDF("doc_id")
+      .transform(Multimodal.syntheticImageTableSparse(_, "doc_id"))
+    val wavs = ids.toDF("doc_id")
+      .transform(Multimodal.syntheticAudioTableSparse(_, "doc_id"))
+    val gotImg = Multimodal.imageNearDupPairs(imgs, "media_id", "payload")
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val gotAud = Multimodal.audioNearDupPairs(wavs, "media_id", "payload")
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    // exact recall vs driver-side brute force of the sparse kernels
+    val iHash = ids.map(id =>
+      id -> PerceptualHash.dhash64(Multimodal.syntheticBmpSparse(id))).toMap
+    val aHash = ids.map(id =>
+      id -> AudioFingerprint.fp64(Multimodal.syntheticPcmWavSparse(id))).toMap
+    def brute(h: Map[Long, Long]) = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(h(a) ^ h(b)) if d <= 7
+    } yield (a, b, d)).toSet
+    assert(gotImg == brute(iHash))
+    assert(gotAud == brute(aHash))
+    // each modality's partnered ids are a strict minority, confined to
+    // that modality's phase blocks, and the two modalities DISAGREE
+    def touched(p: Set[(Long, Long, Int)]) = p.flatMap(t => Seq(t._1, t._2))
+    val (ti, ta) = (touched(gotImg), touched(gotAud))
+    assert(ti.nonEmpty && ta.nonEmpty)
+    assert(ti.size <= ids.size / 3 && ta.size <= ids.size / 3,
+      s"minority contract: img=${ti.size} aud=${ta.size} of ${ids.size}")
+    assert(ti.forall(id => (id / 100) % 4 == Multimodal.SparseImagePhase))
+    assert(ta.forall(id => (id / 100) % 4 == Multimodal.SparseAudioPhase))
+    assert(ti.intersect(ta).isEmpty, "modalities must disagree")
+    // sparse and dense fixtures AGREE on partnered blocks' payloads —
+    // the sparse fixture only rewrites the singleton majority
+    val inPhase = ids.filter(id => (id / 100) % 4 == 0)
+    assert(inPhase.forall(id =>
+      java.util.Arrays.equals(Multimodal.syntheticBmpSparse(id),
+        Multimodal.syntheticBmp(id))))
+  }
 }
