@@ -213,8 +213,35 @@ object Multimodal {
   private[graft] val SparseImagePhase = 0L
   private[graft] val SparseAudioPhase = 2L
 
+  /** Sparse image gray: partnered blocks keep the DENSE kernel
+    * bit-for-bit (so their near-dup structure is q80's); singleton ids
+    * get CONTINUOUS gray levels (30 + avalanche % 100) instead of the
+    * binary {30,130} backbone. The continuous levels matter at scale:
+    * binary levels make the dHash comparison bits BIASED
+    * (P(bit)=¼ — a tie compares false), so two singleton backbones sit
+    * at expected Hamming 24 with enough variance that a 5M-doc corpus
+    * gives each singleton a ~50% chance of an accidental ≤7 partner
+    * (measured: 81% of batch docs image-flagged in the first sparse
+    * 5M sweep). Near-uniform levels make the comparison fair
+    * (P ≈ ½, ties ~1%), pushing the accidental-pair probability to
+    * ~5·10⁻¹⁰ — a known strict minority stays a minority at 10⁷ docs. */
   private[graft] def synthGraySparse(id: Long, x: Int, y: Int): Int =
-    grayFromFam(sparseFam(id, SparseImagePhase), id, x, y)
+    if (Math.floorMod(id / 100L, 4L) == SparseImagePhase)
+      grayFromFam(id / 100L, id, x, y)
+    else
+      (30L + avalanche(sparseFam(id, SparseImagePhase),
+        (9L * y + x + 1L) * 40503L) % 100L).toInt
+
+  /** The murmur-style xor-shift-multiply avalanche over a
+    * Mersenne-prime domain shared by every synthetic-media kernel —
+    * pure %, *, xor, >> with intermediates under 2^63 (fam must stay
+    * below ~3.4·10⁹), so ANSI SQL replays it term for term. */
+  private def avalanche(fam: Long, c: Long): Long = {
+    var v = Math.floorMod(fam * 2654435761L + c, 2147483647L)
+    v = Math.floorMod((v ^ (v >> 15)) * 2246822519L, 2147483647L)
+    v = Math.floorMod((v ^ (v >> 13)) * 3266489917L, 2147483647L)
+    v ^ (v >> 16)
+  }
 
   private def grayFromFam(fam: Long, id: Long, x: Int, y: Int): Int = {
     // per-pixel PSEUDO-RANDOM parity keyed by the family, through a
@@ -338,8 +365,16 @@ object Multimodal {
   private[graft] def synthSample(id: Long, i: Int): Int =
     sampleFromFam(id / 100L, id, i)
 
+  /** Sparse audio sample — [[synthGraySparse]]'s reasoning verbatim:
+    * partnered blocks keep the dense kernel; singletons get continuous
+    * levels (200 + avalanche % 800) so their energy-gradient bits are
+    * fair and accidental ≤7 partners stay negligible at 10⁷ docs. */
   private[graft] def synthSampleSparse(id: Long, i: Int): Int =
-    sampleFromFam(sparseFam(id, SparseAudioPhase), id, i)
+    if (Math.floorMod(id / 100L, 4L) == SparseAudioPhase)
+      sampleFromFam(id / 100L, id, i)
+    else
+      (200L + avalanche(sparseFam(id, SparseAudioPhase),
+        (i + 1L) * 48271L) % 800L).toInt
 
   private def sampleFromFam(fam: Long, id: Long, i: Int): Int = {
     val par = {

@@ -1263,19 +1263,45 @@ object LlmPipelines {
   /** DuckDB replica of [[graft.llm.Multimodal.synthGray]] for pixel
     * (x, y) of doc `id`'s synthetic 9×8 image — every coefficient
     * folded to a literal so the oracle is pure integer arithmetic. */
-  /** The [[graft.llm.Multimodal.sparseFam]] rule in DuckDB SQL — the
-    * sparse fixtures' family key (ids are nonnegative, so `%` == the
-    * kernel's floorMod). */
-  private def sparseFamSql(phase: Long): String =
-    s"(CASE WHEN (id // 100) % 4 = $phase THEN id // 100 " +
-      "ELSE 1000000000 + id % 2147483647 END)"
+  /** Pixel gray of the SPARSE image fixture in DuckDB SQL
+    * ([[graft.llm.Multimodal.synthGraySparse]] term for term):
+    * partnered blocks (id//100 ≡ SparseImagePhase mod 4) replay the
+    * dense [[q80Gray]]; singletons replay the continuous-level kernel
+    * (30 + avalanche(1e9 + id mod M) % 100, no bump — fair comparison
+    * bits, see the Scala kernel's scaladoc). Ids are nonnegative, so
+    * `%` == the kernel's floorMod. */
+  private def q80GraySparse(x: Int, y: Int): String = {
+    val seed = s"((1000000000 + id % 2147483647) * 2654435761 + " +
+      s"${(9 * y + x + 1) * 40503L})"
+    val v0 = s"($seed % 2147483647)"
+    val v1 = s"(xor($v0, $v0 >> 15) * 2246822519 % 2147483647)"
+    val v2 = s"(xor($v1, $v1 >> 13) * 3266489917 % 2147483647)"
+    val sing = s"(30 + xor($v2, $v2 >> 16) % 100)"
+    s"(CASE WHEN (id // 100) % 4 = " +
+      s"${graft.llm.Multimodal.SparseImagePhase} THEN ${q80Gray(x, y)} " +
+      s"ELSE $sing END)"
+  }
 
-  private def q80Gray(x: Int, y: Int,
-                      fam: String = "(id // 100)"): String = {
+  /** PCM sample of the SPARSE audio fixture in DuckDB SQL — the
+    * [[q80GraySparse]] construction at [[q84Sample]]'s seed constants,
+    * singletons at continuous 200 + avalanche % 800. */
+  private def q84SampleSparse(i: Int): String = {
+    val seed = s"((1000000000 + id % 2147483647) * 2654435761 + " +
+      s"${(i + 1) * 48271L})"
+    val v0 = s"($seed % 2147483647)"
+    val v1 = s"(xor($v0, $v0 >> 15) * 2246822519 % 2147483647)"
+    val v2 = s"(xor($v1, $v1 >> 13) * 3266489917 % 2147483647)"
+    val sing = s"(200 + xor($v2, $v2 >> 16) % 800)"
+    s"(CASE WHEN (id // 100) % 4 = " +
+      s"${graft.llm.Multimodal.SparseAudioPhase} THEN ${q84Sample(i)} " +
+      s"ELSE $sing END)"
+  }
+
+  private def q80Gray(x: Int, y: Int): String = {
     // murmur-style avalanche over the family id, term-for-term the
     // Scala kernel (Multimodal.synthGray) — xor/shift/multiply/mod
     // only, every intermediate under 2^63
-    val seed = s"($fam * 2654435761 + ${(9 * y + x + 1) * 40503L})"
+    val seed = s"((id // 100) * 2654435761 + ${(9 * y + x + 1) * 40503L})"
     val v0 = s"($seed % 2147483647)"
     val v1 = s"(xor($v0, $v0 >> 15) * 2246822519 % 2147483647)"
     val v2 = s"(xor($v1, $v1 >> 13) * 3266489917 % 2147483647)"
@@ -1863,9 +1889,8 @@ object LlmPipelines {
   /** DuckDB replica of [[graft.llm.Multimodal.synthSample]] for sample
     * `i` of doc `id`'s synthetic PCM stream — every coefficient folded
     * to a literal, same avalanche style as [[q80Gray]]. */
-  private def q84Sample(i: Int,
-                        fam: String = "(id // 100)"): String = {
-    val seed = s"($fam * 2654435761 + ${(i + 1) * 48271L})"
+  private def q84Sample(i: Int): String = {
+    val seed = s"((id // 100) * 2654435761 + ${(i + 1) * 48271L})"
     val v0 = s"($seed % 2147483647)"
     val v1 = s"(xor($v0, $v0 >> 15) * 2246822519 % 2147483647)"
     val v2 = s"(xor($v1, $v1 >> 13) * 3266489917 % 2147483647)"
@@ -3271,8 +3296,7 @@ object LlmPipelines {
         .orderBy(col("doc_id"))
     },
     Some(multimodalAdmissionOracle(
-      sparseFamSql(graft.llm.Multimodal.SparseImagePhase),
-      sparseFamSql(graft.llm.Multimodal.SparseAudioPhase))))
+      q80GraySparse(_, _), q84SampleSparse(_))))
 
   /** The q103 oracle, GENERATED: q98's text-leg CTEs (gate / exact /
     * batch-touching exact-Jaccard near-dup) verbatim, plus the q80
@@ -3280,20 +3304,21 @@ object LlmPipelines {
     * [[q84Sample]]) joined all-pairs at Hamming <= 7 and restricted by
     * the same monotone rule as the text near-dup CTE. */
   private def q103Oracle: String = multimodalAdmissionOracle(
-    "(id // 100)", "(id // 100)")
+    q80Gray(_, _), q84Sample(_))
 
   /** The q103/q104 oracle body, parameterized by each media modality's
-    * family-key SQL (dense `(id // 100)` for q103; the
-    * [[sparseFamSql]] phases for q104's discriminating fixture). */
-  private def multimodalAdmissionOracle(imgFam: String,
-                                        audFam: String): String = {
+    * per-pixel / per-sample SQL generator (dense [[q80Gray]] /
+    * [[q84Sample]] for q103; the sparse CASE forms for q104's
+    * discriminating fixture). */
+  private def multimodalAdmissionOracle(
+      imgPix: (Int, Int) => String, audSample: Int => String): String = {
     val hash =
       """list_reduce(list_prepend(CAST(7 AS BIGINT),
         |      list_transform(generate_series(1, CAST(length(g) AS INTEGER)),
         |        i -> CAST(ord(substr(g, i, 1)) AS BIGINT))),
         |      (acc, c) -> (acc*31 + c) % 2147483647)""".stripMargin
     val pixCols = (for (y <- 0 until 8; x <- 0 until 9)
-      yield s"${q80Gray(x, y, imgFam)} AS p${y * 9 + x}").mkString(",\n    ")
+      yield s"${imgPix(x, y)} AS p${y * 9 + x}").mkString(",\n    ")
     val dhBits = (0 until 64).map { k =>
       val x = k % 8; val y = k / 8
       s"(p${y * 9 + x} > p${y * 9 + x + 1}) AS db$k"
@@ -3301,7 +3326,7 @@ object LlmPipelines {
     val dhHam = (0 until 64).map(k =>
       s"CASE WHEN a.db$k <> b.db$k THEN 1 ELSE 0 END").mkString(" +\n      ")
     val sampleCols = (0 until 144).map(i =>
-      s"${q84Sample(i, audFam)} AS s$i").mkString(",\n    ")
+      s"${audSample(i)} AS s$i").mkString(",\n    ")
     val energyCols = (0 until 72).map(k =>
       s"(s${2 * k}*s${2 * k} + s${2 * k + 1}*s${2 * k + 1}) AS e$k")
       .mkString(",\n    ")

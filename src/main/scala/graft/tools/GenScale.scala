@@ -64,6 +64,22 @@ object GenScale {
     val KeyOff  = 10000000L  // disjoint id ranges per replica
     val DayOff  = 3650       // whole-epoch date shift per replica
 
+    // LOUD guard against chaining GenScale onto its own output: the
+    // replica offsets are k*KeyOff, so a second application's ranges
+    // COLLIDE with the first's (replica 1 of input-replica 0 == input
+    // replica 1 → duplicate ids, 10-wide id stacks, media fixtures
+    // with 1000-"wide" pseudo-families). Scale further by raising
+    // `replicas` on the ORIGINAL input instead (e.g. sf0.1 ×100 for an
+    // sf10-equivalent) — one application keeps every range disjoint.
+    locally {
+      val maxId = Tables.documents(spark, inDir)
+        .agg(max(col("doc_id"))).collect()(0).getLong(0)
+      require(maxId < KeyOff,
+        s"input $inDir already has replica-offset ids (max doc_id = " +
+          s"$maxId >= $KeyOff): GenScale must not be applied to its own " +
+          "output — raise `replicas` on the original fixture instead")
+    }
+
     write(replicate(Tables.orders(spark, inDir)) { (df, k) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(k * KeyOff))
         .withColumn("o_orderdate", col("o_orderdate") + expr(s"INTERVAL ${k * DayOff} DAYS"))

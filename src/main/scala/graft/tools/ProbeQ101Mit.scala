@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   *    wall, component-width distribution).
   *  - `capped_h7`: maxHamming=7, maxBucketSize=20 — the cap bounds
   *    per-bucket pair volume (width-100 family buckets emit C(20,2)
-  *    not C(100,2); loud sentinels witness every capped bucket) but
-  *    CANNOT un-percolate: bridge buckets are width-2 and survive any
-  *    sane cap, so the giant component persists. The cap is the
-  *    executor-memory/volume guard, not the percolation fix.
+  *    not C(100,2); loud sentinels witness every capped bucket).
+  *    MEASURED effect on percolation at 5M: bridges collapse too
+  *    (8.15M → 928) because cross-family collisions materialize
+  *    inside MIXED over-cap buckets (two families sharing clean key
+  *    blocks land in one ~200-member bucket, and the 20 kept lowest
+  *    ids are usually one family's) — but that same truncation
+  *    fragments legitimate family cliques (widest component 64, mean
+  *    2.8 vs the true width 100), i.e. the cap is a declared-recall
+  *    volume guard, not a semantics-preserving percolation fix.
   *  - `tight_h3`: maxHamming=3, cap off, identical geometry (blocks=9,
   *    keyBlocks=2 — pigeonhole needs keyBlocks ≤ blocks−maxHamming, so
   *    the 36-combo key expansion is unchanged and the measured delta
@@ -52,13 +57,18 @@ object ProbeQ101Mit {
     val imgs = Multimodal.syntheticImageTable(d.select(col("doc_id")),
       "doc_id")
 
+    // args select legs by name (default: all four + the composed run)
+    def want(name: String): Boolean = args.isEmpty || args.contains(name)
+
     def leg(name: String, maxHamming: Int, cap: Int,
-            runCc: Boolean): Unit = {
+            runCc: Boolean, blocks: Int = 9, keyBlocks: Int = 2): Unit = {
+      if (!want(name)) return
       var out: DataFrame = null
       t(s"$name pairs gen") {
         out = graft.core.Caching.eager(Multimodal.imageNearDupPairs(
-          imgs, "media_id", "payload", blocks = 9,
-          maxHamming = maxHamming, keyBlocks = 2, maxBucketSize = cap))
+          imgs, "media_id", "payload", blocks = blocks,
+          maxHamming = maxHamming, keyBlocks = keyBlocks,
+          maxBucketSize = cap))
       }
       val acct = out.agg(
         sum(when(col("id_a") >= 0, 1L).otherwise(0L)).as("pairs"),
@@ -90,15 +100,32 @@ object ProbeQ101Mit {
     leg("baseline_h7", maxHamming = 7, cap = 0, runCc = true)
     leg("capped_h7_cap20", maxHamming = 7, cap = 20, runCc = true)
     leg("tight_h3", maxHamming = 3, cap = 0, runCc = true)
+    // the threshold mitigation COMPOSES with a geometry retune: h≤3
+    // needs only 1 clean block of 4 by pigeonhole, so blocks=4 /
+    // keyBlocks=1 is still exhaustive and cuts the map-side key
+    // expansion from C(9,2)=36 combos to 4 — attacking the pair-gen
+    // term the composed freeze is actually bound by
+    leg("tight_h3_b4k1", maxHamming = 3, cap = 0, runCc = true,
+      blocks = 4, keyBlocks = 1)
 
     // the composed three-modality freeze, q101's exact plan shape,
     // with the tight threshold on both media legs — the side-by-side
     // for SCALE.md's 2228.8 s uncapped row
+    // composed freeze variants: "composed" = h≤3 media at the default
+    // 9/2 geometry; "composed_b4k1" = h≤3 at the retuned 4/1 geometry
+    // (exhaustive for h≤3, 4 probe keys instead of 36)
+    val composedGeom =
+      if (want("composed_b4k1") && args.contains("composed_b4k1")) Some((4, 1))
+      else if (want("composed") && (args.isEmpty || args.contains("composed")))
+        Some((9, 2))
+      else None
+    if (composedGeom.isEmpty) { s.stop(); return }
+    val (cB, cK) = composedGeom.get
     def droppedIds(edges: DataFrame, as: String): DataFrame =
       Dedup.connectedComponents(edges)
         .where(col("id") =!= col("cluster_id"))
         .select(col("id").as(as))
-    t("composed freeze h3 media") {
+    t(s"composed freeze h3 media b${cB}k$cK") {
       val textDrop = droppedIds(
         Dedup.minhashNearDupPairs(d, "doc_id", "text",
             threshold = 0.8, shingleN = 2, bands = 16, rows = 4)
@@ -107,13 +134,13 @@ object ProbeQ101Mit {
         Multimodal.imageNearDupPairs(
             Multimodal.syntheticImageTable(
               d.select(col("doc_id")), "doc_id"), "media_id", "payload",
-            maxHamming = 3)
+            blocks = cB, maxHamming = 3, keyBlocks = cK)
           .select(col("id_a").as("src"), col("id_b").as("dst")), "__iid")
       val audDrop = droppedIds(
         Multimodal.audioNearDupPairs(
             Multimodal.syntheticAudioTable(
               d.select(col("doc_id")), "doc_id"), "media_id", "payload",
-            maxHamming = 3)
+            blocks = cB, maxHamming = 3, keyBlocks = cK)
           .select(col("id_a").as("src"), col("id_b").as("dst")), "__aid")
       noop(d.join(textDrop, col("doc_id") === col("__tid"), "left")
         .join(imgDrop, col("doc_id") === col("__iid"), "left")

@@ -1093,6 +1093,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(compStore == plainStore, "index store diverged under compaction")
   }
 
+  test("multimodal admission compaction: audits and all five stores identical with and without compactStore") {
+    import graft.llm.{Admission, Dedup, Multimodal}
+    // ids spread x10 across five 100-wide blocks so the SPARSE media
+    // fixtures' phases (image blocks = 0 mod 4, audio = 2 mod 4) are
+    // all populated at this SF; batch = original id % 10 == 7
+    val d = Tables.documents(spark, SparkTestBase.sf)
+      .select(($"doc_id" * 10).as("doc_id"), $"text")
+    def withMedia(df: DataFrame): DataFrame = {
+      val imgs = Multimodal.syntheticImageTableSparse(
+          df.select($"doc_id"), "doc_id")
+        .select($"media_id".as("__iid"), $"payload".as("img"))
+      val wavs = Multimodal.syntheticAudioTableSparse(
+          df.select($"doc_id"), "doc_id")
+        .select($"media_id".as("__aid"), $"payload".as("wav"))
+      df.select($"doc_id", $"text")
+        .join(imgs, $"doc_id" === $"__iid").drop("__iid")
+        .join(wavs, $"doc_id" === $"__aid").drop("__aid")
+    }
+    val full = withMedia(d)
+    val corpus = full.where($"doc_id" % 100 =!= 70)
+    val all = full.where($"doc_id" % 100 === 70).orderBy($"doc_id")
+    val ids = all.select($"doc_id").as[Long].collect()
+    val parts = (0 until 4).map { i =>
+      val lo = ids(i * ids.length / 4)
+      val hi = if (i == 3) Long.MaxValue else ids((i + 1) * ids.length / 4)
+      all.where($"doc_id" >= lo && $"doc_id" < hi)
+    }
+
+    type Audit = (Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)
+    def run(compact: Boolean)
+        : (Seq[Audit], Set[(Long, Long)], Set[(Long, Long)]) = {
+      val root = Files.createTempDirectory("graft_mm_compact")
+      val (seen, index, fps, imgFp, audFp, audit) =
+        (s"$root/seen", s"$root/index", s"$root/fps",
+          s"$root/imgfp", s"$root/audfp", s"$root/audit")
+      try {
+        corpus.select($"doc_id", $"text").write.parquet(s"$seen/mb_init")
+        Dedup.minhashBandIndex(corpus, "doc_id", "text")
+          .write.parquet(s"$index/mb_init")
+        corpus.select(graft.llm.TextStats.fingerprint($"text").as("fp"))
+          .write.parquet(s"$fps/mb_init")
+        corpus.select($"doc_id".cast("long").as("id"),
+            graft.functions.PerceptualHash.d_hash($"img").as("sh"))
+          .where($"sh".isNotNull).write.parquet(s"$imgFp/mb_init")
+        corpus.select($"doc_id".cast("long").as("id"),
+            graft.functions.AudioFingerprint.audio_fp($"wav").as("sh"))
+          .where($"sh".isNotNull).write.parquet(s"$audFp/mb_init")
+        parts.zipWithIndex.foreach { case (p, i) =>
+          Admission.processMultimodalMicroBatch(p, i.toLong, "doc_id",
+            "text", "img", "wav", seen, index, fps, imgFp, audFp, audit)
+          if (compact && i == 2) {
+            // fold mb_init + mb_0..mb_1 in ALL FIVE stores (safeBelow =
+            // the current batch id, so replayable mb_2 stays unfolded)
+            Seq(seen, index, fps, imgFp, audFp)
+              .foreach(Admission.compactStore(spark, _, 2L))
+            // crash-replay of batch 2 AFTER compaction stays idempotent
+            Admission.processMultimodalMicroBatch(parts(2), 2L, "doc_id",
+              "text", "img", "wav", seen, index, fps, imgFp, audFp, audit)
+          }
+        }
+        val audits = spark.read.option("recursiveFileLookup", "true")
+          .parquet(audit)
+          .select($"doc_id", $"gate_pass", $"exact_dup", $"near_dup",
+            $"image_dup", $"audio_dup", $"admitted")
+          .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+          .collect().toSeq.sortBy(_._1)
+        def fpStore(dir: String) =
+          spark.read.option("recursiveFileLookup", "true").parquet(dir)
+            .select($"id", $"sh").as[(Long, Long)].collect().toSet
+        (audits, fpStore(imgFp), fpStore(audFp))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+    val (plainAudit, plainImg, plainAud) = run(compact = false)
+    val (compAudit, compImg, compAud) = run(compact = true)
+    assert(plainAudit.nonEmpty && plainAudit.map(_._1).distinct.size ==
+      plainAudit.size)
+    assert(compAudit == plainAudit,
+      s"audits diverged under compaction: " +
+        s"${compAudit.diff(plainAudit).take(5)}")
+    assert(compImg == plainImg, "image-fp store diverged under compaction")
+    assert(compAud == plainAud, "audio-fp store diverged under compaction")
+    // the sparse fixture discriminates here too: each media flag marks
+    // a nonempty strict minority, and the two modalities disagree
+    val img = plainAudit.filter(_._5).map(_._1).toSet
+    val aud = plainAudit.filter(_._6).map(_._1).toSet
+    assert(img.nonEmpty && img.size < plainAudit.size)
+    assert(aud.nonEmpty && aud.size < plainAudit.size)
+    assert(img.intersect(aud).isEmpty, "modalities must disagree")
+  }
+
   test("compaction fold-then-crash window: store stays complete, recovery loses nothing, crashed generation never reused") {
     import graft.llm.{Admission, Dedup}
     import org.apache.hadoop.fs.Path
