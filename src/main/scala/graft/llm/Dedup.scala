@@ -502,7 +502,12 @@ object Dedup {
     * Sizing: keyBlocks·(64/blocks) should land near log2(n) — e.g.
     * blocks=9, maxHamming=7 forces keyBlocks ≤ 2; 36 combinations of
     * ~15-bit keys hold bucket sizes flat to n ≈ 10^6-10^7 where the
-    * single-block form saturated at 2^8 buckets by n ≈ 10^5.
+    * single-block form saturated at 2^8 buckets by n ≈ 10^5. Size the
+    * combination count to the threshold you ACTUALLY run, not the
+    * loosest one you might: at maxHamming=3, blocks=4/keyBlocks=1 is
+    * still exhaustive with 4 probe keys instead of 36, and the
+    * round-14 5M measurement (ProbeQ101Mit, SCALE.md) shows pair
+    * generation dropping 19× with bit-identical output.
     *
     * `maxBucketSize` (0 = OFF, the default — exhaustiveness by
     * pigeonhole is this operator's contract): pair volume is quadratic

@@ -507,6 +507,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(gotJunk == 0L)
   }
 
+  test("Hamming banding geometry retune: blocks=4/keyBlocks=1 == blocks=9/keyBlocks=2 at h<=3") {
+    // the SCALE.md round-14 claim, pinned: for maxHamming=3 the narrow
+    // geometry (4 probe keys) is still exhaustive by pigeonhole and
+    // must emit EXACTLY the wide geometry's pairs
+    val ids = (0L until 600L).toSeq
+    val imgs = ids.toDF("doc_id")
+      .transform(Multimodal.syntheticImageTable(_, "doc_id"))
+    def pairs(blocks: Int, keyBlocks: Int) =
+      Multimodal.imageNearDupPairs(imgs, "media_id", "payload",
+          blocks = blocks, maxHamming = 3, keyBlocks = keyBlocks)
+        .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+        .collect().toSet
+    val wide = pairs(9, 2)
+    val narrow = pairs(4, 1)
+    assert(wide.nonEmpty)
+    assert(narrow == wide,
+      s"geometries diverged: ${narrow.diff(wide).take(3)} vs ${wide.diff(narrow).take(3)}")
+  }
+
   test("sparse media fixture: minority partnered, modalities disjoint, exact recall") {
     import graft.functions.{AudioFingerprint, PerceptualHash}
     // 12 blocks of 100 ids: image-partnered blocks are phase 0 (0,4,8),
