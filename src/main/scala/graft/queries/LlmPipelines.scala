@@ -3019,9 +3019,16 @@ object LlmPipelines {
     * the q80/q84 bit tables (via [[q80Gray]]/[[q84Sample]]), each
     * closed under its own recursive min-label reachability, rolled up
     * per source. */
-  private def q101Oracle: String = {
+  private def q101Oracle: String =
+    multimodalFreezeOracle(q80Gray(_, _), q84Sample(_))
+
+  /** The q101/q105 oracle body, parameterized by each media modality's
+    * per-pixel / per-sample SQL generator — exactly the
+    * [[multimodalAdmissionOracle]] convention. */
+  private def multimodalFreezeOracle(
+      imgPix: (Int, Int) => String, audSample: Int => String): String = {
     val pixCols = (for (y <- 0 until 8; x <- 0 until 9)
-      yield s"${q80Gray(x, y)} AS p${y * 9 + x}").mkString(",\n    ")
+      yield s"${imgPix(x, y)} AS p${y * 9 + x}").mkString(",\n    ")
     val dhBits = (0 until 64).map { k =>
       val x = k % 8; val y = k / 8
       s"(p${y * 9 + x} > p${y * 9 + x + 1}) AS db$k"
@@ -3029,7 +3036,7 @@ object LlmPipelines {
     val dhHam = (0 until 64).map(k =>
       s"CASE WHEN a.db$k <> b.db$k THEN 1 ELSE 0 END").mkString(" +\n      ")
     val sampleCols = (0 until 144).map(i =>
-      s"${q84Sample(i)} AS s$i").mkString(",\n    ")
+      s"${audSample(i)} AS s$i").mkString(",\n    ")
     val energyCols = (0 until 72).map(k =>
       s"(s${2 * k}*s${2 * k} + s${2 * k + 1}*s${2 * k + 1}) AS e$k")
       .mkString(",\n    ")
@@ -3298,6 +3305,61 @@ object LlmPipelines {
     Some(multimodalAdmissionOracle(
       q80GraySparse(_, _), q84SampleSparse(_))))
 
+  /** q101's full-modality freeze on the SPARSE discriminating fixture
+    * — the q104 story at the one-shot freeze: with the dense media
+    * tables q101 drops ~99% of every doc's media family (all-flagged),
+    * so its oracle never certified per-modality freeze SELECTIVITY.
+    * Here a known ~25% block minority per modality carries families
+    * (disjoint image/audio phases), so image_dropped / audio_dropped
+    * each mark a strict, modality-disagreeing minority and `admitted`
+    * is dominated by the text leg plus the two sparse media legs'
+    * disjoint cuts. Same plan shape as q101; generated oracle with the
+    * sparse family keys. */
+  val q105 = QueryDef(
+    "q105_multimodal_freeze_sparse",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      def droppedIds(edges: org.apache.spark.sql.DataFrame,
+                     as: String): org.apache.spark.sql.DataFrame =
+        Dedup.connectedComponents(edges)
+          .where(col("id") =!= col("cluster_id"))
+          .select(col("id").as(as))
+      val textDrop = droppedIds(
+        Dedup.minhashNearDupPairs(d, "doc_id", "text",
+            threshold = 0.8, shingleN = 2, bands = 16, rows = 4)
+          .select(col("id_a").as("src"), col("id_b").as("dst")), "__tid")
+      val imgDrop = droppedIds(
+        graft.llm.Multimodal.imageNearDupPairs(
+            graft.llm.Multimodal.syntheticImageTableSparse(
+              d.select(col("doc_id")), "doc_id"), "media_id", "payload")
+          .select(col("id_a").as("src"), col("id_b").as("dst")), "__iid")
+      val audDrop = droppedIds(
+        graft.llm.Multimodal.audioNearDupPairs(
+            graft.llm.Multimodal.syntheticAudioTableSparse(
+              d.select(col("doc_id")), "doc_id"), "media_id", "payload")
+          .select(col("id_a").as("src"), col("id_b").as("dst")), "__aid")
+      d.join(textDrop, col("doc_id") === col("__tid"), "left")
+        .join(imgDrop, col("doc_id") === col("__iid"), "left")
+        .join(audDrop, col("doc_id") === col("__aid"), "left")
+        .withColumn("__t", col("__tid").isNotNull)
+        .withColumn("__i", col("__iid").isNotNull)
+        .withColumn("__a", col("__aid").isNotNull)
+        .withColumn("__adm", !col("__t") && !col("__i") && !col("__a"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__t").cast("long")).as("text_dropped"),
+          sum(col("__i").cast("long")).as("image_dropped"),
+          sum(col("__a").cast("long")).as("audio_dropped"),
+          sum(col("__adm").cast("long")).as("admitted"),
+          sum(when(col("__adm"), col("doc_id")).otherwise(lit(0L)))
+            .cast("long").as("admitted_id_sum"),
+          sum(when(col("__adm"), col("n_chars")).otherwise(lit(0L)))
+            .cast("long").as("admitted_chars"))
+        .orderBy(col("source"))
+    },
+    Some(multimodalFreezeOracle(
+      q80GraySparse(_, _), q84SampleSparse(_))))
+
   /** The q103 oracle, GENERATED: q98's text-leg CTEs (gate / exact /
     * batch-touching exact-Jaccard near-dup) verbatim, plus the q80
     * dHash and q84 energy-gradient bit tables ([[q80Gray]] /
@@ -3448,5 +3510,5 @@ object LlmPipelines {
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-      q95, q96, q97, q98, q99, q100, q101, q102, q103, q104)
+      q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105)
 }
