@@ -436,4 +436,35 @@ class PropertySpec extends AnyFunSuite {
     }
     forAll(mutGen, n = 120)(check)
   }
+
+  test("sparseFam: singleton keys never collide with block families and respect the overflow bound") {
+    import graft.llm.Multimodal
+    // ids across every fixture regime in the repo: driver SFs (< 2^31),
+    // GenScale replicas (+k*1e7), GenScaleDocs replicas (+k*1e10)
+    val idGen = for {
+      base <- Gen.chooseNum(0L, 5000000L)
+      j <- Gen.chooseNum(0, 99)
+      k <- Gen.chooseNum(0, 9)
+    } yield base + j * 10000000L + k * 10000000000L
+    val pair = for { a <- idGen; b <- idGen; p <- Gen.oneOf(0L, 2L) }
+      yield (a, b, p)
+    forAll(pair, n = 400) { case (a, b, phase) =>
+      val (fa, fb) = (Multimodal.sparseFam(a, phase),
+        Multimodal.sparseFam(b, phase))
+      for ((id, f) <- Seq((a, fa), (b, fb))) {
+        val partnered = Math.floorMod(id / 100L, 4L) == phase
+        // domain split: block fams < 1e9, singletons >= 1e9; and the
+        // kernels' fam*2654435761 < 2^63 no-overflow contract holds
+        assert(if (partnered) f == id / 100L && f < 1000000000L
+               else f >= 1000000000L)
+        assert(f <= Long.MaxValue / 2654435761L,
+          s"avalanche seed would overflow for fam=$f")
+      }
+      // singleton keys are injective on ids at driver scale (< 2^31)
+      if (a != b && a < 2147483647L && b < 2147483647L &&
+          Math.floorMod(a / 100L, 4L) != phase &&
+          Math.floorMod(b / 100L, 4L) != phase)
+        assert(fa != fb, s"singleton collision: $a $b -> $fa")
+    }
+  }
 }
