@@ -1260,9 +1260,6 @@ object LlmPipelines {
            |FROM kept WHERE doc_id = keep_id
            |ORDER BY doc_id""".stripMargin))
 
-  /** DuckDB replica of [[graft.llm.Multimodal.synthGray]] for pixel
-    * (x, y) of doc `id`'s synthetic 9×8 image — every coefficient
-    * folded to a literal so the oracle is pure integer arithmetic. */
   /** Pixel gray of the SPARSE image fixture in DuckDB SQL
     * ([[graft.llm.Multimodal.synthGraySparse]] term for term):
     * partnered blocks (id//100 ≡ SparseImagePhase mod 4) replay the
@@ -1297,6 +1294,9 @@ object LlmPipelines {
       s"ELSE $sing END)"
   }
 
+  /** DuckDB replica of [[graft.llm.Multimodal.synthGray]] for pixel
+    * (x, y) of doc `id`'s synthetic 9×8 image — every coefficient
+    * folded to a literal so the oracle is pure integer arithmetic. */
   private def q80Gray(x: Int, y: Int): String = {
     // murmur-style avalanche over the family id, term-for-term the
     // Scala kernel (Multimodal.synthGray) — xor/shift/multiply/mod
@@ -3280,8 +3280,8 @@ object LlmPipelines {
     * batch, and image/audio disagree on which docs), where the dense
     * q103 fixture media-flags every batch doc and the oracle's
     * agreement certifies only the all-flagged corner. Same audit plan
-    * as q103; same generated oracle body with the sparse family keys
-    * ([[sparseFamSql]]). */
+    * as q103; same generated oracle body with the sparse per-pixel /
+    * per-sample kernels ([[q80GraySparse]] / [[q84SampleSparse]]). */
   val q104 = QueryDef(
     "q104_multimodal_admission_sparse",
     (s, dir) => {

@@ -72,12 +72,16 @@ object GenScale {
     // `replicas` on the ORIGINAL input instead (e.g. sf0.1 ×100 for an
     // sf10-equivalent) — one application keeps every range disjoint.
     locally {
-      val maxId = Tables.documents(spark, inDir)
-        .agg(max(col("doc_id"))).collect()(0).getLong(0)
-      require(maxId < KeyOff,
-        s"input $inDir already has replica-offset ids (max doc_id = " +
-          s"$maxId >= $KeyOff): GenScale must not be applied to its own " +
-          "output — raise `replicas` on the original fixture instead")
+      val row = Tables.documents(spark, inDir)
+        .agg(max(col("doc_id"))).collect()(0)
+      // An empty documents table has no ids to collide; skip the guard.
+      if (!row.isNullAt(0)) {
+        val maxId = row.getLong(0)
+        require(maxId < KeyOff,
+          s"input $inDir already has replica-offset ids (max doc_id = " +
+            s"$maxId >= $KeyOff): GenScale must not be applied to its own " +
+            "output — raise `replicas` on the original fixture instead")
+      }
     }
 
     write(replicate(Tables.orders(spark, inDir)) { (df, k) =>

@@ -113,19 +113,15 @@ object ProbeQ101Mit {
     // for SCALE.md's 2228.8 s uncapped row
     // composed freeze variants: "composed" = h≤3 media at the default
     // 9/2 geometry; "composed_b4k1" = h≤3 at the retuned 4/1 geometry
-    // (exhaustive for h≤3, 4 probe keys instead of 36)
-    val composedGeom =
-      if (want("composed_b4k1") && args.contains("composed_b4k1")) Some((4, 1))
-      else if (want("composed") && (args.isEmpty || args.contains("composed")))
-        Some((9, 2))
-      else None
-    if (composedGeom.isEmpty) { s.stop(); return }
-    val (cB, cK) = composedGeom.get
+    // (exhaustive for h≤3, 4 probe keys instead of 36). Each variant
+    // runs independently when its name is selected (both on empty
+    // args); passing both names runs both, sequentially.
     def droppedIds(edges: DataFrame, as: String): DataFrame =
       Dedup.connectedComponents(edges)
         .where(col("id") =!= col("cluster_id"))
         .select(col("id").as(as))
-    t(s"composed freeze h3 media b${cB}k$cK") {
+    def composedFreeze(cB: Int, cK: Int): Unit =
+      t(s"composed freeze h3 media b${cB}k$cK") {
       val textDrop = droppedIds(
         Dedup.minhashNearDupPairs(d, "doc_id", "text",
             threshold = 0.8, shingleN = 2, bands = 16, rows = 4)
@@ -161,6 +157,8 @@ object ProbeQ101Mit {
             .cast("long").as("admitted_chars"))
         .orderBy(col("source")))
     }
+    if (want("composed")) composedFreeze(9, 2)
+    if (want("composed_b4k1")) composedFreeze(4, 1)
     s.stop()
   }
 }
