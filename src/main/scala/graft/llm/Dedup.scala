@@ -482,6 +482,61 @@ object Dedup {
     hammingCandidatesFromFp(fp, bands, maxHamming, keyBlocks = 1)
   }
 
+  /** Banding geometry `(blocks, keyBlocks)` sized from the Hamming
+    * threshold alone — the measured round-14/15 dispatch rule,
+    * productized (SCALE.md): pick the FEWEST combination keys
+    * C(blocks, keyBlocks) that (a) stay EXHAUSTIVE by pigeonhole
+    * (`keyBlocks <= blocks - maxHamming`) and (b) keep the effective
+    * key width `keyBlocks * floor(64/blocks)` at or above
+    * `keyBitsFloor` bits. The floor is the saturation guard: an
+    * 8-bit key space (blocks=8/keyBlocks=1 at h≤7) has only 256
+    * buckets per combination, so bucket occupancy — and the candidate
+    * join's output — grows linearly in corpus size and pair
+    * generation goes quadratic regardless of true near-dup density
+    * (the q33/q80-sf10 failure class; the r15 decade curve in
+    * SCALE.md measures 8/1 overtaking 9/2's fixed 36-key cost well
+    * before the 10^6 decade). 14 bits — the 9/2 default's effective
+    * width, measured flat at 5M docs — covers the 10^6–10^7 decade;
+    * at substantially larger corpora raise the floor toward log2(n).
+    * Ties prefer the wider key. Examples: h=3 → (4, 1), 4 keys of 16
+    * bits — the measured 19× pair-gen win over 9/2 (SCALE.md r14);
+    * h=7 → (9, 2) — 8/1's 8-bit keys fail the floor. */
+  def autoGeometry(maxHamming: Int, keyBitsFloor: Int = 14): (Int, Int) = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming out of range: $maxHamming")
+    require(keyBitsFloor >= 1 && keyBitsFloor <= 64,
+      s"keyBitsFloor out of range: $keyBitsFloor")
+    var best = (0, 0)
+    var bestC = Long.MaxValue
+    var bestBits = -1
+    var blocks = maxHamming + 1
+    while (blocks <= 64) {
+      val width = 64 / blocks
+      var kb = 1
+      while (kb <= blocks - maxHamming) {
+        val bits = kb * width
+        if (bits >= keyBitsFloor) {
+          // running binomial product — exact (partial products of
+          // C(n,k) are integral), capped so it can't overflow
+          var c = 1L
+          var i = 0
+          while (i < kb && c <= 1000000L) {
+            c = c * (blocks - i) / (i + 1); i += 1
+          }
+          if (c < bestC || (c == bestC && bits > bestBits)) {
+            best = (blocks, kb); bestC = c; bestBits = bits
+          }
+        }
+        kb += 1
+      }
+      blocks += 1
+    }
+    require(best._1 != 0,
+      s"no exhaustive geometry with >= $keyBitsFloor key bits exists " +
+        s"for maxHamming=$maxHamming; lower the floor or the threshold")
+    best
+  }
+
   /** [[simhashCandidatesFromFp]] generalized to MULTI-BLOCK join keys
     * (Manku et al., WWW'07 §3 "block permutations", in join form) —
     * the fix for the fixed-key-space saturation that single-block
@@ -507,7 +562,10 @@ object Dedup {
     * loosest one you might: at maxHamming=3, blocks=4/keyBlocks=1 is
     * still exhaustive with 4 probe keys instead of 36, and the
     * round-14 5M measurement (ProbeQ101Mit, SCALE.md) shows pair
-    * generation dropping 19× with bit-identical output.
+    * generation dropping 19× with bit-identical output. Pass
+    * `blocks = 0, keyBlocks = 0` to let the operator size itself from
+    * `maxHamming` via [[autoGeometry]] — the measured dispatch rule,
+    * the recommended default.
     *
     * `maxBucketSize` (0 = OFF, the default — exhaustiveness by
     * pigeonhole is this operator's contract): pair volume is quadratic
@@ -526,6 +584,14 @@ object Dedup {
   def hammingCandidatesFromFp(fp: DataFrame, blocks: Int,
                               maxHamming: Int, keyBlocks: Int,
                               maxBucketSize: Int = 0): DataFrame = {
+    if (blocks == 0 || keyBlocks == 0) {
+      require(blocks == 0 && keyBlocks == 0,
+        s"auto-sizing takes BOTH blocks=0 and keyBlocks=0 (got " +
+          s"blocks=$blocks keyBlocks=$keyBlocks) — the two are sized " +
+          "jointly; override both or neither")
+      val (b, k) = autoGeometry(maxHamming)
+      return hammingCandidatesFromFp(fp, b, maxHamming, k, maxBucketSize)
+    }
     require(blocks >= 1 && blocks <= 64, s"blocks out of range: $blocks")
     require(maxHamming >= 0 && maxHamming < blocks,
       s"exhaustive only for hamming < blocks: blocks=$blocks maxHamming=$maxHamming")
@@ -649,11 +715,25 @@ object Dedup {
     * invoke this inside a `Caching.scoped` block spanning the
     * consuming action — the admission service entry points do — or
     * clearCache afterwards; otherwise each call leaks one batch-sized
-    * MEMORY_AND_DISK block. */
+    * MEMORY_AND_DISK block.
+    *
+    * Geometry defaults to [[autoGeometry]] (`blocks = keyBlocks = 0`)
+    * — (9, 2) at the default maxHamming=7, unchanged from the
+    * pre-auto behavior; a caller tightening the threshold now gets a
+    * matched geometry without reading the sizing scaladoc. */
   def hammingProbeTouch(storeFp: DataFrame, batchFp: DataFrame,
-                        blocks: Int = 9, maxHamming: Int = 7,
-                        keyBlocks: Int = 2,
+                        blocks: Int = 0, maxHamming: Int = 7,
+                        keyBlocks: Int = 0,
                         bruteBelow: Long = 2048): DataFrame = {
+    if (blocks == 0 || keyBlocks == 0) {
+      require(blocks == 0 && keyBlocks == 0,
+        s"auto-sizing takes BOTH blocks=0 and keyBlocks=0 (got " +
+          s"blocks=$blocks keyBlocks=$keyBlocks) — the two are sized " +
+          "jointly; override both or neither")
+      val (b, k) = autoGeometry(maxHamming)
+      return hammingProbeTouch(storeFp, batchFp, b, maxHamming, k,
+        bruteBelow)
+    }
     require(blocks >= 1 && blocks <= 64, s"blocks out of range: $blocks")
     require(maxHamming >= 0 && maxHamming < blocks,
       s"exhaustive only for hamming < blocks: blocks=$blocks maxHamming=$maxHamming")

@@ -337,14 +337,17 @@ object Multimodal {
     * payloads drop out as NULL), then the multi-block Hamming banding
     * ([[Dedup.hammingCandidatesFromFp]]) — EXHAUSTIVE for hamming <=
     * maxHamming by pigeonhole, one equi-join keyed on (combination,
-    * key bits), never all-pairs. Defaults (blocks=9, keyBlocks=2 →
-    * C(9,2)=36 probe keys of ~15 bits) hold bucket occupancy flat
-    * well past 10^6 images, where the single-block 8-band form
+    * key bits), never all-pairs. Geometry defaults to
+    * [[Dedup.autoGeometry]] (`blocks = keyBlocks = 0`), which sizes
+    * the combination count to `maxHamming`: (9, 2) at the default
+    * h≤7 — C(9,2)=36 probe keys of ~15 bits, holding bucket occupancy
+    * flat well past 10^6 images where the single-block 8-band form
     * saturates its 2^8 buckets by ~10^5 (measured: q80 at sf10 went
-    * quadratic, 391 s). Output: (id_a, id_b, hamming). */
+    * quadratic, 391 s) — and (4, 1) at h≤3, the measured 19× pair-gen
+    * win (SCALE.md r14/r15). Output: (id_a, id_b, hamming). */
   def imageNearDupPairs(media: DataFrame, idCol: String,
-                        payloadCol: String, blocks: Int = 9,
-                        maxHamming: Int = 7, keyBlocks: Int = 2,
+                        payloadCol: String, blocks: Int = 0,
+                        maxHamming: Int = 7, keyBlocks: Int = 0,
                         maxBucketSize: Int = 0): DataFrame = {
     val fp = graft.core.Caching.eager(media.select(
         col(idCol).cast("long").as("id"),
@@ -461,10 +464,11 @@ object Multimodal {
     * (non-PCM16 payloads drop out as NULL), then the SAME multi-block
     * Hamming banding, exhaustive for hamming <= maxHamming by
     * pigeonhole, one equi-join keyed on (combination, key bits), never
-    * all-pairs. */
+    * all-pairs. Geometry defaults to [[Dedup.autoGeometry]] sizing,
+    * as in [[imageNearDupPairs]]. */
   def audioNearDupPairs(media: DataFrame, idCol: String,
-                        payloadCol: String, blocks: Int = 9,
-                        maxHamming: Int = 7, keyBlocks: Int = 2,
+                        payloadCol: String, blocks: Int = 0,
+                        maxHamming: Int = 7, keyBlocks: Int = 0,
                         maxBucketSize: Int = 0): DataFrame = {
     val fp = graft.core.Caching.eager(media.select(
         col(idCol).cast("long").as("id"),

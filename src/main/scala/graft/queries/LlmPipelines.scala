@@ -1377,17 +1377,18 @@ object LlmPipelines {
       import graft.functions.PerceptualHash
       val imgs = graft.llm.Multimodal.syntheticImageTable(
         Tables.documents(s, dir).select(col("doc_id")), "doc_id")
-      // fused variant of Multimodal.imageNearDupPairs (same banding
-      // geometry — keep the two in sync): one fingerprint pass yields
-      // BOTH hashes, which the helper's dHash-only contract cannot;
-      // undecodable payloads drop before the cache like the helper
+      // fused variant of Multimodal.imageNearDupPairs (blocks=0 →
+      // the same auto-sized banding geometry, so the two stay in sync
+      // by construction): one fingerprint pass yields BOTH hashes,
+      // which the helper's dHash-only contract cannot; undecodable
+      // payloads drop before the cache like the helper
       val fp = graft.core.Caching.eager(imgs.select(
         col("media_id").as("id"),
         PerceptualHash.d_hash(col("payload")).as("sh"),
         PerceptualHash.a_hash(col("payload")).as("ah"))
         .where(col("sh").isNotNull))
       Dedup.hammingCandidatesFromFp(fp.select(col("id"), col("sh")),
-          blocks = 9, maxHamming = 7, keyBlocks = 2)
+          blocks = 0, maxHamming = 7, keyBlocks = 0)
         .join(fp.select(col("id").as("id_a"), col("ah").as("ah_a")), "id_a")
         .join(fp.select(col("id").as("id_b"), col("ah").as("ah_b")), "id_b")
         .select(col("id_a"), col("id_b"),

@@ -288,8 +288,8 @@ object EventStream {
     * `idleTimeout` past their last arrival. */
   def streamingImageNearDupCandidates(media: DataFrame, idCol: String,
                                       payloadCol: String, tsCol: String,
-                                      blocks: Int = 9, maxHamming: Int = 7,
-                                      keyBlocks: Int = 2,
+                                      blocks: Int = 0, maxHamming: Int = 7,
+                                      keyBlocks: Int = 0,
                                       maxBucketSize: Int = 500,
                                       watermark: String = "2 hours",
                                       idleTimeout: String = "24 hours"): DataFrame =
@@ -304,8 +304,8 @@ object EventStream {
     * sentinel, eviction) applies verbatim. */
   def streamingAudioNearDupCandidates(media: DataFrame, idCol: String,
                                       payloadCol: String, tsCol: String,
-                                      blocks: Int = 9, maxHamming: Int = 7,
-                                      keyBlocks: Int = 2,
+                                      blocks: Int = 0, maxHamming: Int = 7,
+                                      keyBlocks: Int = 0,
                                       maxBucketSize: Int = 500,
                                       watermark: String = "2 hours",
                                       idleTimeout: String = "24 hours"): DataFrame =
@@ -319,6 +319,17 @@ object EventStream {
                                       keyBlocks: Int, maxBucketSize: Int,
                                       watermark: String,
                                       idleTimeout: String): DataFrame = {
+    // blocks=0/keyBlocks=0 → the SAME auto-sizing as the batch twin
+    // (Dedup.autoGeometry), so stream==batch bucket keys hold at every
+    // threshold without the caller repeating the geometry.
+    if (blocks == 0 || keyBlocks == 0) {
+      require(blocks == 0 && keyBlocks == 0,
+        s"auto-sizing takes BOTH blocks=0 and keyBlocks=0 (got " +
+          s"blocks=$blocks keyBlocks=$keyBlocks)")
+      val (b, k) = graft.llm.Dedup.autoGeometry(maxHamming)
+      return streamingHammingNearDup(media, idCol, tsCol, fpExpr, b,
+        maxHamming, k, maxBucketSize, watermark, idleTimeout)
+    }
     val spark = media.sparkSession
     import spark.implicits._
     // Per-combination clean masks, SAME enumeration order as

@@ -113,29 +113,41 @@ object ProbeQ101Mit {
     // for SCALE.md's 2228.8 s uncapped row
     // composed freeze variants: "composed" = h≤3 media at the default
     // 9/2 geometry; "composed_b4k1" = h≤3 at the retuned 4/1 geometry
-    // (exhaustive for h≤3, 4 probe keys instead of 36). Each variant
-    // runs independently when its name is selected (both on empty
-    // args); passing both names runs both, sequentially.
+    // (exhaustive for h≤3, 4 probe keys instead of 36);
+    // "composed_auto" = h≤3 passing NO geometry, exercising the r15
+    // autoGeometry default (resolves to 4/1 — the productized form of
+    // the retune). Each variant runs independently when its name is
+    // selected (all on empty args); passing several names runs each,
+    // sequentially. SPARK_GRAFT_SPARSE=1 switches the media legs to
+    // the SPARSE discriminating fixtures — q105's composed shape —
+    // for the sparse-twin wall row.
+    val sparse = sys.env.get("SPARK_GRAFT_SPARSE").contains("1")
+    def imgTable(df: DataFrame) =
+      if (sparse) Multimodal.syntheticImageTableSparse(df, "doc_id")
+      else Multimodal.syntheticImageTable(df, "doc_id")
+    def audTable(df: DataFrame) =
+      if (sparse) Multimodal.syntheticAudioTableSparse(df, "doc_id")
+      else Multimodal.syntheticAudioTable(df, "doc_id")
     def droppedIds(edges: DataFrame, as: String): DataFrame =
       Dedup.connectedComponents(edges)
         .where(col("id") =!= col("cluster_id"))
         .select(col("id").as(as))
     def composedFreeze(cB: Int, cK: Int): Unit =
-      t(s"composed freeze h3 media b${cB}k$cK") {
+      t(s"composed freeze h3 media " +
+        (if (cB == 0) "auto" else s"b${cB}k$cK") +
+        (if (sparse) " sparse" else "")) {
       val textDrop = droppedIds(
         Dedup.minhashNearDupPairs(d, "doc_id", "text",
             threshold = 0.8, shingleN = 2, bands = 16, rows = 4)
           .select(col("id_a").as("src"), col("id_b").as("dst")), "__tid")
       val imgDrop = droppedIds(
         Multimodal.imageNearDupPairs(
-            Multimodal.syntheticImageTable(
-              d.select(col("doc_id")), "doc_id"), "media_id", "payload",
+            imgTable(d.select(col("doc_id"))), "media_id", "payload",
             blocks = cB, maxHamming = 3, keyBlocks = cK)
           .select(col("id_a").as("src"), col("id_b").as("dst")), "__iid")
       val audDrop = droppedIds(
         Multimodal.audioNearDupPairs(
-            Multimodal.syntheticAudioTable(
-              d.select(col("doc_id")), "doc_id"), "media_id", "payload",
+            audTable(d.select(col("doc_id"))), "media_id", "payload",
             blocks = cB, maxHamming = 3, keyBlocks = cK)
           .select(col("id_a").as("src"), col("id_b").as("dst")), "__aid")
       noop(d.join(textDrop, col("doc_id") === col("__tid"), "left")
@@ -159,6 +171,7 @@ object ProbeQ101Mit {
     }
     if (want("composed")) composedFreeze(9, 2)
     if (want("composed_b4k1")) composedFreeze(4, 1)
+    if (want("composed_auto")) composedFreeze(0, 0)
     s.stop()
   }
 }

@@ -491,11 +491,43 @@ class LlmSpec extends AnyFunSuite {
     val fpDf = graft.core.Caching.eager(docs
       .select($"doc_id".as("id"), graft.functions.SimHash64.simhash64(
         graft.llm.TextStats.tokens($"text")).as("sh")))
-    Seq((9, 2), (10, 3), (11, 1)).foreach { case (blocks, kb) =>
+    // (0, 0) = auto-sized geometry (autoGeometry(7) = (9, 2)) — the
+    // operator's own sizing must stay on the exhaustive pair set
+    Seq((9, 2), (10, 3), (11, 1), (0, 0)).foreach { case (blocks, kb) =>
       val combo = Dedup.hammingCandidatesFromFp(fpDf, blocks, maxHamming, kb)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       assert(combo == exact, s"blocks=$blocks keyBlocks=$kb diverged: " +
         s"missed=${(exact -- combo).take(3)} extra=${(combo -- exact).take(3)}")
+    }
+  }
+
+  test("autoGeometry: measured dispatch table, pigeonhole + key-width floor") {
+    // the SCALE.md r14/r15 dispatch rule pinned: the FEWEST
+    // combination keys subject to exhaustiveness (keyBlocks <=
+    // blocks - maxHamming) and >= 14 effective key bits (the
+    // saturation floor that excludes 8/1's 256-bucket key space at
+    // h<=7 — the measured quadratic decade curve, SCALE.md r15)
+    val expect = Map(0 -> (1, 1), 1 -> (2, 1), 2 -> (3, 1),
+      3 -> (4, 1), 4 -> (6, 2), 5 -> (7, 2), 6 -> (8, 2), 7 -> (9, 2))
+    expect.foreach { case (h, g) =>
+      assert(Dedup.autoGeometry(h) == g,
+        s"h=$h: got ${Dedup.autoGeometry(h)}, want $g")
+    }
+    // every choice satisfies its own constraints across the range
+    (0 to 15).foreach { h =>
+      val (b, k) = Dedup.autoGeometry(h)
+      assert(k >= 1 && k <= b - h, s"pigeonhole violated at h=$h: ($b,$k)")
+      assert(k * (64 / b) >= 14, s"key-width floor violated at h=$h: ($b,$k)")
+    }
+    // an unsatisfiable floor fails loudly, not silently unexhaustive
+    intercept[IllegalArgumentException] {
+      Dedup.autoGeometry(60, keyBitsFloor = 20)
+    }
+    // half-specified geometry is rejected (the two are sized jointly)
+    intercept[IllegalArgumentException] {
+      Dedup.hammingCandidatesFromFp(
+        Seq((1L, 1L)).toDF("id", "sh"), blocks = 9,
+        maxHamming = 7, keyBlocks = 0)
     }
   }
 

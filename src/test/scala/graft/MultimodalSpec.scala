@@ -507,23 +507,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(gotJunk == 0L)
   }
 
-  test("Hamming banding geometry retune: blocks=4/keyBlocks=1 == blocks=9/keyBlocks=2 at h<=3") {
-    // the SCALE.md round-14 claim, pinned: for maxHamming=3 the narrow
-    // geometry (4 probe keys) is still exhaustive by pigeonhole and
-    // must emit EXACTLY the wide geometry's pairs
+  test("Hamming banding geometry: narrow/auto forms == blocks=9/keyBlocks=2 at h<=3 and h<=7") {
+    // the SCALE.md round-14/15 claim, pinned: geometry is a
+    // performance knob only — every exhaustive-by-pigeonhole choice,
+    // including the operator's auto-sizing (blocks = keyBlocks = 0),
+    // emits EXACTLY the same verified pair set at both measured
+    // thresholds (h<=3: 4/1 vs 9/2; h<=7: 8/1 vs 9/2 vs auto=9/2)
     val ids = (0L until 600L).toSeq
     val imgs = ids.toDF("doc_id")
       .transform(Multimodal.syntheticImageTable(_, "doc_id"))
-    def pairs(blocks: Int, keyBlocks: Int) =
+    def pairs(blocks: Int, keyBlocks: Int, maxHamming: Int) =
       Multimodal.imageNearDupPairs(imgs, "media_id", "payload",
-          blocks = blocks, maxHamming = 3, keyBlocks = keyBlocks)
+          blocks = blocks, maxHamming = maxHamming, keyBlocks = keyBlocks)
         .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
         .collect().toSet
-    val wide = pairs(9, 2)
-    val narrow = pairs(4, 1)
-    assert(wide.nonEmpty)
-    assert(narrow == wide,
-      s"geometries diverged: ${narrow.diff(wide).take(3)} vs ${wide.diff(narrow).take(3)}")
+    for (h <- Seq(3, 7)) {
+      val wide = pairs(9, 2, h)
+      assert(wide.nonEmpty)
+      val alts = Seq(graft.llm.Dedup.autoGeometry(h), (h + 1, 1))
+      for ((b, k) <- alts.distinct) {
+        val alt = pairs(b, k, h)
+        assert(alt == wide, s"h=$h blocks=$b keyBlocks=$k diverged: " +
+          s"${alt.diff(wide).take(3)} vs ${wide.diff(alt).take(3)}")
+      }
+      // the zero-sentinel default routes through the same auto sizing
+      assert(pairs(0, 0, h) == wide, s"auto default diverged at h=$h")
+    }
   }
 
   test("sparse media fixture: minority partnered, modalities disjoint, exact recall") {
