@@ -935,7 +935,9 @@ object LlmPipelines {
   /** SemDeDup cluster-based semantic dedup
     * ([[graft.llm.Similarity.semanticNearDupPairs]]) over the q33
     * planted-twin union. Oracle pattern follows q70: the exact columns
-    * (corpus size, the all-pairs truth pair count and its id checksum)
+    * (corpus size, the all-pairs truth pair count and its modular id
+    * checksum — per-term mod 1000000007, the q89 idiom, so the sum
+    * stays in Long at replica-offset id magnitudes)
     * are DuckDB-reproducible, and the clustering-dependent part is
     * reduced to two booleans the oracle pins TRUE — precision (every
     * emitted pair verifies against the exact integer-domain truth set;
@@ -974,8 +976,14 @@ object LlmPipelines {
       truth.join(found, Seq("id_a", "id_b"), "full_outer")
         .agg(
           coalesce(sum(col("__t")), lit(0L)).as("n_truth_pairs"),
+          // per-term mod (the q89 idiom): the raw id_a*4e6+id_b term
+          // reaches ~4·10^15 once replica-offset ids hit 10^9 (sf10),
+          // so the un-modded SUM overflowed Long there (caught by the
+          // r15 sf10 sweep); modded terms stay < 10^9 and the sum is
+          // scale-safe past 10^9 pairs
           sum(when(col("__t").isNotNull,
-            col("id_a") * 4000000L + col("id_b"))).as("truth_checksum"),
+            (col("id_a") * 4000000L + col("id_b")) % 1000000007L))
+            .as("truth_checksum"),
           (coalesce(sum(when(col("__t") === 1L && col("__f") === 1L, 1L)), lit(0L)) >=
             coalesce(sum(col("__t")), lit(0L)) * 0.8).as("recall_ge_80"),
           (coalesce(sum(when(col("__t").isNull, 1L)), lit(0L)) === 0L)
@@ -1009,7 +1017,7 @@ object LlmPipelines {
            |      > 8100 * CAST(a.norm2 AS HUGEINT) * b.norm2)
            |SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_vecs,
            |  CAST(count(*) AS BIGINT) AS n_truth_pairs,
-           |  CAST(SUM(id_a * 4000000 + id_b) AS BIGINT) AS truth_checksum,
+           |  CAST(SUM((id_a * 4000000 + id_b) % 1000000007) AS BIGINT) AS truth_checksum,
            |  TRUE AS recall_ge_80, TRUE AS precision_exact
            |FROM truth""".stripMargin))
 
