@@ -65,6 +65,13 @@ object ProbeGeom {
     leg("h3_b4k1", 3, 4, 1)
     leg("h7_b9k2", 7, 9, 2)
     leg("h7_b8k1", 7, 8, 1)
+    // tie-break probes: both alternatives SATISFY the 14-bit floor but
+    // carry more combination keys than the auto pick — each extra
+    // clean combination is one more duplicate emission of every
+    // near-dup pair into the canonical filter, so "fewest combos
+    // subject to the floor" should win even against wider keys
+    leg("h3_b5k2", 3, 5, 2) // C(5,2)=10 combos of 24 bits vs auto 4/1
+    leg("h7_b10k3", 7, 10, 3) // C(10,3)=120 of 18 bits vs auto 9/2
     s.stop()
   }
 }
