@@ -498,7 +498,15 @@ object Dedup {
     * before the 10^6 decade). 14 bits — the 9/2 default's effective
     * width, measured flat at 5M docs — covers the 10^6–10^7 decade;
     * at substantially larger corpora raise the floor toward log2(n).
-    * Ties prefer the wider key. Examples: h=3 → (4, 1), 4 keys of 16
+    * Ties prefer the wider key. The search is bounded to
+    * [[ComboCap]] combination keys — [[hammingCandidatesFromFp]]'s
+    * own driver-side expansion cap — so auto sizing can never hand
+    * back a geometry the operator would then reject; thresholds
+    * where NO exhaustive geometry fits both the floor and the cap
+    * (maxHamming >= 13 at the default floor: 3-bit blocks need 5+
+    * key blocks, C(18,5) = 8568 already over) fail loudly here with
+    * the real diagnosis instead of a misleading "pick a narrower
+    * geometry" downstream. Examples: h=3 → (4, 1), 4 keys of 16
     * bits — the measured 19× pair-gen win over 9/2 (SCALE.md r14);
     * h=7 → (9, 2) — 8/1's 8-bit keys fail the floor. */
   def autoGeometry(maxHamming: Int, keyBitsFloor: Int = 14): (Int, Int) = {
@@ -516,14 +524,9 @@ object Dedup {
       while (kb <= blocks - maxHamming) {
         val bits = kb * width
         if (bits >= keyBitsFloor) {
-          // running binomial product — exact (partial products of
-          // C(n,k) are integral), capped so it can't overflow
-          var c = 1L
-          var i = 0
-          while (i < kb && c <= 1000000L) {
-            c = c * (blocks - i) / (i + 1); i += 1
-          }
-          if (c < bestC || (c == bestC && bits > bestBits)) {
+          val c = binomAtMost(blocks, kb, ComboCap)
+          if (c <= ComboCap &&
+              (c < bestC || (c == bestC && bits > bestBits))) {
             best = (blocks, kb); bestC = c; bestBits = bits
           }
         }
@@ -533,8 +536,33 @@ object Dedup {
     }
     require(best._1 != 0,
       s"no exhaustive geometry with >= $keyBitsFloor key bits exists " +
-        s"for maxHamming=$maxHamming; lower the floor or the threshold")
+        s"within the $ComboCap-combination cap for maxHamming=" +
+        s"$maxHamming; lower the floor or the threshold")
     best
+  }
+
+  /** Driver-side combination-key expansion cap shared by
+    * [[autoGeometry]] (search bound) and [[hammingCandidatesFromFp]]
+    * (loud guard on explicit geometry): C(40, 20) passes every
+    * exhaustiveness bound yet would build ~10^11 probe-key
+    * expressions on the driver; any sane geometry stays far below. */
+  val ComboCap = 4096L
+
+  /** C(n, k) computed exactly via the symmetric running product,
+    * early-exited once it passes `cap`: with k' = min(k, n-k) every
+    * partial product is itself a binomial C(n, i) and the prefix is
+    * nondecreasing for i <= k', so a prefix over the cap proves the
+    * final value is too — the exit is sound AND overflow-safe (the
+    * cap is hit long before Long range). Returns the exact value
+    * when <= cap, otherwise some value > cap. */
+  private def binomAtMost(n: Int, k: Int, cap: Long): Long = {
+    val kk = math.min(k, n - k)
+    var c = 1L
+    var i = 0
+    while (i < kk && c <= cap) {
+      c = c * (n - i) / (i + 1); i += 1
+    }
+    c
   }
 
   /** [[simhashCandidatesFromFp]] generalized to MULTI-BLOCK join keys
@@ -598,18 +626,14 @@ object Dedup {
     require(keyBlocks >= 1 && keyBlocks <= blocks - maxHamming,
       s"pigeonhole needs keyBlocks <= blocks - maxHamming: " +
         s"blocks=$blocks maxHamming=$maxHamming keyBlocks=$keyBlocks")
-    // loud guard on the combination count: C(40, 20) passes every
-    // bound above yet would build ~10^11 probe-key expressions on the
-    // driver; any sane geometry stays far below this cap
+    // loud guard on EXPLICIT geometry ([[ComboCap]]'s scaladoc); the
+    // auto path above can't reach it — autoGeometry searches only
+    // within the same cap
     locally {
-      var c = 1L
-      var i = 0
-      while (i < keyBlocks && c <= 100000L) {
-        c = c * (blocks - i) / (i + 1); i += 1
-      }
-      require(c <= 4096L,
-        s"C($blocks, $keyBlocks) = ${if (c > 100000L) ">100000" else c} " +
-          "combination keys; pick a narrower geometry (cap 4096)")
+      val c = binomAtMost(blocks, keyBlocks, ComboCap)
+      require(c <= ComboCap,
+        s"C($blocks, $keyBlocks) = ${if (c > ComboCap) s">$ComboCap" else c} " +
+          s"combination keys; pick a narrower geometry (cap $ComboCap)")
     }
     val combos = (0 until blocks).combinations(keyBlocks).toSeq
     val comboKeys = comboKeyExprs(col("sh"), blocks, keyBlocks)

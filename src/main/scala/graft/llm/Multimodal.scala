@@ -344,7 +344,15 @@ object Multimodal {
     * flat well past 10^6 images where the single-block 8-band form
     * saturates its 2^8 buckets by ~10^5 (measured: q80 at sf10 went
     * quadratic, 391 s) — and (4, 1) at h≤3, the measured 19× pair-gen
-    * win (SCALE.md r14/r15). Output: (id_a, id_b, hamming). */
+    * win (SCALE.md r14/r15). Output: (id_a, id_b, hamming).
+    *
+    * SOURCE-COMPATIBLE BREAK vs the pre-r15 fixed defaults (blocks=9,
+    * keyBlocks=2): the two geometry parameters are sized JOINTLY, so
+    * overriding only one (e.g. `blocks = 11` while keeping the
+    * keyBlocks default, which used to yield (11, 2)) now fails loudly
+    * at runtime — pass both or neither. Applies identically to
+    * [[audioNearDupPairs]], the streaming twins, and
+    * [[Dedup.hammingProbeTouch]]. */
   def imageNearDupPairs(media: DataFrame, idCol: String,
                         payloadCol: String, blocks: Int = 0,
                         maxHamming: Int = 7, keyBlocks: Int = 0,
@@ -465,7 +473,9 @@ object Multimodal {
     * Hamming banding, exhaustive for hamming <= maxHamming by
     * pigeonhole, one equi-join keyed on (combination, key bits), never
     * all-pairs. Geometry defaults to [[Dedup.autoGeometry]] sizing,
-    * as in [[imageNearDupPairs]]. */
+    * as in [[imageNearDupPairs]] — including its note on the
+    * source-compatible break: override both of blocks/keyBlocks or
+    * neither. */
   def audioNearDupPairs(media: DataFrame, idCol: String,
                         payloadCol: String, blocks: Int = 0,
                         maxHamming: Int = 7, keyBlocks: Int = 0,

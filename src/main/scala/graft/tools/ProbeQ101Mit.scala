@@ -171,7 +171,16 @@ object ProbeQ101Mit {
     }
     if (want("composed")) composedFreeze(9, 2)
     if (want("composed_b4k1")) composedFreeze(4, 1)
-    if (want("composed_auto")) composedFreeze(0, 0)
+    // on empty args skip the auto variant when it resolves to a
+    // geometry already measured this invocation (auto(h=3) = (4,1)
+    // duplicates composed_b4k1 — the r15 advice note); naming
+    // "composed_auto" explicitly still runs it
+    val autoGeom = Dedup.autoGeometry(3)
+    val autoAlreadyRun =
+      (want("composed") && autoGeom == ((9, 2))) ||
+        (want("composed_b4k1") && autoGeom == ((4, 1)))
+    if (args.contains("composed_auto") ||
+        (args.isEmpty && !autoAlreadyRun)) composedFreeze(0, 0)
     s.stop()
   }
 }

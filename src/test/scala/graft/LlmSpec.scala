@@ -513,11 +513,28 @@ class LlmSpec extends AnyFunSuite {
       assert(Dedup.autoGeometry(h) == g,
         s"h=$h: got ${Dedup.autoGeometry(h)}, want $g")
     }
-    // every choice satisfies its own constraints across the range
-    (0 to 15).foreach { h =>
+    // every choice satisfies its own constraints across the
+    // satisfiable range, INCLUDING the operator's combination cap —
+    // auto sizing must never hand back a geometry
+    // hammingCandidatesFromFp would then reject (the r15 advice bug:
+    // h=13's smallest floor-satisfying geometry (18,5) has
+    // C(18,5)=8568 > 4096, so auto used to "succeed" into a
+    // downstream rejection)
+    (0 to 12).foreach { h =>
       val (b, k) = Dedup.autoGeometry(h)
       assert(k >= 1 && k <= b - h, s"pigeonhole violated at h=$h: ($b,$k)")
       assert(k * (64 / b) >= 14, s"key-width floor violated at h=$h: ($b,$k)")
+      assert((0 until b).combinations(k).size <= Dedup.ComboCap,
+        s"combination cap violated at h=$h: ($b,$k)")
+    }
+    // past h=12 at the default floor nothing fits BOTH the floor and
+    // the cap: the failure is loud and names the real constraint
+    (13 to 15).foreach { h =>
+      val e = intercept[IllegalArgumentException] {
+        Dedup.autoGeometry(h)
+      }
+      assert(e.getMessage.contains("combination cap"),
+        s"h=$h should fail on the cap, got: ${e.getMessage}")
     }
     // an unsatisfiable floor fails loudly, not silently unexhaustive
     intercept[IllegalArgumentException] {
