@@ -495,10 +495,19 @@ object Dedup {
     * generation goes quadratic regardless of true near-dup density
     * (the q33/q80-sf10 failure class; the r15 decade curve in
     * SCALE.md measures 8/1 overtaking 9/2's fixed 36-key cost well
-    * before the 10^6 decade). 14 bits — the 9/2 default's effective
-    * width, measured flat at 5M docs — covers the 10^6–10^7 decade;
-    * at substantially larger corpora raise the floor toward log2(n).
-    * Ties prefer the wider key. The search is bounded to
+    * before the 10^6 decade). 14 bits covers every decade measured
+    * (50k–5M, SCALE.md r16) and the floor should NOT rise with corpus
+    * size: each extra combination is one more join emission of every
+    * TRUE pair (a pair with d dirty blocks collides in
+    * C(blocks−d, keyBlocks) combinations, all evaluated by the
+    * canonical filter), so on any corpus with real near-dup families
+    * the wider-key forms lose outright — (10,3) measured 26× worse
+    * than (9,2) at 50k docs and was killed unfinished at 20+ minutes
+    * against 9.7 s at 500k, identical pair sets. The superlinearity
+    * that once suggested raising the floor toward log2(n) was a
+    * planner size-estimate broadcast of the exploded keyed frame
+    * (fixed in [[hammingCandidatesFromFp]], r16), not key-space
+    * saturation. Ties prefer the wider key. The search is bounded to
     * [[ComboCap]] combination keys — [[hammingCandidatesFromFp]]'s
     * own driver-side expansion cap — so auto sizing can never hand
     * back a geometry the operator would then reject; thresholds
@@ -541,6 +550,18 @@ object Dedup {
     best
   }
 
+  /** Exploded-keyed-row count at or under which the banding pair-gen
+    * self-join broadcasts one side explicitly (≈ 100 MB true size at
+    * ~25 B/keyed row — comfortably inside executor memory, and the
+    * regime where the measured crossover favors broadcast: 2.4 s
+    * broadcast vs 7.8 s sort-merge at 36×50k = 1.8M keyed rows;
+    * 9.7 s sort-merge vs 43.9 s broadcast-spill at 18M — ProbeGeom
+    * r16). Above it the join carries a MERGE hint. The dispatch reads
+    * the TRUE size (fp.count() × combination count), never the
+    * planner's Generate estimate, which reports the un-exploded
+    * child's bytes. */
+  val BroadcastKeyedRows = 4000000L
+
   /** Driver-side combination-key expansion cap shared by
     * [[autoGeometry]] (search bound) and [[hammingCandidatesFromFp]]
     * (loud guard on explicit geometry): C(40, 20) passes every
@@ -582,10 +603,15 @@ object Dedup {
     * entirely clean and the pair collides there. keyBlocks = 1 is
     * exactly the classic scheme.
     *
-    * Sizing: keyBlocks·(64/blocks) should land near log2(n) — e.g.
-    * blocks=9, maxHamming=7 forces keyBlocks ≤ 2; 36 combinations of
-    * ~15-bit keys hold bucket sizes flat to n ≈ 10^6-10^7 where the
-    * single-block form saturated at 2^8 buckets by n ≈ 10^5. Size the
+    * Sizing: pick the FEWEST combinations whose key width clears the
+    * [[autoGeometry]] floor — e.g. blocks=9, maxHamming=7 forces
+    * keyBlocks ≤ 2; 36 combinations of ~15-bit keys hold bucket sizes
+    * flat through every measured decade (50k–5M, SCALE.md r16) where
+    * the single-block form saturated at 2^8 buckets by n ≈ 10^5.
+    * Wider-than-floor keys do NOT help at larger n: every extra
+    * combination re-emits every true pair into the canonical filter
+    * (measured 26× worse at the smallest decade — autoGeometry's
+    * scaladoc). Size the
     * combination count to the threshold you ACTUALLY run, not the
     * loosest one you might: at maxHamming=3, blocks=4/keyBlocks=1 is
     * still exhaustive with 4 probe keys instead of 36, and the
@@ -657,7 +683,30 @@ object Dedup {
         when(xor.bitwiseAND(lit(m)) === 0L, lit(i)).otherwise(els)
     }
     if (maxBucketSize <= 0) {
-      keyed.as("a").join(keyed.as("b"),
+      // SIZE-DISPATCHED join strategy — never the planner's estimate:
+      // the keyed frame is C(blocks, keyBlocks)·n rows, but Generate
+      // (posexplode) reports its CHILD's size estimate — the cached
+      // (id, sh) frame, 16 bytes/doc — so at corpora around 500k docs
+      // the estimate lands under the 10 MB broadcast threshold while
+      // the true exploded side is GIGABYTES (measured: a 6.5 GiB
+      // driver-side broadcast build at 500k docs × 120 combos,
+      // spilling the block store — ProbeGeom r16). The dispatch is
+      // the hammingProbeTouch `bruteBelow` discipline applied to the
+      // join strategy: fp is materialized by this operator's contract,
+      // so counting it is one cheap cached-scan job, and the TRUE
+      // exploded row count picks the side. Small (≤ BroadcastKeyedRows
+      // ≈ tens of MB true size): explicit broadcast — measured 2.4 vs
+      // 7.8 s at 50k docs, the sort pays nothing back. Large: a MERGE
+      // hint pins sort-merge, whose cost is the shuffle of the keyed
+      // rows themselves — the volume the geometry sizing already
+      // accounts for, and the only shape that survives a 1000-executor
+      // corpus (a per-executor GiB-scale broadcast does not).
+      val keyedRows = fp.count() * combos.size
+      val (left, right) =
+        if (keyedRows <= BroadcastKeyedRows)
+          (broadcast(keyed.as("a")), keyed.as("b"))
+        else (keyed.as("a").hint("merge"), keyed.as("b"))
+      left.join(right,
           col("a.combo") === col("b.combo") &&
           col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

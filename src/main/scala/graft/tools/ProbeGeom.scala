@@ -72,6 +72,16 @@ object ProbeGeom {
     // subject to the floor" should win even against wider keys
     leg("h3_b5k2", 3, 5, 2) // C(5,2)=10 combos of 24 bits vs auto 4/1
     leg("h7_b10k3", 7, 10, 3) // C(10,3)=120 of 18 bits vs auto 9/2
+    // r16 n-aware-floor candidates: the geometries a raised key-bit
+    // floor would pick at h<=7 once the 10^6-10^7 decade fills 9/2's
+    // ~15-bit key space (the measured q80/q84 sf10 superlinearity).
+    // More combos multiply every TRUE pair's join emissions (a pair
+    // with d dirty blocks collides in C(blocks-d, keyBlocks) combos),
+    // while wider keys cut RANDOM bucket collisions — which term wins
+    // is a property of the corpus' near-dup density, so measure both
+    // decades, don't model
+    leg("h7_b11k4", 7, 11, 4) // C(11,4)=330 of 20 bits
+    leg("h7_b12k5", 7, 12, 5) // C(12,5)=792 of 25 bits
     s.stop()
   }
 }

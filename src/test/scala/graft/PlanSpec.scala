@@ -87,6 +87,34 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("hamming banding pair-gen join strategy dispatches on TRUE exploded size") {
+    // Generate (posexplode) reports its CHILD's size estimate, so the
+    // C(blocks, keyBlocks)·n keyed frame inherits the cached (id, sh)
+    // frame's 16 bytes/doc — at ~500k docs that sits UNDER the 10 MB
+    // broadcast threshold while the true exploded side is gigabytes
+    // (measured: a 6.5 GiB driver-side broadcast build at 500k docs ×
+    // 120 combos, ProbeGeom r16). The operator therefore dispatches on
+    // fp.count() × combos, never the estimate: explicit broadcast in
+    // the provably-small regime, a MERGE hint above it.
+    import spark.implicits._
+    val small = graft.core.Caching.eager(
+      (0L until 2000L).map(i => (i, i * 2654435761L)).toDF("id", "sh"))
+    val pSmall = graft.llm.Dedup.hammingCandidatesFromFp(small, 0, 7, 0)
+      .queryExecution.executedPlan.toString
+    assert(pSmall.contains("BroadcastHashJoin"),
+      s"2000 docs × 36 combos is provably small — broadcast:\n$pSmall")
+    // 150k × 36 = 5.4M keyed rows > BroadcastKeyedRows → sort-merge
+    val big = graft.core.Caching.eager(
+      spark.range(0L, 150000L).selectExpr("id", "id * 2654435761 AS sh"))
+    val pBig = graft.llm.Dedup.hammingCandidatesFromFp(big, 0, 7, 0)
+      .queryExecution.executedPlan.toString
+    assert(pBig.contains("SortMergeJoin"),
+      s"5.4M keyed rows must sort-merge:\n$pBig")
+    assert(!pBig.contains("BroadcastHashJoin"),
+      s"the over-threshold keyed self-join must never broadcast:\n$pBig")
+    spark.catalog.clearCache()
+  }
+
   test("q62: point side is aggregated to day grain BELOW the range join") {
     // the final output only needs per-(flag,status) sums + a distinct
     // order count — feeding raw lineitem rows through the join is a
