@@ -14,7 +14,10 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # Spark-written fixtures (GenScale/GenOffset) are directory-shaped
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"read_parquet('{p}')"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = 0

@@ -35,6 +35,24 @@ object Tables {
     * operators see an event-time column, matching DuckDB's
     * `ts` truncated to micros.
     */
+  /** Smallest value of an id column — the TRANSLATION-INVARIANT anchor
+    * for fixture-window predicates. Queries that bound a demo subset
+    * by absolute id (`l_orderkey < 400`, `vec_id < 50`) silently go
+    * EMPTY on id-translated twins of the fixture (GenOffset's big-id
+    * gate, SCALE.md r16), so they anchor at `minId(...) + K` instead:
+    * identical results wherever ids start at 0 (every driver fixture
+    * and GenScale replica set), the same translated window at any
+    * offset. One column-min aggregation job per call — driver-side
+    * scalar by contract (the CC limit-probe rule); callers embed the
+    * result as a literal so the predicate still pushes down to the
+    * scan. Empty input returns Long.MinValue (the window predicate
+    * then selects nothing, matching an empty scan). */
+  def minId(df: DataFrame, column: String): Long = {
+    import org.apache.spark.sql.functions.min
+    val row = df.agg(min(column)).head()
+    if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = load(s, d, "events")

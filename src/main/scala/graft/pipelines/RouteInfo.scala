@@ -64,8 +64,11 @@ object RouteInfo {
       .orderBy(col("sequence_no"))
     val seqNumW = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("l_linenumber"), col("l_partkey"))
-    val routeSeq = Tables.lineitem(s, dir)
-      .where(col("l_orderkey") < 400)
+    // route subset anchored at min(l_orderkey) + 400, not an absolute
+    // id, so the window survives id-translated fixtures (Tables.minId)
+    val li = Tables.lineitem(s, dir)
+    val routeSeq = li
+      .where(col("l_orderkey") < Tables.minId(li, "l_orderkey") + 400L)
       .select(
         col("l_orderkey").as("line_no"),
         lit("R").as("route_abbr"),

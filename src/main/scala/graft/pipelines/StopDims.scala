@@ -38,8 +38,11 @@ object StopDims {
   def dwdBusRouteStopInfo(s: SparkSession, dir: String): DataFrame = {
     val seqNumW = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("l_linenumber"), col("l_partkey"))
-    val routeSeq = Tables.lineitem(s, dir)
-      .where(col("l_orderkey") < 400)
+    // anchored at min(l_orderkey) + 400 (Tables.minId): translation-
+    // invariant fixture window, same rows wherever ids start at 0
+    val li = Tables.lineitem(s, dir)
+    val routeSeq = li
+      .where(col("l_orderkey") < Tables.minId(li, "l_orderkey") + 400L)
       .select(
         col("l_orderkey").as("line_no"),
         lit("R").as("route_no"),

@@ -126,7 +126,8 @@ object AdsPipelines {
            |                       ORDER BY l_linenumber, l_partkey) AS sequence_no,
            |    l_partkey AS point_no,
            |    1 + l_partkey % 2 AS point_type
-           |  FROM lineitem WHERE l_orderkey < 400),
+           |  FROM lineitem
+           |  WHERE l_orderkey < (SELECT min(l_orderkey) + 400 FROM lineitem)),
            |processed AS (
            |  SELECT * FROM (
            |    SELECT rs.*,
@@ -740,7 +741,8 @@ object AdsPipelines {
            |    CAST(row_number() OVER (PARTITION BY l_orderkey
            |                            ORDER BY l_linenumber, l_partkey)
            |      AS VARCHAR) AS stop_index
-           |  FROM lineitem WHERE l_orderkey < 400),
+           |  FROM lineitem
+           |  WHERE l_orderkey < (SELECT min(l_orderkey) + 400 FROM lineitem)),
            |lkp AS (
            |  SELECT DISTINCT line_no, route_no,
            |    CAST(line_no % 2 AS VARCHAR) AS direction

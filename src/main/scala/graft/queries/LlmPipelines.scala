@@ -196,15 +196,17 @@ object LlmPipelines {
            |  CAST(count(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dups
            |FROM f GROUP BY source ORDER BY source""".stripMargin))
 
-  /** Exact bigram-shingle Jaccard near-dup pairs (doc_id < 100 window
+  /** Exact bigram-shingle Jaccard near-dup pairs (a 100-doc window —
+    * anchored at min(doc_id), so it survives id-translated fixtures —
     * keeps the all-pairs verifier bounded; at scale this runs only on
     * LSH candidates — q28 is the ground-truth twin LlmSpec checks the
     * LSH path against). */
   val q28 = QueryDef(
     "q28_jaccard_pairs",
     (s, dir) => {
-      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 2, maxId = Some(100L))
+      val d = Tables.documents(s, dir)
+      Dedup.jaccardPairs(d, "doc_id", "text",
+          shingleN = 2, maxId = Some(Tables.minId(d, "doc_id") + 100L))
         .where(col("jaccard") >= 0.1)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -214,7 +216,8 @@ object LlmPipelines {
            |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
            |      ELSE [array_to_string(w, ' ')] END) AS sh
            |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-           |        FROM documents WHERE doc_id < 100)),
+           |        FROM documents
+           |        WHERE doc_id < (SELECT min(doc_id) + 100 FROM documents))),
            |ex AS (SELECT doc_id, unnest(sh) AS s FROM toks),
            |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
            |inter AS (
@@ -230,22 +233,25 @@ object LlmPipelines {
            |ORDER BY id_a, id_b""".stripMargin))
 
   /** Exact top-5 similarity search in the quantized-integer domain
-    * (query set vec_id < 5 broadcast against the whole corpus;
-    * deterministic dot-product ranking — the oracle-checkable twin of
-    * the float brute-force/LSH/IVF scorers). */
+    * (query set = the 5 lowest vec_ids — min-anchored, so the window
+    * survives id-translated fixtures — broadcast against the whole
+    * corpus; deterministic dot-product ranking — the oracle-checkable
+    * twin of the float brute-force/LSH/IVF scorers). */
   val q29 = QueryDef(
     "q29_topk_similarity",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.quantizedDotTopK(
-          emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", k = 5)
+          emb.where(col("vec_id") < Tables.minId(emb, "vec_id") + 5L),
+          emb, "vec_id", "embedding", k = 5)
         .orderBy(col("query_id"), col("rank"))
     },
     Some("""WITH q AS (
            |  SELECT vec_id AS query_id,
            |    list_transform(embedding,
            |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-           |  FROM embeddings WHERE vec_id < 5),
+           |  FROM embeddings
+           |  WHERE vec_id < (SELECT min(vec_id) + 5 FROM embeddings)),
            |c AS (
            |  SELECT vec_id AS corpus_id,
            |    list_transform(embedding,
@@ -378,7 +384,9 @@ object LlmPipelines {
     "q32_ann_lsh",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.where(col("vec_id") < 50)
+      // query window min-anchored (Tables.minId): id-translation-safe
+      val queries = emb.where(
+        col("vec_id") < Tables.minId(emb, "vec_id") + 50L)
       val ann = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
           k = 5, numPlanes = 8, probeHamming = 2)
         .select(col("query_id"), col("corpus_id"), lit(1L).as("__hit"))
@@ -386,15 +394,18 @@ object LlmPipelines {
         .join(ann, Seq("query_id", "corpus_id"), "left")
         .agg(countDistinct(col("query_id")).as("n_queries"),
           sum(col("dot")).as("exact_top5_dot_sum"),
-          (sum(coalesce(col("__hit"), lit(0L))) >=
-            count(lit(1)) * 0.8).as("recall_ge_80"))
+          // empty query set: recall holds vacuously (matches the
+          // oracle's constant-TRUE side instead of NULL)
+          coalesce(sum(coalesce(col("__hit"), lit(0L))) >=
+            count(lit(1)) * 0.8, lit(true)).as("recall_ge_80"))
         .withColumn("k", lit(5L))
     },
     Some("""WITH q AS (
            |  SELECT vec_id AS query_id,
            |    list_transform(embedding,
            |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-           |  FROM embeddings WHERE vec_id < 50),
+           |  FROM embeddings
+           |  WHERE vec_id < (SELECT min(vec_id) + 50 FROM embeddings)),
            |c AS (
            |  SELECT vec_id AS corpus_id,
            |    list_transform(embedding,
@@ -441,7 +452,9 @@ object LlmPipelines {
     "q70_ann_ivf",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.where(col("vec_id") < 50)
+      // query window min-anchored (Tables.minId): id-translation-safe
+      val queries = emb.where(
+        col("vec_id") < Tables.minId(emb, "vec_id") + 50L)
       val ann = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
           k = 5, nCentroids = 16, nProbe = 8)
         .select(col("query_id"), col("corpus_id"), lit(1L).as("__hit"))
@@ -449,15 +462,16 @@ object LlmPipelines {
         .join(ann, Seq("query_id", "corpus_id"), "left")
         .agg(countDistinct(col("query_id")).as("n_queries"),
           sum(col("dot")).as("exact_top5_dot_sum"),
-          (sum(coalesce(col("__hit"), lit(0L))) >=
-            count(lit(1)) * 0.75).as("recall_ge_75"))
+          coalesce(sum(coalesce(col("__hit"), lit(0L))) >=
+            count(lit(1)) * 0.75, lit(true)).as("recall_ge_75"))
         .withColumn("k", lit(5L))
     },
     Some("""WITH q AS (
            |  SELECT vec_id AS query_id,
            |    list_transform(embedding,
            |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-           |  FROM embeddings WHERE vec_id < 50),
+           |  FROM embeddings
+           |  WHERE vec_id < (SELECT min(vec_id) + 50 FROM embeddings)),
            |c AS (
            |  SELECT vec_id AS corpus_id,
            |    list_transform(embedding,
@@ -694,14 +708,21 @@ object LlmPipelines {
            |  SELECT doc_id AS a, doc_id // 2 AS b FROM documents
            |  WHERE doc_id % 3 = 0 AND doc_id > 0),
            |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+           |-- seed EVERY node (docs AND edge endpoints): on id-translated
+           |-- fixtures doc_id // 2 can fall outside the doc-id domain, and
+           |-- the Spark operator labels components by their min over ALL
+           |-- nodes — doc-only seeds would label by min DOC id instead
            |reach(id, r) AS (
-           |  SELECT doc_id, doc_id FROM documents
+           |  SELECT id, id FROM (
+           |    SELECT doc_id AS id FROM documents
+           |    UNION SELECT a FROM edges)
            |  UNION
            |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
            |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-           |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
-           |  CAST(max(id) AS BIGINT) AS max_doc
-           |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin))
+           |SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(max(d.doc_id) AS BIGINT) AS max_doc
+           |FROM documents d JOIN lab l ON d.doc_id = l.id
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** The DISTRIBUTED connected-components path under load:
     * `driverThreshold = 0` disables the dim-sized driver union-find
@@ -2542,8 +2563,10 @@ object LlmPipelines {
     "q96_ann_ivf_probe",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.where(col("vec_id") < 50)
-      val corpus = emb.where(col("vec_id") >= 50)
+      // query/corpus split min-anchored (Tables.minId): id-translation-safe
+      val lo = Tables.minId(emb, "vec_id") + 50L
+      val queries = emb.where(col("vec_id") < lo)
+      val corpus = emb.where(col("vec_id") >= lo)
       val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         nCentroids = 16)
       val index = Similarity.ivfIndexAssignments(corpus, "vec_id",
@@ -2556,20 +2579,22 @@ object LlmPipelines {
         .join(ann, Seq("query_id", "corpus_id"), "left")
         .agg(countDistinct(col("query_id")).as("n_queries"),
           sum(col("dot")).as("exact_top5_dot_sum"),
-          (sum(coalesce(col("__hit"), lit(0L))) >=
-            count(lit(1)) * 0.75).as("recall_ge_75"))
+          coalesce(sum(coalesce(col("__hit"), lit(0L))) >=
+            count(lit(1)) * 0.75, lit(true)).as("recall_ge_75"))
         .withColumn("k", lit(5L))
     },
     Some("""WITH q AS (
            |  SELECT vec_id AS query_id,
            |    list_transform(embedding,
            |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-           |  FROM embeddings WHERE vec_id < 50),
+           |  FROM embeddings
+           |  WHERE vec_id < (SELECT min(vec_id) + 50 FROM embeddings)),
            |c AS (
            |  SELECT vec_id AS corpus_id,
            |    list_transform(embedding,
            |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
-           |  FROM embeddings WHERE vec_id >= 50),
+           |  FROM embeddings
+           |  WHERE vec_id >= (SELECT min(vec_id) + 50 FROM embeddings)),
            |s AS (
            |  SELECT query_id, corpus_id,
            |    CAST(list_inner_product(qv, cv) AS BIGINT) AS dot
