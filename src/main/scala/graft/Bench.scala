@@ -44,6 +44,14 @@ object Bench {
     }.min
     // dev convenience: `runMain graft.Bench q30 q32` times only queries
     // whose name contains one of the args; the driver passes none.
+    // Registry rows NOT bench-flagged (and therefore absent from every
+    // BENCH file, deliberately): q88_bpe_merges_batched — it runs the
+    // batched BPE trainer at batchSize=1, whose plan reduces by
+    // construction to q81's sequential trainer (and whose oracle IS
+    // q81's, replayed), so a q88 timing would duplicate q81's row
+    // under a second name. Everything else in the registry benches,
+    // including q86 (whose delta over q82 is the model-persistence
+    // round-trip).
     val picked =
       if (args.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter(q => args.exists(q.name.contains))

@@ -1611,9 +1611,10 @@ object LlmPipelines {
         .orderBy(col("source"))
     },
     Some(q82Oracle),
-    // q82 already times this plan shape; the persisted variant exists
-    // for the artifact contract, not as a second benchmark row
-    bench = false)
+    // bench-flagged (round 16): unlike q82 this row also pays the
+    // model-artifact round-trip (train → saveMerges → loadMergePairs)
+    // before the encode, so its delta over q82 IS the persistence cost
+    bench = true)
 
   /** Batched BPE training ([[graft.llm.Bpe.trainMergesBatched]]) at
     * batch size 1 under q81's EXACT hash-gating oracle: the batched
