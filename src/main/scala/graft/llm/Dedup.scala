@@ -501,9 +501,10 @@ object Dedup {
     * TRUE pair (a pair with d dirty blocks collides in
     * C(blocks−d, keyBlocks) combinations, all evaluated by the
     * canonical filter), so on any corpus with real near-dup families
-    * the wider-key forms lose outright — (10,3) measured 26× worse
-    * than (9,2) at 50k docs and was killed unfinished at 20+ minutes
-    * against 9.7 s at 500k, identical pair sets. The superlinearity
+    * the wider-key forms lose outright — (10,3) measured 47× worse
+    * than (9,2) at 50k docs (185.5 vs 3.91 s, clean decade table in
+    * SCALE.md r16) and was killed unfinished at 20+ minutes against
+    * 9.14 s at 500k, identical pair sets. The superlinearity
     * that once suggested raising the floor toward log2(n) was a
     * planner size-estimate broadcast of the exploded keyed frame
     * (fixed in [[hammingCandidatesFromFp]], r16), not key-space
@@ -610,7 +611,7 @@ object Dedup {
     * the single-block form saturated at 2^8 buckets by n ≈ 10^5.
     * Wider-than-floor keys do NOT help at larger n: every extra
     * combination re-emits every true pair into the canonical filter
-    * (measured 26× worse at the smallest decade — autoGeometry's
+    * (measured 47× worse at the smallest decade — autoGeometry's
     * scaladoc). Size the
     * combination count to the threshold you ACTUALLY run, not the
     * loosest one you might: at maxHamming=3, blocks=4/keyBlocks=1 is
@@ -847,12 +848,29 @@ object Dedup {
     val hot = bk.select(col("combo"), col("key")).distinct()
     val sk = keyed(storeFp)
       .join(broadcast(hot), Seq("combo", "key"), "left_semi")
+    // SIZE-DISPATCHED join strategy, the [[hammingCandidatesFromFp]]
+    // fix applied to the probe's joins: sk is Generate-shaped, so the
+    // planner sees the un-exploded STORE scan's bytes (~16 B/doc) and
+    // can pick the gigabyte store side as the broadcast build when its
+    // estimate undercuts the cached batch frame's true size. The batch
+    // side's TRUE exploded row count is known here (nBatch × combos),
+    // so broadcast IT when provably small — which also preserves the
+    // scan-the-store-once contract exactly (store keyed rows stream
+    // through the hash join with no exchange); above
+    // [[BroadcastKeyedRows]] a MERGE hint pins sort-merge, whose
+    // shuffle volume is the keyed rows the geometry already accounts
+    // for. Applied to BOTH joins so the strategy never depends on the
+    // session's autoBroadcastJoinThreshold.
+    val bkRows = nBatch * (0 until blocks).combinations(keyBlocks).size
+    def aSide: DataFrame =
+      if (bkRows <= BroadcastKeyedRows) broadcast(bk.as("a"))
+      else bk.as("a").hint("merge")
     val xor = col("a.sh").bitwiseXOR(col("b.sh"))
-    val vsStore = bk.as("a").join(sk.as("b"),
+    val vsStore = aSide.join(sk.as("b"),
         col("a.combo") === col("b.combo") && col("a.key") === col("b.key"))
       .where(bit_count(xor) <= maxHamming)
       .select(col("a.id").as("id"))
-    val vsBatch = bk.as("a").join(bk.as("b"),
+    val vsBatch = aSide.join(bk.as("b"),
         col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
         col("b.id") < col("a.id"))
       .where(bit_count(xor) <= maxHamming)

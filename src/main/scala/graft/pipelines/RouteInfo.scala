@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   * covered by q34 + VdvX10Spec): stops come from `part` (point_no =
   * p_partkey, DMS-millisecond coordinates synthesized from the key in
   * the reference's `dddmmssnnn` format), route sequences from
-  * `lineitem` orders < 400 (line_no = l_orderkey, sequence_no =
+  * a 400-order lineitem window anchored at min(l_orderkey) — id-
+  * translation-safe, see Tables.minId (line_no = l_orderkey, sequence_no =
   * l_linenumber, point_no = l_partkey), links from consecutive
   * sequence pairs with a key-derived integer distance.
   *

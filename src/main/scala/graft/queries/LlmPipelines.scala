@@ -2549,7 +2549,8 @@ object LlmPipelines {
     * ([[graft.llm.Similarity.ivfCentroids]] +
     * [[graft.llm.Similarity.ivfIndexAssignments]] +
     * [[graft.llm.Similarity.ivfProbeTopK]]) — the q95 corpus-growth
-    * arc on the embedding side: the query batch (vec_id < 50) probes
+    * arc on the embedding side: the query batch (the 50 lowest
+    * vec_ids, min-anchored) probes
     * the corpus's stored inverted lists, never re-assigning or
     * re-scanning the unprobed corpus; the probed list ids push into
     * the index scan as a literal `cent IN`, which on a

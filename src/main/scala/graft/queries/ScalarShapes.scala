@@ -165,12 +165,16 @@ object ScalarShapes {
     * batch against the prior snapshot, `coalesce(prev, current)`
     * (`scripts/ads_passenger_travel_distance_di.py:11-52`'s SQLite
     * get-or-create, restated as a distributed join — no driver-side
-    * key-value store). Snapshot = events with event_id < 5000. */
+    * key-value store). Snapshot = a 5000-event window anchored at
+    * min(event_id) (Tables.minId — id-translation-safe, so the
+    * big-id offset gate exercises the prev side instead of silently
+    * degenerating to all-is_new=1 on BOTH engines). */
   val q21 = QueryDef(
     "q21_first_seen_audit",
     (s, dir) => {
       val ev = Tables.events(s, dir)
-      val prev = ev.where(col("event_id") < 5000)
+      val prev = ev.where(
+          col("event_id") < Tables.minId(ev, "event_id") + 5000L)
         .groupBy(col("user_id"))
         .agg(min(unix_micros(col("ts"))).as("prev_first_us"))
       val cur = ev.groupBy(col("user_id"))
@@ -184,7 +188,9 @@ object ScalarShapes {
     },
     Some("""WITH prev AS (
            |  SELECT user_id, MIN(epoch_us(ts)) AS prev_first_us
-           |  FROM events WHERE event_id < 5000 GROUP BY user_id),
+           |  FROM events
+           |  WHERE event_id < (SELECT min(event_id) + 5000 FROM events)
+           |  GROUP BY user_id),
            |cur AS (
            |  SELECT user_id, MIN(epoch_us(ts)) AS cur_first_us
            |  FROM events GROUP BY user_id)

@@ -115,6 +115,37 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("hamming PROBE banding joins broadcast the BATCH side by true size") {
+    // The probe's store-side frame sk is Generate-shaped too, so the
+    // planner can see the un-exploded store scan's bytes and pick the
+    // gigabyte store side as the broadcast build. The probe instead
+    // broadcasts the side whose TRUE exploded size is known — the
+    // counted batch (nBatch × combos) — and pins sort-merge above
+    // BroadcastKeyedRows so neither join ever depends on a size
+    // estimate of a Generate output.
+    import spark.implicits._
+    val store = (0L until 9000L).map(i => (i, i * 2654435761L)).toDF("id", "sh")
+    // 3000 docs: above bruteBelow (2048) → banding path; × 36 combos
+    // = 108k keyed rows → batch-side broadcast
+    val batch = (100000L until 103000L).map(i => (i, i * 40503L)).toDF("id", "sh")
+    val pSmall = graft.llm.Dedup.hammingProbeTouch(store, batch)
+      .queryExecution.executedPlan.toString
+    assert(pSmall.contains("BroadcastHashJoin"),
+      s"3000-doc batch × 36 combos is provably small — broadcast:\n$pSmall")
+    assert(!pSmall.contains("SortMergeJoin"),
+      s"no probe join should sort-merge in the small regime:\n$pSmall")
+    // 120k batch docs × 36 = 4.32M keyed rows > BroadcastKeyedRows →
+    // both candidate joins sort-merge (the hot-bucket semi-join stays
+    // broadcast: its build is the distinct (combo, key) set)
+    val bigBatch = spark.range(200000L, 320000L)
+      .selectExpr("id", "id * 2654435761 AS sh")
+    val pBig = graft.llm.Dedup.hammingProbeTouch(store, bigBatch)
+      .queryExecution.executedPlan.toString
+    assert(pBig.contains("SortMergeJoin"),
+      s"4.32M keyed batch rows must sort-merge:\n$pBig")
+    spark.catalog.clearCache()
+  }
+
   test("q62: point side is aggregated to day grain BELOW the range join") {
     // the final output only needs per-(flag,status) sums + a distinct
     // order count — feeding raw lineitem rows through the join is a
