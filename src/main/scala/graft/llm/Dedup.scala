@@ -702,7 +702,33 @@ object Dedup {
       // rows themselves — the volume the geometry sizing already
       // accounts for, and the only shape that survives a 1000-executor
       // corpus (a per-executor GiB-scale broadcast does not).
-      val keyedRows = fp.count() * combos.size
+      val nDocs = fp.count()
+      val keyedRows = nDocs * combos.size
+      // LOUD REGIME SENTINEL, not a behavior change: past ~10^6 docs
+      // the h≤7 key space genuinely fills (random bucket collisions
+      // grow n²/2^keyBits per combination while true pairs grow n —
+      // measured 9.14 s at 500k vs 548.8 s at 5M on the dense image
+      // fixture, SCALE.md r16), and the measured mitigations are
+      // semantic choices only the caller can make: tighten maxHamming
+      // (h≤3 is linear through 5M), or set maxBucketSize > 0 for the
+      // capped path with its sentinel rows. Wider keys are measured
+      // NOT to be a mitigation (every extra combination re-emits every
+      // true pair — autoGeometry's scaladoc). The expected-collision
+      // estimate uses the narrowest combination key, conservatively.
+      locally {
+        val minKeyBits = combos.map(_.map(widths).sum).min
+        val expectedRandomPairs =
+          combos.size.toDouble * nDocs.toDouble * nDocs.toDouble /
+            math.pow(2.0, minKeyBits.toDouble)
+        if (expectedRandomPairs > 5e9)
+          System.err.println(
+            f"[graft] hammingCandidatesFromFp: $nDocs%,d docs × " +
+              f"${combos.size} combination keys of ≥$minKeyBits bits — " +
+              f"expected random bucket collisions ≈ $expectedRandomPairs%.1e " +
+              "pairs, PAST the decade measured flat (SCALE.md r16). " +
+              "Tighten maxHamming or set maxBucketSize > 0; wider keys " +
+              "are measured not to help.")
+      }
       val (left, right) =
         if (keyedRows <= BroadcastKeyedRows)
           (broadcast(keyed.as("a")), keyed.as("b"))

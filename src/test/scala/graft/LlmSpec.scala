@@ -548,6 +548,37 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("banding emits the quadratic-regime sentinel past the measured decade") {
+    // The sentinel is advisory (never a behavior change): when
+    // combos·n²/2^minKeyBits predicts random bucket collisions past
+    // the decade measured flat, the operator says so on stderr and
+    // names the MEASURED mitigations. Pin both directions: a narrow
+    // explicit geometry over a modest frame trips it (64 blocks,
+    // 1-bit keys: 64·13k²/2 ≈ 5.4e9 > 5e9), the default auto
+    // geometry over the same frame stays silent (36·13k²/2^14 ≈ 4e5).
+    def stderrOf(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      try body finally System.setErr(old)
+      buf.toString("UTF-8")
+    }
+    val fp = graft.core.Caching.eager(
+      (0L until 13000L).map(i => (i, i * 2654435761L)).toDF("id", "sh"))
+    val loud = stderrOf {
+      Dedup.hammingCandidatesFromFp(fp, blocks = 64, maxHamming = 7,
+        keyBlocks = 1)
+    }
+    assert(loud.contains("PAST the decade measured flat"),
+      s"narrow-key regime must warn, got: <$loud>")
+    val quiet = stderrOf {
+      Dedup.hammingCandidatesFromFp(fp, 0, 7, 0)
+    }
+    assert(!quiet.contains("PAST the decade"),
+      s"auto geometry at 13k docs must stay silent, got: <$quiet>")
+    spark.catalog.clearCache()
+  }
+
   test("CollectMinK == sort+slice of the full collect, true size included") {
     // the bounded top-k aggregate must agree with the unbounded
     // collect-then-truncate form on every group — exercised across
