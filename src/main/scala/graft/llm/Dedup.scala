@@ -563,6 +563,24 @@ object Dedup {
     * child's bytes. */
   val BroadcastKeyedRows = 4000000L
 
+  /** The MEMBERSHIP PROBE's own, tighter broadcast bound. The probe's
+    * registered consumer shape is different from pair-gen's: the
+    * admission audits collect the probe's (batch-bounded) output under
+    * an explicit `broadcast(...)` flag join, so the probe plan
+    * executes inside a broadcast-exchange subtree — and there a large
+    * explicit batch-side build measured 2× SLOWER than sort-merge at
+    * 1.8M keyed rows (q103 at 500k docs: 42.1 s merge vs 89.2 s
+    * broadcast, same session), even though the identical probe
+    * ISOLATED measures the same build 2.5× FASTER (ProbeTouch,
+    * 450k store × 50k batch: 6.5-13.6 s broadcast vs 18.0-25.2 s
+    * merge). The embedded measurement is binding because embedding is
+    * the contract. The bound sits just above the largest
+    * embedded-measured-good decade — 180k keyed rows (5k-doc batches:
+    * q103 flat at sf1, and ProbeTouch at 495k×5k measured the
+    * broadcast 2.7× faster than the pre-dispatch planner choice) —
+    * and well under the embedded-measured-bad 1.8M. */
+  val ProbeBroadcastKeyedRows = 250000L
+
   /** Driver-side combination-key expansion cap shared by
     * [[autoGeometry]] (search bound) and [[hammingCandidatesFromFp]]
     * (loud guard on explicit geometry): C(40, 20) passes every
@@ -883,13 +901,17 @@ object Dedup {
     // so broadcast IT when provably small — which also preserves the
     // scan-the-store-once contract exactly (store keyed rows stream
     // through the hash join with no exchange); above
-    // [[BroadcastKeyedRows]] a MERGE hint pins sort-merge, whose
-    // shuffle volume is the keyed rows the geometry already accounts
-    // for. Applied to BOTH joins so the strategy never depends on the
-    // session's autoBroadcastJoinThreshold.
+    // [[ProbeBroadcastKeyedRows]] — the probe's own bound, tighter
+    // than pair-gen's because the probe executes inside its consumer's
+    // broadcast subtree where a large build measured 2× slower (see
+    // the bound's scaladoc for both sides of that measurement) — a
+    // MERGE hint pins sort-merge, whose shuffle volume is the keyed
+    // rows the geometry already accounts for. Applied to BOTH joins so
+    // the strategy never depends on the session's
+    // autoBroadcastJoinThreshold.
     val bkRows = nBatch * (0 until blocks).combinations(keyBlocks).size
     def aSide: DataFrame =
-      if (bkRows <= BroadcastKeyedRows) broadcast(bk.as("a"))
+      if (bkRows <= ProbeBroadcastKeyedRows) broadcast(bk.as("a"))
       else bk.as("a").hint("merge")
     val xor = col("a.sh").bitwiseXOR(col("b.sh"))
     val vsStore = aSide.join(sk.as("b"),

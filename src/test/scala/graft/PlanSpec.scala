@@ -121,8 +121,12 @@ class PlanSpec extends AnyFunSuite {
     // gigabyte store side as the broadcast build. The probe instead
     // broadcasts the side whose TRUE exploded size is known — the
     // counted batch (nBatch × combos) — and pins sort-merge above
-    // BroadcastKeyedRows so neither join ever depends on a size
-    // estimate of a Generate output.
+    // ProbeBroadcastKeyedRows (the probe's own bound, tighter than
+    // pair-gen's: the probe executes inside its consumer's broadcast
+    // subtree, where a 1.8M-row build measured 2× slower than
+    // sort-merge even though the same build is 2.5× faster isolated)
+    // so neither join ever depends on a size estimate of a Generate
+    // output.
     import spark.implicits._
     val store = (0L until 9000L).map(i => (i, i * 2654435761L)).toDF("id", "sh")
     // 3000 docs: above bruteBelow (2048) → banding path; × 36 combos
@@ -134,15 +138,15 @@ class PlanSpec extends AnyFunSuite {
       s"3000-doc batch × 36 combos is provably small — broadcast:\n$pSmall")
     assert(!pSmall.contains("SortMergeJoin"),
       s"no probe join should sort-merge in the small regime:\n$pSmall")
-    // 120k batch docs × 36 = 4.32M keyed rows > BroadcastKeyedRows →
-    // both candidate joins sort-merge (the hot-bucket semi-join stays
-    // broadcast: its build is the distinct (combo, key) set)
-    val bigBatch = spark.range(200000L, 320000L)
+    // 8000 batch docs × 36 = 288k keyed rows > ProbeBroadcastKeyedRows
+    // → both candidate joins sort-merge (the hot-bucket semi-join
+    // stays broadcast: its build is the distinct (combo, key) set)
+    val bigBatch = spark.range(200000L, 208000L)
       .selectExpr("id", "id * 2654435761 AS sh")
     val pBig = graft.llm.Dedup.hammingProbeTouch(store, bigBatch)
       .queryExecution.executedPlan.toString
     assert(pBig.contains("SortMergeJoin"),
-      s"4.32M keyed batch rows must sort-merge:\n$pBig")
+      s"288k keyed batch rows must sort-merge:\n$pBig")
     spark.catalog.clearCache()
   }
 
