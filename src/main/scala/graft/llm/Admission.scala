@@ -108,7 +108,16 @@ object Admission {
     * within `maxHamming`, so the audit replays identically under any
     * arrival interleaving. Output: (id, gate_pass, exact_dup,
     * near_dup, image_dup, audio_dup, admitted), admitted iff all five
-    * clear. */
+    * clear.
+    *
+    * STALENESS TRIGGER for [[Dedup.ProbeBroadcastKeyedRows]]: that
+    * bound (250k) was set by an A/B run with the probe EMBEDDED in
+    * exactly this consumption shape — the probe output collected
+    * under the explicit `broadcast(img/aud)` flag joins below. If
+    * this method (or any new consumer) stops consuming the probe
+    * under a broadcast flag join, the embedded measurement no longer
+    * describes the plan; re-run the A/B (both q103-at-sf10 legs,
+    * bound scaladoc has the numbers) before trusting the bound. */
   def auditMultimodalWithFps(seen: DataFrame, batch: DataFrame,
                              idCol: String, textCol: String,
                              index: DataFrame, fps: DataFrame,

@@ -578,7 +578,14 @@ object Dedup {
     * embedded-measured-good decade — 180k keyed rows (5k-doc batches:
     * q103 flat at sf1, and ProbeTouch at 495k×5k measured the
     * broadcast 2.7× faster than the pre-dispatch planner choice) —
-    * and well under the embedded-measured-bad 1.8M. */
+    * and well under the embedded-measured-bad 1.8M.
+    *
+    * STALENESS TRIGGER: the embedded shape this bound assumes is the
+    * admission audits' broadcast-flag-join consumption
+    * ([[graft.llm.Admission.auditMultimodalWithFps]] — see the
+    * matching note there). A consumer that stops collecting the probe
+    * output under an explicit broadcast join invalidates the embedded
+    * A/B; re-run it before reusing the bound in a new shape. */
   val ProbeBroadcastKeyedRows = 250000L
 
   /** Driver-side combination-key expansion cap shared by
@@ -807,8 +814,17 @@ object Dedup {
     * once and cached (batch-sized); the STORE is scanned exactly once
     * — its combo keys are generated map-side and restricted to the
     * batch's hot buckets via a broadcast semi-join BEFORE any
-    * exchange, so no corpus-sized shuffle exists and per-arrival cost
-    * is the store's columnar scan plus batch-sized joins. Exhaustive
+    * exchange. In the batch-broadcast regime (batch keyed rows ≤
+    * [[ProbeBroadcastKeyedRows]]) that means NO store-side shuffle at
+    * all: the hot-restricted store keyed rows stream through a
+    * broadcast hash join and per-arrival cost is the store's columnar
+    * scan plus batch-sized joins. ABOVE the bound the MERGE hint
+    * sort-merges both joins, and the shuffled volume is the
+    * hot-bucket-restricted store keyed rows — which approaches
+    * corpus×combos when a huge batch's buckets cover the store; that
+    * is the volume the geometry sizing accounts for, and the only
+    * shape that survives when the batch side itself is too big to
+    * broadcast. Exhaustive
     * by the same pigeonhole as [[hammingCandidatesFromFp]]
     * (membership needs only ONE clean combination, so no
     * canonical-combo dedup is needed — the final distinct is over
@@ -858,6 +874,19 @@ object Dedup {
     require(keyBlocks >= 1 && keyBlocks <= blocks - maxHamming,
       s"pigeonhole needs keyBlocks <= blocks - maxHamming: " +
         s"blocks=$blocks maxHamming=$maxHamming keyBlocks=$keyBlocks")
+    // loud guard on EXPLICIT geometry, [[hammingCandidatesFromFp]]'s
+    // [[ComboCap]] applied to the probe too — and the overflow-safe
+    // Long count is what bkRows multiplies below, so a pathological
+    // geometry (e.g. blocks=40, keyBlocks=20 ≈ 1.4e11 combinations)
+    // fails HERE instead of hanging the driver enumerating
+    // combinations or overflowing `.size`'s Int
+    val nCombos = {
+      val c = binomAtMost(blocks, keyBlocks, ComboCap)
+      require(c <= ComboCap,
+        s"C($blocks, $keyBlocks) = ${if (c > ComboCap) s">$ComboCap" else c} " +
+          s"combination keys; pick a narrower geometry (cap $ComboCap)")
+      c
+    }
     val (bf, nBatch) = graft.core.Caching.eagerCounted(
       batchFp.select(col("id"), col("sh")))
     if (nBatch == 0L)
@@ -909,7 +938,7 @@ object Dedup {
     // rows the geometry already accounts for. Applied to BOTH joins so
     // the strategy never depends on the session's
     // autoBroadcastJoinThreshold.
-    val bkRows = nBatch * (0 until blocks).combinations(keyBlocks).size
+    val bkRows = nBatch * nCombos
     def aSide: DataFrame =
       if (bkRows <= ProbeBroadcastKeyedRows) broadcast(bk.as("a"))
       else bk.as("a").hint("merge")

@@ -1624,8 +1624,10 @@ object LlmPipelines {
     * follow a documented approximation of classic BPE that no bounded
     * SQL unrolling can replay: the greedy non-interacting selection is
     * itself sequential — those are spec-pinned in SpansSpec instead).
-    * Bench-excluded like q86: the oracle is q81's replayed, and q81
-    * already times this plan shape. */
+    * The registry's ONLY bench-excluded row (q86 gained a bench flag
+    * in round 16 to price the persistence round-trip): its oracle is
+    * q81's replayed, and at batchSize=1 its plan IS q81's, so a bench
+    * row would time q81 twice under two names. */
   val q88 = QueryDef(
     "q88_bpe_merges_batched",
     (s, dir) =>

@@ -693,6 +693,19 @@ class LlmSpec extends AnyFunSuite {
         docs.select($"doc_id".as("id"), lit(0L).as("sh")),
         blocks = 9, maxHamming = 7, keyBlocks = 3)
     }
+    // the PROBE shares the ComboCap guard (r16 advice): a pathological
+    // explicit geometry — C(40,20) ≈ 1.4e11 combinations — must fail
+    // loudly BEFORE any combination enumeration (which would hang the
+    // driver) or Int-overflowing .size; the guard runs even before the
+    // batch count, so empty frames suffice
+    val capErr = intercept[IllegalArgumentException] {
+      Dedup.hammingProbeTouch(
+        docs.select($"doc_id".as("id"), lit(0L).as("sh")),
+        docs.select($"doc_id".as("id"), lit(0L).as("sh")),
+        blocks = 40, maxHamming = 7, keyBlocks = 20)
+    }
+    assert(capErr.getMessage.contains("combination keys"),
+      s"probe should fail on the combination cap, got: ${capErr.getMessage}")
   }
 
   test("VectorKernels.cosine matches a reference implementation") {
