@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StructField, StructType}
 
 /** Perceptual image hashing (dHash / aHash) over image payloads — the
   * image leg of the near-dup dedup mandate, completing the SimHash
@@ -208,39 +208,73 @@ object PerceptualHash {
     else if (isHashable(b))
       java.lang.Long.valueOf(if (dhash) dhash64(b) else ahash64(b))
     else if (looksLikeCodec(b)) {
-      val _ = imageIoReady
-      try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(b))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) null
-          else {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis, true, true)
-              // header-only: no pixel allocation happens for these
-              val w = reader.getWidth(0).toLong
-              val h = reader.getHeight(0).toLong
-              if (w <= 0 || h <= 0 || w * h > maxCodecPixels) null
-              else {
-                val img = reader.read(0)
-                if (img == null) null
-                else java.lang.Long.valueOf(
-                  if (dhash) dhashBits(gridFromImage(img, 9, 8))
-                  else ahashBits(gridFromImage(img, 8, 8)))
-              }
-            } finally reader.dispose()
-          }
-        } finally iis.close()
-      } catch {
-        // truncated/corrupt payloads surface as IIOException/IOException
-        // (and some broken streams as RuntimeException inside plugins);
-        // a corrupt image is data, not a bug — hash NULL, keep scanning
-        case _: java.io.IOException => null
-        case _: RuntimeException => null
-      }
+      val img = decodeCodec(b)
+      if (img == null) null
+      else java.lang.Long.valueOf(
+        if (dhash) dhashBits(gridFromImage(img, 9, 8))
+        else ahashBits(gridFromImage(img, 8, 8)))
     } else null
+  }
+
+  /** ImageIO decode of a codec payload with the bomb guard; null on
+    * anything that fails to decode — the shared tail of [[hash64]]
+    * and [[hash128]], factored out so the WIDE fingerprint pays ONE
+    * decode for both hashes. */
+  private def decodeCodec(b: Array[Byte]): java.awt.image.BufferedImage = {
+    val _ = imageIoReady
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            // header-only: no pixel allocation happens for these
+            val w = reader.getWidth(0).toLong
+            val h = reader.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > maxCodecPixels) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch {
+      // truncated/corrupt payloads surface as IIOException/IOException
+      // (and some broken streams as RuntimeException inside plugins);
+      // a corrupt image is data, not a bug — hash NULL, keep scanning
+      case _: java.io.IOException => null
+      case _: RuntimeException => null
+    }
+  }
+
+  /** The WIDE fingerprint: dHash (element 0 — the wide banding's
+    * `lo` half) and aHash (element 1 — `hi`) of ONE decode, null when
+    * the payload decodes under no supported format. Bit-identical to
+    * `[hash64(b, true), hash64(b, false)]` (spec-pinned) but decodes
+    * codec payloads ONCE where two kernel calls decode twice — at a
+    * 10^9-image corpus the decode IS the fingerprint cost, so the
+    * wide path must not double it. */
+  def hash128(b: Array[Byte]): Array[Long] = {
+    if (b == null) null
+    else if (isHashable(b))
+      Array(dhash64(b), ahash64(b))
+    else if (looksLikeCodec(b)) {
+      val img = decodeCodec(b)
+      if (img == null) null
+      else Array(dhashBits(gridFromImage(img, 9, 8)),
+        ahashBits(gridFromImage(img, 8, 8)))
+    } else null
+  }
+
+  /** [[hash128]] as an InternalRow (dh, ah) for the codegen'd struct
+    * expression; java null when unhashable. */
+  def hash128Row(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val h = hash128(b)
+    if (h == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](h(0), h(1)))
   }
 
   /** Column API: 64-bit dHash of a BMP/PNG/JPEG/GIF payload, NULL
@@ -253,6 +287,14 @@ object PerceptualHash {
   def a_hash(payload: Column): Column =
     GraftSqlBridge.column(BmpHash64(
       GraftSqlBridge.expression(payload), dhash = false))
+
+  /** Column API: the 128-bit wide fingerprint as STRUCT<dh: BIGINT,
+    * ah: BIGINT> from ONE decode ([[hash128]]); NULL struct on
+    * unparseable payloads. Feed `dh` as the wide banding's `lo` half
+    * and `ah` as `hi` ([[graft.llm.Multimodal.imageNearDupPairsWide]]
+    * does). */
+  def d_a_hash(payload: Column): Column =
+    GraftSqlBridge.column(BmpHash128(GraftSqlBridge.expression(payload)))
 }
 
 /** Codegen'd BINARY → LONG perceptual hash (see [[PerceptualHash]]):
@@ -276,6 +318,35 @@ case class BmpHash64(child: Expression, dhash: Boolean)
       java.lang.Long $h = graft.functions.PerceptualHash.hash64($c, $dhash);
       if ($h != null) {
         ${ev.value} = $h.longValue();
+      } else {
+        ${ev.isNull} = true;
+      }"""
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Codegen'd BINARY → STRUCT<dh: BIGINT, ah: BIGINT> wide perceptual
+  * fingerprint (see [[PerceptualHash.hash128]]): both hashes from ONE
+  * decode; NULL for payloads no supported format decodes. */
+case class BmpHash128(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("dh", LongType, nullable = false),
+    StructField("ah", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected BINARY, got $t")
+  }
+  override def nullSafeEval(b: Any): Any =
+    PerceptualHash.hash128Row(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { c =>
+      val r = ctx.freshName("phash128")
+      s"""
+      org.apache.spark.sql.catalyst.InternalRow $r =
+        graft.functions.PerceptualHash.hash128Row($c);
+      if ($r != null) {
+        ${ev.value} = $r;
       } else {
         ${ev.isNull} = true;
       }"""

@@ -984,6 +984,234 @@ object Dedup {
     }.toSeq
   }
 
+  // ================== WIDE (128-bit) Hamming banding ==================
+  //
+  // Round-17 escape from the 64-bit key-space ceiling: a 64-bit
+  // fingerprint caps combination keys at ~15 bits for the h≤7
+  // geometry, and past ~10^6 docs random bucket collisions
+  // (combos·n²/2^keyBits) genuinely fill that space — measured 9.14 s
+  // at 500k vs 548.8 s at 5M on the dense image fixture (SCALE.md
+  // r16), with wider KEY COUNTS measured 47× WORSE (every extra
+  // combination re-emits every true pair). The un-refuted direction
+  // is key WIDTH: a 128-bit fingerprint doubles every block, so the
+  // same C(9,2)=36 combination keys carry ~28 bits instead of ~15 —
+  // key space ×~8000, collision term at 5M docs ≈ 3×10^6 instead of
+  // 5×10^12. The similarity contract changes with the fingerprint
+  // (Hamming over 128 bits), so the operating thresholds are
+  // MEASURED, not assumed: ProbeWide (r17) brute-forced the fixture
+  // twin distributions first — image dHash‖aHash true pairs (64-bit
+  // h≤7 truth) all sit at h128 ≤ 8 with the closest non-pair at 27;
+  // the doubled-grid audio fingerprint's same-family pairs all sit at
+  // h ≤ 7 with the closest cross-family pair at 31.
+
+  /** [[autoGeometry]] for a 128-bit fingerprint: fewest combination
+    * keys subject to the same pigeonhole bound, a HIGHER key-width
+    * floor (default 24 bits — 128-bit blocks make wide keys free, and
+    * 24 bits holds the expected-collision term combos·n²/2^bits under
+    * ~10^7 pairs at 5M docs where the 64-bit path's 15-bit ceiling is
+    * measured quadratic), the [[ComboCap]] driver-expansion cap, and
+    * one new constraint the 64-bit search never needed: the
+    * concatenated combination key must FIT ONE LONG (keyBlocks ×
+    * widest block ≤ 64 bits), since keys join as BIGINT columns.
+    * Examples: h=7 → (9, 2), 36 keys of ≥28 bits (the 64-bit
+    * geometry's combo count with ×8000 the key space); h=8 →
+    * (10, 2), 45 keys of ≥24 bits; h=3 → (4, 1), 4 keys of 32. */
+  def autoGeometry128(maxHamming: Int, keyBitsFloor: Int = 24): (Int, Int) = {
+    require(maxHamming >= 0 && maxHamming < 128,
+      s"maxHamming out of range: $maxHamming")
+    require(keyBitsFloor >= 1 && keyBitsFloor <= 64,
+      s"keyBitsFloor out of range: $keyBitsFloor")
+    var best = (0, 0)
+    var bestC = Long.MaxValue
+    var bestBits = -1
+    var blocks = math.max(2, maxHamming + 1)
+    while (blocks <= 128) {
+      val width = 128 / blocks                    // narrowest block
+      val maxWidth = if (128 % blocks == 0) width else width + 1
+      var kb = 1
+      while (kb <= blocks - maxHamming) {
+        val bits = kb * width                     // narrowest key
+        if (bits >= keyBitsFloor && kb * maxWidth <= 64) {
+          val c = binomAtMost(blocks, kb, ComboCap)
+          if (c <= ComboCap &&
+              (c < bestC || (c == bestC && bits > bestBits))) {
+            best = (blocks, kb); bestC = c; bestBits = bits
+          }
+        }
+        kb += 1
+      }
+      blocks += 1
+    }
+    require(best._1 != 0,
+      s"no exhaustive 128-bit geometry with >= $keyBitsFloor key bits " +
+        s"and one-Long keys exists within the $ComboCap-combination " +
+        s"cap for maxHamming=$maxHamming; lower the floor or the threshold")
+    best
+  }
+
+  /** Nearly-equal contiguous bit-block layout over a 128-bit
+    * fingerprint held as two Longs (`lo` = bits 0–63, `hi` = bits
+    * 64–127): (widths, bit offsets); the first 128 % blocks blocks
+    * carry the extra bit. Blocks may straddle the lo/hi boundary —
+    * [[comboKeyExprs128]] stitches those from both halves. */
+  private[graft] def blockLayout128(blocks: Int): (Array[Int], Array[Int]) = {
+    val base = 128 / blocks
+    val widths = Array.tabulate(blocks)(i =>
+      if (i < 128 % blocks) base + 1 else base)
+    (widths, widths.scanLeft(0)(_ + _))
+  }
+
+  /** The C(blocks, keyBlocks) combination-key expressions over a
+    * 128-bit (lo, hi) fingerprint pair, in combination-enumeration
+    * order; requires blocks >= 2 (so no block exceeds 64 bits) and
+    * keys that fit one Long ([[autoGeometry128]]'s constraint). */
+  private[graft] def comboKeyExprs128(lo: Column, hi: Column, blocks: Int,
+                                      keyBlocks: Int): Seq[Column] = {
+    val (widths, offsets) = blockLayout128(blocks)
+    def widthMask(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
+    def blockBits(b: Int): Column = {
+      val o = offsets(b); val w = widths(b)
+      val m = lit(widthMask(w))
+      if (o >= 64) shiftrightunsigned(hi, o - 64).bitwiseAND(m)
+      else if (o + w <= 64) shiftrightunsigned(lo, o).bitwiseAND(m)
+      else // straddles the boundary; 0 < o < 64 here, so both shifts
+           // are in (0, 64) and Java's mod-64 shift wrap never bites
+        shiftrightunsigned(lo, o)
+          .bitwiseOR(shiftleft(hi, 64 - o)).bitwiseAND(m)
+    }
+    (0 until blocks).combinations(keyBlocks).map { combo =>
+      combo.foldLeft(lit(0L)) { (acc, b) =>
+        shiftleft(acc, widths(b)).bitwiseOR(blockBits(b))
+      }
+    }.toSeq
+  }
+
+  /** [[hammingCandidatesFromFp]] over a 128-bit fingerprint: `fp` is
+    * `(id, lo, hi)` with the fingerprint's low/high 64 bits in two
+    * BIGINT columns, and every pair at TOTAL Hamming distance
+    * (popcount of both halves' xors) <= `maxHamming` is emitted
+    * exactly once — same pigeonhole exhaustiveness, same
+    * canonical-combo dedup (per-combo masks now span both halves),
+    * same TRUE-exploded-size join dispatch, same capped path
+    * ([[graft.functions.BoundedMinK.collect_min_k2]] carries both
+    * halves through the size-capped heap), same loud sentinels.
+    * Geometry defaults to [[autoGeometry128]] (`blocks = keyBlocks =
+    * 0`). The point of the width: the quadratic-regime sentinel
+    * threshold that the 64-bit path crosses near 10^6 docs
+    * (combos·n²/2^15) is pushed out by a factor of ~2^13 at the
+    * default h≤7 geometry — ProbeWide's decade table (SCALE.md r17)
+    * measures the 5M-doc leg FLAT where the 64-bit path took
+    * 548.8 s. */
+  def hammingCandidatesFromFp128(fp: DataFrame, blocks: Int,
+                                 maxHamming: Int, keyBlocks: Int,
+                                 maxBucketSize: Int = 0): DataFrame = {
+    if (blocks == 0 || keyBlocks == 0) {
+      require(blocks == 0 && keyBlocks == 0,
+        s"auto-sizing takes BOTH blocks=0 and keyBlocks=0 (got " +
+          s"blocks=$blocks keyBlocks=$keyBlocks) — the two are sized " +
+          "jointly; override both or neither")
+      val (b, k) = autoGeometry128(maxHamming)
+      return hammingCandidatesFromFp128(fp, b, maxHamming, k, maxBucketSize)
+    }
+    require(blocks >= 2 && blocks <= 128, s"blocks out of range: $blocks")
+    require(maxHamming >= 0 && maxHamming < blocks,
+      s"exhaustive only for hamming < blocks: blocks=$blocks maxHamming=$maxHamming")
+    require(keyBlocks >= 1 && keyBlocks <= blocks - maxHamming,
+      s"pigeonhole needs keyBlocks <= blocks - maxHamming: " +
+        s"blocks=$blocks maxHamming=$maxHamming keyBlocks=$keyBlocks")
+    val (widths, offsets) = blockLayout128(blocks)
+    require(keyBlocks * widths.max <= 64,
+      s"combination keys must fit one Long: keyBlocks=$keyBlocks × " +
+        s"width=${widths.max} > 64 bits — use more blocks")
+    locally {
+      val c = binomAtMost(blocks, keyBlocks, ComboCap)
+      require(c <= ComboCap,
+        s"C($blocks, $keyBlocks) = ${if (c > ComboCap) s">$ComboCap" else c} " +
+          s"combination keys; pick a narrower geometry (cap $ComboCap)")
+    }
+    val combos = (0 until blocks).combinations(keyBlocks).toSeq
+    val comboKeys = comboKeyExprs128(col("lo"), col("hi"), blocks, keyBlocks)
+    val keyed = fp.select(col("id"), col("lo"), col("hi"),
+      posexplode(array(comboKeys: _*)).as(Seq("combo", "key")))
+    // canonical-combo per-pair dedup, masks split across the halves:
+    // bits [o, o+w) of the 128-bit fingerprint land in lo as
+    // [o, min(o+w, 64)) and in hi as [max(o, 64), o+w) − 64
+    def rangeMask(start: Int, end: Int): Long =
+      if (start >= end) 0L
+      else if (end - start == 64) -1L
+      else ((1L << (end - start)) - 1) << start
+    val comboMasks = combos.map { c =>
+      (c.map(b => rangeMask(offsets(b),
+         math.min(offsets(b) + widths(b), 64))).reduce(_ | _),
+       c.map(b => rangeMask(math.max(offsets(b), 64) - 64,
+         offsets(b) + widths(b) - 64)).reduce(_ | _))
+    }
+    val xorLo = col("a.lo").bitwiseXOR(col("b.lo"))
+    val xorHi = col("a.hi").bitwiseXOR(col("b.hi"))
+    val ham = (bit_count(xorLo) + bit_count(xorHi)).cast("int")
+    val canonical = comboMasks.zipWithIndex.foldRight(lit(-1): Column) {
+      case (((ml, mh), i), els) =>
+        when(xorLo.bitwiseAND(lit(ml)) === 0L &&
+          xorHi.bitwiseAND(lit(mh)) === 0L, lit(i)).otherwise(els)
+    }
+    if (maxBucketSize <= 0) {
+      // TRUE-exploded-size join dispatch + quadratic-regime sentinel,
+      // verbatim from the 64-bit path (the r16 Generate-estimate fix
+      // applies to any posexplode self-join); the sentinel threshold
+      // is far out of reach at sane 128-bit geometries — that is the
+      // wide path's reason to exist — but the guard stays in case a
+      // caller forces a narrow explicit geometry
+      val nDocs = fp.count()
+      val keyedRows = nDocs * combos.size
+      locally {
+        val minKeyBits = combos.map(_.map(widths).sum).min
+        val expectedRandomPairs =
+          combos.size.toDouble * nDocs.toDouble * nDocs.toDouble /
+            math.pow(2.0, minKeyBits.toDouble)
+        if (expectedRandomPairs > 5e9)
+          System.err.println(
+            f"[graft] hammingCandidatesFromFp128: $nDocs%,d docs × " +
+              f"${combos.size} combination keys of ≥$minKeyBits bits — " +
+              f"expected random bucket collisions ≈ $expectedRandomPairs%.1e " +
+              "pairs, PAST the decade measured flat (SCALE.md r16/r17). " +
+              "Tighten maxHamming or set maxBucketSize > 0; wider keys " +
+              "are measured not to help.")
+      }
+      val (left, right) =
+        if (keyedRows <= BroadcastKeyedRows)
+          (broadcast(keyed.as("a")), keyed.as("b"))
+        else (keyed.as("a").hint("merge"), keyed.as("b"))
+      left.join(right,
+          col("a.combo") === col("b.combo") &&
+          col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+        .where(col("a.combo") === canonical && ham <= maxHamming)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          ham.as("hamming"))
+    } else {
+      val grouped = keyed
+        .groupBy(col("combo"), col("key"))
+        .agg(graft.functions.BoundedMinK.collect_min_k2(
+          col("id"), col("lo"), col("hi"), maxBucketSize).as("mk"))
+        .select(col("combo"), col("key"),
+          col("mk.ms").as("ms"), col("mk.n").as("n"))
+      val sentinels = grouped.where(col("n") > maxBucketSize)
+        .select(lit(-1L).as("id_a"), col("key").cast("long").as("id_b"),
+          lit(-1).as("hamming"))
+      val pairs = grouped
+        .select(col("combo"), col("ms"))
+        .where(size(col("ms")) >= 2)
+        .select(col("combo"), col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+        .select(col("combo"), col("a"),
+          explode(slice(col("ms"), col("i") + lit(2),
+            lit(maxBucketSize))).as("b"))
+        .where(col("combo") === canonical && ham <= maxHamming)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          ham.as("hamming"))
+      pairs.unionByName(sentinels)
+    }
+  }
+
   /** Embedding cosine near-dup in the exact integer domain: vectors
     * quantized to 1e-3, pairs kept when dot > 0 and
     * 10^4·dot² > (t·10^2)²·|a|²·|b|² — algebraically identical to

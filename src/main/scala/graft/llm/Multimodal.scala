@@ -365,6 +365,40 @@ object Multimodal {
       maxBucketSize)
   }
 
+  /** Image near-dup pairs over the WIDE (128-bit) fingerprint —
+    * dHash ‖ aHash from ONE decode ([[graft.functions.PerceptualHash
+    * .d_a_hash]]) banded by [[Dedup.hammingCandidatesFromFp128]].
+    * This is the measured escape from [[imageNearDupPairs]]'s 64-bit
+    * key-space ceiling: the h≤7/64-bit geometry's ~15-bit keys
+    * genuinely fill by ~10^6 docs (548.8 s at 5M, SCALE.md r16)
+    * while the wide default geometry (10, 2) carries 45 keys of
+    * ≥24 bits — collision term ~2^13 smaller, decade table flat
+    * through 5M (SCALE.md r17).
+    *
+    * DIFFERENT SIMILARITY CONTRACT, measured before shipping
+    * (ProbeWide r17): pairs at combined dHash+aHash Hamming <=
+    * `maxHamming` over 128 bits. The default 8 is the measured
+    * operating point matching the 64-bit h≤7 one on every fixture
+    * family: true 64-bit pairs all sit at h128 ≤ 8 (dense AND sparse
+    * image fixtures, 2000 ids brute-forced), JPEG re-encode twins at
+    * h128 = 0, and the closest non-pair at 27 — so at the defaults
+    * the two operators emit IDENTICAL pair sets on the fixtures
+    * (spec-pinned), while the wide key space holds bucket occupancy
+    * flat three decades further. Output: (id_a, id_b, hamming) with
+    * `hamming` the 128-bit distance. */
+  def imageNearDupPairsWide(media: DataFrame, idCol: String,
+                            payloadCol: String, blocks: Int = 0,
+                            maxHamming: Int = 8, keyBlocks: Int = 0,
+                            maxBucketSize: Int = 0): DataFrame = {
+    val fp = graft.core.Caching.eager(media.select(
+        col(idCol).cast("long").as("id"),
+        graft.functions.PerceptualHash.d_a_hash(col(payloadCol)).as("h"))
+      .where(col("h").isNotNull)
+      .select(col("id"), col("h.dh").as("lo"), col("h.ah").as("hi")))
+    Dedup.hammingCandidatesFromFp128(fp, blocks, maxHamming, keyBlocks,
+      maxBucketSize)
+  }
+
   /** Per-sample value of doc `id`'s synthetic PCM stream — the audio
     * analogue of [[synthGray]], same family structure (families of 100
     * consecutive ids share a pseudo-random base waveform; a sparse
@@ -485,6 +519,41 @@ object Multimodal {
         graft.functions.AudioFingerprint.audio_fp(col(payloadCol)).as("sh"))
       .where(col("sh").isNotNull))
     Dedup.hammingCandidatesFromFp(fp, blocks, maxHamming, keyBlocks,
+      maxBucketSize)
+  }
+
+  /** Audio near-dup pairs over the WIDE (128-bit) fingerprint — the
+    * DOUBLED 17×8 energy grid ([[graft.functions.AudioFingerprint
+    * .fpWide]], one pass) banded by
+    * [[Dedup.hammingCandidatesFromFp128]]: the audio leg of the
+    * r17 wide-banding escape (see [[imageNearDupPairsWide]] for the
+    * 64-bit ceiling it escapes). DIFFERENT SIMILARITY CONTRACT,
+    * measured before shipping (ProbeWide r17, family-membership
+    * truth): pairs at Hamming <= `maxHamming` over the 128 grid
+    * bits. The default 7 is the measured operating point — dense
+    * fixture same-family pairs all at h ≤ 7, sparse at h ≤ 6, the
+    * closest cross-family pair at 31/35 — so at the defaults the
+    * wide pair set IS the family-clique truth on the fixtures, a
+    * strict superset of the 64-bit operator's (whose coarse 72-cell
+    * grid pushes ~0.2% of family pairs past h64=7; spec-pinned both
+    * ways), while the default geometry (9, 2) carries the SAME 36
+    * combination keys at ~28 bits instead of ~15: key space
+    * ×~8000. Payloads under 136 frames fingerprint
+    * NULL here (too short for the doubled grid) though the 64-bit
+    * operator accepts them at 72+ — callers with sub-second 8kHz
+    * clips keep [[audioNearDupPairs]]. Output: (id_a, id_b,
+    * hamming) with `hamming` the 128-bit distance. */
+  def audioNearDupPairsWide(media: DataFrame, idCol: String,
+                            payloadCol: String, blocks: Int = 0,
+                            maxHamming: Int = 7, keyBlocks: Int = 0,
+                            maxBucketSize: Int = 0): DataFrame = {
+    val fp = graft.core.Caching.eager(media.select(
+        col(idCol).cast("long").as("id"),
+        graft.functions.AudioFingerprint.audio_fp_wide(col(payloadCol))
+          .as("h"))
+      .where(col("h").isNotNull)
+      .select(col("id"), col("h.lo").as("lo"), col("h.hi").as("hi")))
+    Dedup.hammingCandidatesFromFp128(fp, blocks, maxHamming, keyBlocks,
       maxBucketSize)
   }
 

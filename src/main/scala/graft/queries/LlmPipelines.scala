@@ -3544,9 +3544,137 @@ object LlmPipelines {
        |ORDER BY g.doc_id""".stripMargin
   }
 
+  /** The q106 oracle: q80's generated pixel/bit table evaluated at the
+    * WIDE contract — pairs whose combined dHash + aHash disagreement
+    * count over all 128 bits is <= 8 (the ProbeWide r17 measured
+    * operating point), one `hamming` column. Same CTEs as [[q80Oracle]]
+    * (the fingerprint definition did not change — only its WIDTH as a
+    * banding key), so the two oracles stay in sync by construction. */
+  private def q106Oracle: String = {
+    val pixCols = (for (y <- 0 until 8; x <- 0 until 9)
+      yield s"${q80Gray(x, y)} AS p${y * 9 + x}").mkString(",\n    ")
+    val dhBits = (0 until 64).map { k =>
+      val x = k % 8; val y = k / 8
+      s"(p${y * 9 + x} > p${y * 9 + x + 1}) AS db$k"
+    }.mkString(",\n    ")
+    val ahGrays = (0 until 64).map { k =>
+      val x = k % 8; val y = k / 8
+      s"p${y * 9 + x} AS g$k"
+    }.mkString(",\n    ")
+    val ahTotal = (0 until 64).map(k => s"g$k").mkString(" + ")
+    val dhHam = (0 until 64).map(k =>
+      s"CASE WHEN a.db$k <> b.db$k THEN 1 ELSE 0 END").mkString(" +\n      ")
+    val ahHam = (0 until 64).map(k =>
+      s"CASE WHEN (64*a.g$k > a.s) <> (64*b.g$k > b.s) THEN 1 ELSE 0 END")
+      .mkString(" +\n      ")
+    s"""WITH pix AS (
+       |  SELECT doc_id AS id,
+       |    $pixCols
+       |  FROM documents),
+       |bits AS (
+       |  SELECT id,
+       |    $dhBits,
+       |    $ahGrays
+       |  FROM pix),
+       |tot AS (SELECT *, ($ahTotal) AS s FROM bits)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(($dhHam) + ($ahHam) AS INTEGER) AS hamming
+       |FROM tot a JOIN tot b ON a.id < b.id
+       |WHERE ($dhHam) + ($ahHam) <= 8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Image near-dup dedup over the WIDE (128-bit dHash ‖ aHash)
+    * fingerprint ([[graft.llm.Multimodal.imageNearDupPairsWide]]) —
+    * the r17 escape from the 64-bit banding's key-space ceiling: the
+    * q80 geometry's ~15-bit keys genuinely saturate by ~10^6 images
+    * (SCALE.md r16 measured 548.8 s at 5M) while this plan's default
+    * (10, 2) geometry keys carry >= 24 bits — same banding join
+    * shape, collision term ~2^13 smaller, decade table flat through
+    * 5M (SCALE.md r17). Contract: combined Hamming <= 8 over 128
+    * bits, the measured operating point (ProbeWide r17: true 64-bit
+    * pairs all <= 8, closest non-pair 27, JPEG re-encode twins at 0).
+    * Both hashes come from ONE codegen'd decode
+    * ([[graft.functions.PerceptualHash.d_a_hash]]). */
+  val q106 = QueryDef(
+    "q106_image_neardup_wide",
+    (s, dir) => {
+      val imgs = graft.llm.Multimodal.syntheticImageTable(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+      graft.llm.Multimodal.imageNearDupPairsWide(imgs, "media_id", "payload")
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(q106Oracle))
+
+  /** The q107 oracle: the 136 cell energies of the DOUBLED 17×8 audio
+    * grid replayed from [[q84Sample]] (cell k covers samples
+    * [k·144/136, (k+1)·144/136) — mostly one sample, eight cells of
+    * two), bits y·16+x = (e(y·17+x) > e(y·17+x+1)), pairs at <= 7
+    * disagreements over all 128. Integer-exact like q84's. */
+  private def q107Oracle: String = {
+    val sampleCols = (0 until 144).map(i =>
+      s"${q84Sample(i)} AS s$i").mkString(",\n    ")
+    val energyCols = (0 until 136).map { k =>
+      val start = k * 144 / 136
+      val end = (k + 1) * 144 / 136
+      val terms = (start until end).map(i => s"s$i*s$i").mkString(" + ")
+      s"($terms) AS e$k"
+    }.mkString(",\n    ")
+    val bitCols = (0 until 128).map { k =>
+      val x = k % 16; val y = k / 16
+      s"(e${y * 17 + x} > e${y * 17 + x + 1}) AS db$k"
+    }.mkString(",\n    ")
+    // two 64-term halves: DuckDB's binder recursion cap (128) rejects
+    // one left-nested 128-term chain
+    val hamLo = (0 until 64).map(k =>
+      s"CASE WHEN a.db$k <> b.db$k THEN 1 ELSE 0 END").mkString(" +\n      ")
+    val hamHi = (64 until 128).map(k =>
+      s"CASE WHEN a.db$k <> b.db$k THEN 1 ELSE 0 END").mkString(" +\n      ")
+    s"""WITH smp AS (
+       |  SELECT doc_id AS id,
+       |    $sampleCols
+       |  FROM documents),
+       |nrg AS (
+       |  SELECT id,
+       |    $energyCols
+       |  FROM smp),
+       |bits AS (
+       |  SELECT id,
+       |    $bitCols
+       |  FROM nrg)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(($hamLo) + ($hamHi) AS INTEGER) AS hamming
+       |FROM bits a JOIN bits b ON a.id < b.id
+       |WHERE ($hamLo) + ($hamHi) <= 7
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Audio near-dup dedup over the WIDE (128-bit, doubled 17×8 grid)
+    * acoustic fingerprint ([[graft.llm.Multimodal
+    * .audioNearDupPairsWide]]) — the audio leg of the r17 wide
+    * banding: same energy-gradient sketch at double the grid
+    * resolution, default geometry (9, 2) = q84's 36 combination keys
+    * at ~28 bits instead of ~15. Contract: Hamming <= 7 over the 128
+    * grid bits, the measured operating point (ProbeWide r17:
+    * same-family fixture pairs all <= 7, closest cross-family 31 —
+    * the wide pair set IS the family-clique truth, strictly beyond
+    * q84's, whose coarse grid loses ~0.2% of family pairs). */
+  val q107 = QueryDef(
+    "q107_audio_neardup_wide",
+    (s, dir) => {
+      val wavs = graft.llm.Multimodal.syntheticAudioTable(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+      graft.llm.Multimodal.audioNearDupPairsWide(wavs, "media_id", "payload")
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(q107Oracle))
+
   val all: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q52, q54, q59, q61,
       q65, q66, q67, q70, q72, q73, q74, q75, q76, q77, q78, q79, q80,
       q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-      q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105)
+      q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
+      q107)
 }

@@ -578,4 +578,233 @@ class MultimodalSpec extends AnyFunSuite {
       java.util.Arrays.equals(Multimodal.syntheticBmpSparse(id),
         Multimodal.syntheticBmp(id))))
   }
+
+  test("wide kernels: hash128 == both narrow hashes from one decode; fpWide matches a reference") {
+    import graft.functions.{AudioFingerprint, PerceptualHash}
+    // image: the single-decode wide kernel must be bit-identical to
+    // the two narrow kernels on BOTH decode paths (raw BMP and codec)
+    val bmp = Multimodal.syntheticBmp(42L)
+    val up = Multimodal.resizeBmpBytes(bmp, 72, 64).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+    def encode(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    for (payload <- Seq(bmp, up, encode("png"), encode("gif"))) {
+      val wide = PerceptualHash.hash128(payload)
+      assert(wide != null)
+      assert(wide(0) == PerceptualHash.hash64(payload, true).longValue())
+      assert(wide(1) == PerceptualHash.hash64(payload, false).longValue())
+    }
+    assert(PerceptualHash.hash128("junk".getBytes) == null)
+    assert(PerceptualHash.hash128(null) == null)
+    // audio: fpWide vs an INDEPENDENT recomputation from the synth
+    // sample kernel (not the byte walk): 136 cells over 144 frames
+    val id = 123L
+    val wav = Multimodal.syntheticPcmWav(id)
+    val e = Array.tabulate(136) { k =>
+      val start = k * 144 / 136; val end = (k + 1) * 144 / 136
+      (start until end).map { i =>
+        val s = Multimodal.synthSample(id, i).toLong; s * s
+      }.sum
+    }
+    var lo = 0L; var hi = 0L
+    for (y <- 0 until 8; x <- 0 until 16)
+      if (e(y * 17 + x) > e(y * 17 + x + 1)) {
+        val idx = y * 16 + x
+        if (idx < 64) lo |= 1L << idx else hi |= 1L << (idx - 64)
+      }
+    assert(AudioFingerprint.fpWide(wav).toSeq == Seq(lo, hi))
+    // wide decode contract: a 100-frame clip 64-fingerprints but is
+    // too short for the doubled grid (needs 136)
+    val short = java.util.Arrays.copyOf(wav, 44 + 100 * 2)
+    def putLe(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    putLe(short, 40, 200)
+    assert(AudioFingerprint.fp64Boxed(short) != null)
+    assert(AudioFingerprint.fpWideRow(short) == null)
+    assert(AudioFingerprint.fpWideRow("junk".getBytes) == null)
+  }
+
+  test("wide image banding: brute force equality; pair set == 64-bit operator at the measured defaults") {
+    import graft.functions.PerceptualHash
+    val ids = (0L until 600L).toSeq
+    val imgs = ids.toDF("doc_id")
+      .transform(Multimodal.syntheticImageTable(_, "doc_id"))
+    val got = Multimodal.imageNearDupPairsWide(imgs, "media_id", "payload")
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    // brute force over the driver-side wide hashes at the wide
+    // contract (combined dHash+aHash Hamming <= 8)
+    val hashes = ids.map(id =>
+      id -> PerceptualHash.hash128(Multimodal.syntheticBmp(id))).toMap
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(hashes(a)(0) ^ hashes(b)(0)) +
+        java.lang.Long.bitCount(hashes(a)(1) ^ hashes(b)(1)) if h <= 8
+    } yield (a, b, h)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "fixture families must produce near-dup pairs")
+    // the ProbeWide r17 operating-point claim, end to end: the wide
+    // contract at h<=8 emits EXACTLY the 64-bit h<=7 pair set on the
+    // fixture (true pairs all within 8; closest non-pair at 27)
+    val narrow = Multimodal.imageNearDupPairs(imgs, "media_id", "payload")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) == narrow,
+      "wide pair set diverged from the 64-bit operating point")
+    // undecodable payloads drop out of the wide path too
+    val withJunk = imgs.union(Seq((9999L, "not a bmp".getBytes))
+      .toDF("media_id", "payload"))
+    assert(Multimodal.imageNearDupPairsWide(withJunk, "media_id", "payload")
+      .where($"id_a" === 9999L || $"id_b" === 9999L).count() == 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("wide image banding finds BMP/JPEG re-encode twins end to end") {
+    // the r9 JPEG discipline applied to the wide contract: ProbeWide
+    // measured the re-encode twins at h128 = 0, so every (bmp, jpeg)
+    // twin must surface through the single-decode kernel + wide banding
+    val ids = (0L until 80L).toSeq
+    def jpegOf(id: Long): Array[Byte] = {
+      val up = Multimodal.resizeBmpBytes(Multimodal.syntheticBmp(id), 72, 64).get
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.75f)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      w.dispose(); ios.close()
+      out.toByteArray
+    }
+    val corpus =
+      ids.map(id => (id, Multimodal.syntheticBmp(id))) ++
+      ids.map(id => (id + 1000000L, jpegOf(id)))
+    val pairs = Multimodal.imageNearDupPairsWide(
+        corpus.toDF("media_id", "payload"), "media_id", "payload")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    ids.foreach { id =>
+      assert(pairs.contains((id, id + 1000000L)),
+        s"bmp/jpeg twin pair missing for id=$id")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("wide audio banding: brute force equality; pair set == family truth, strictly beyond 64-bit") {
+    import graft.functions.AudioFingerprint
+    val ids = (0L until 600L).toSeq
+    val wavs = ids.toDF("doc_id")
+      .transform(Multimodal.syntheticAudioTable(_, "doc_id"))
+    val got = Multimodal.audioNearDupPairsWide(wavs, "media_id", "payload")
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val hashes = ids.map(id =>
+      id -> AudioFingerprint.fpWide(Multimodal.syntheticPcmWav(id))).toMap
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(hashes(a)(0) ^ hashes(b)(0)) +
+        java.lang.Long.bitCount(hashes(a)(1) ^ hashes(b)(1)) if h <= 7
+    } yield (a, b, h)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "fixture families must produce near-dup pairs")
+    // the ProbeWide r17 family-truth claim, end to end: at h<=7 over
+    // the doubled grid the wide pair set IS the family-clique truth —
+    // every same-family pair (max measured distance 7), zero
+    // cross-family pairs (closest measured at 31)
+    val famTruth = (for {
+      a <- ids; b <- ids if a < b && a / 100 == b / 100
+    } yield (a, b)).toSet
+    val gotIds = got.map(p => (p._1, p._2))
+    assert(gotIds == famTruth,
+      s"wide pair set != family cliques: missed=${(famTruth -- gotIds).take(3)} " +
+        s"extra=${(gotIds -- famTruth).take(3)}")
+    // and it's a strict IMPROVEMENT on the 64-bit operator, not a
+    // restatement: the coarse 72-cell grid pushes some family pairs
+    // past h64=7 (51 of 29700 at these 600 ids), which the wide
+    // contract recovers — narrow ⊊ wide, both free of cross-family
+    // accidentals here
+    val narrow = Multimodal.audioNearDupPairs(wavs, "media_id", "payload")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(narrow.subsetOf(gotIds) && narrow.size < gotIds.size,
+      s"expected narrow (${narrow.size}) strictly inside wide (${gotIds.size})")
+    spark.catalog.clearCache()
+  }
+
+  test("wide banding geometry: auto table, explicit equivalence, loud failures, capped sentinels") {
+    import graft.llm.Dedup
+    // the measured dispatch points of autoGeometry128 (ProbeWide r17)
+    assert(Dedup.autoGeometry128(7) == (9, 2))   // 36 keys of >=28 bits
+    assert(Dedup.autoGeometry128(8) == (10, 2))  // 45 keys of >=24 bits
+    assert(Dedup.autoGeometry128(3) == (4, 1))   // 4 keys of 32 bits
+    // every auto choice satisfies pigeonhole, the 24-bit floor, the
+    // combo cap, and the one-Long key constraint
+    (0 to 12).foreach { h =>
+      val (b, k) = Dedup.autoGeometry128(h)
+      assert(k >= 1 && k <= b - h, s"pigeonhole violated at h=$h: ($b,$k)")
+      assert(k * (128 / b) >= 24, s"key-width floor violated at h=$h: ($b,$k)")
+      assert((0 until b).combinations(k).size <= Dedup.ComboCap,
+        s"combination cap violated at h=$h: ($b,$k)")
+      assert(k * (128 / b + (if (128 % b == 0) 0 else 1)) <= 64,
+        s"one-Long key constraint violated at h=$h: ($b,$k)")
+    }
+    // past the feasible range the failure is loud
+    intercept[IllegalArgumentException] { Dedup.autoGeometry128(16) }
+    // half-specified geometry is rejected like the 64-bit path
+    intercept[IllegalArgumentException] {
+      Dedup.hammingCandidatesFromFp128(
+        Seq((1L, 1L, 1L)).toDF("id", "lo", "hi"), blocks = 10,
+        maxHamming = 8, keyBlocks = 0)
+    }
+    // a key that cannot fit one Long is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingCandidatesFromFp128(
+        Seq((1L, 1L, 1L)).toDF("id", "lo", "hi"), blocks = 3,
+        maxHamming = 1, keyBlocks = 2)
+    }
+    assert(e.getMessage.contains("fit one Long"), e.getMessage)
+    // geometry is a performance knob only: every exhaustive choice
+    // emits the same verified pair set
+    val ids = (0L until 400L).toSeq
+    val imgs = ids.toDF("doc_id")
+      .transform(Multimodal.syntheticImageTable(_, "doc_id"))
+    def pairs(blocks: Int, keyBlocks: Int) =
+      Multimodal.imageNearDupPairsWide(imgs, "media_id", "payload",
+          blocks = blocks, maxHamming = 8, keyBlocks = keyBlocks)
+        .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+        .collect().toSet
+    val auto = pairs(0, 0)
+    assert(auto.nonEmpty)
+    assert(pairs(10, 2) == auto, "explicit (10,2) diverged from auto")
+    assert(pairs(9, 1) == auto, "explicit (9,1) diverged")
+    assert(pairs(12, 2) == auto, "explicit (12,2) diverged")
+    // capped path: 4 identical images, cap 3 — pairs among the 3
+    // lowest ids once each plus one loud sentinel per over-cap
+    // bucket, with the bucket keys of comboKeyExprs128 exactly
+    val media = Seq(1L, 2L, 3L, 4L)
+      .map(id => (id, Multimodal.syntheticBmp(7L)))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.imageNearDupPairsWide(media, "media_id",
+        "payload", maxBucketSize = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    val (sentinels, capped) = rows.partition(_._1 < 0)
+    assert(capped.toSet == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)) &&
+      capped.size == 3, s"pairs=$capped")
+    assert(sentinels.size == 45 &&
+      sentinels.forall(r => r._1 == -1L && r._3 == -1),
+      s"sentinels=${sentinels.size}: ${sentinels.take(5)}")
+    val h128 = media.limit(1).select(
+      graft.functions.PerceptualHash.d_a_hash($"payload").as("h"))
+      .select($"h.dh".as("lo"), $"h.ah".as("hi"))
+    val expectedKeys = h128.select(posexplode(array(
+        Dedup.comboKeyExprs128($"lo", $"hi", 10, 2): _*)).as(Seq("c", "k")))
+      .select($"k").as[Long].collect().toSeq.sorted
+    assert(sentinels.map(_._2).sorted == expectedKeys,
+      "sentinel bucket keys diverged from comboKeyExprs128")
+    spark.catalog.clearCache()
+  }
 }

@@ -115,6 +115,31 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("WIDE hamming banding pair-gen dispatches on TRUE exploded size too") {
+    // the r16 Generate-estimate fix carried into the 128-bit path:
+    // same dispatch rule, two-Long fingerprint. 2000 docs × 36 combos
+    // (auto h=7 → (9,2)) = 72k keyed rows → explicit broadcast; 150k
+    // docs × 36 = 5.4M > BroadcastKeyedRows → MERGE-pinned sort-merge.
+    import spark.implicits._
+    val small = graft.core.Caching.eager(
+      (0L until 2000L).map(i => (i, i * 2654435761L, i * 40503L))
+        .toDF("id", "lo", "hi"))
+    val pSmall = graft.llm.Dedup.hammingCandidatesFromFp128(small, 0, 7, 0)
+      .queryExecution.executedPlan.toString
+    assert(pSmall.contains("BroadcastHashJoin"),
+      s"2000 docs × 36 combos is provably small — broadcast:\n$pSmall")
+    val big = graft.core.Caching.eager(
+      spark.range(0L, 150000L)
+        .selectExpr("id", "id * 2654435761 AS lo", "id * 40503 AS hi"))
+    val pBig = graft.llm.Dedup.hammingCandidatesFromFp128(big, 0, 7, 0)
+      .queryExecution.executedPlan.toString
+    assert(pBig.contains("SortMergeJoin"),
+      s"5.4M keyed rows must sort-merge:\n$pBig")
+    assert(!pBig.contains("BroadcastHashJoin"),
+      s"the over-threshold keyed self-join must never broadcast:\n$pBig")
+    spark.catalog.clearCache()
+  }
+
   test("hamming PROBE banding joins broadcast the BATCH side by true size") {
     // The probe's store-side frame sk is Generate-shaped too, so the
     // planner can see the un-exploded store scan's bytes and pick the
