@@ -595,6 +595,44 @@ object Dedup {
     * expressions on the driver; any sane geometry stays far below. */
   val ComboCap = 4096L
 
+  /** Canonical-combination index from per-BLOCK cleanliness — the
+    * r17 rewrite of the per-pair dedup filter. The original form was a
+    * C(blocks, keyBlocks)-deep nested CASE chain whose every arm
+    * re-tested a full combination mask against the pair's xor; the
+    * banding joins do not whole-stage-codegen (the Generate-fed
+    * BroadcastHashJoin falls back to interpreted eval), so that chain
+    * ran interpreted PER JOINED ROW and dominated pair-gen wall time
+    * (measured 6.2× on the 128-bit dense image fixture at sf0.1:
+    * 9.0 s → 1.45 s, identical output — ProbeWideTime r17). Here each
+    * BLOCK is tested once (`cleanPred`, `blocks` tests instead of
+    * C(blocks, keyBlocks) combination tests), folded into a bitmask,
+    * and the first-all-clean-combination index comes from a 2^blocks
+    * lookup table (blocks ≤ 16 — every autoGeometry result for
+    * maxHamming ≤ 14 qualifies) or, for wider explicit geometries, a
+    * per-combination when-chain over the PRECOMPUTED bitmask (one
+    * integer AND per arm instead of one or two 64-bit mask xor-tests).
+    * Returns −1 when no combination is clean, exactly like the chain
+    * it replaces. */
+  private def canonicalCombo(cleanPred: Seq[Column],
+                             combos: Seq[Seq[Int]]): Column = {
+    val blocks = cleanPred.size
+    val cleanBits = cleanPred.zipWithIndex.map { case (p, b) =>
+      when(p, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val comboBits = combos.map(_.map(1L << _).sum)
+    if (blocks <= 16) {
+      val table = Array.tabulate(1 << blocks) { m =>
+        comboBits.indexWhere(cb => (m.toLong & cb) == cb)
+      }
+      element_at(typedLit(table.toSeq), (cleanBits + 1L).cast("int"))
+    } else {
+      comboBits.zipWithIndex.foldRight(lit(-1): Column) {
+        case ((cb, i), els) =>
+          when(cleanBits.bitwiseAND(lit(cb)) === cb, lit(i)).otherwise(els)
+      }
+    }
+  }
+
   /** C(n, k) computed exactly via the symmetric running product,
     * early-exited once it passes `cap`: with k' = min(k, n-k) every
     * partial product is itself a binomial C(n, i) and the prefix is
@@ -701,13 +739,14 @@ object Dedup {
     // exactly once and no dedup exchange exists at all.
     val (widths, offsets) = blockLayout(blocks)
     def widthMask(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
-    val comboMasks = combos.map(_.map(b =>
-      widthMask(widths(b)) << offsets(b)).reduce(_ | _))
     val xor = col("a.sh").bitwiseXOR(col("b.sh"))
-    val canonical = comboMasks.zipWithIndex.foldRight(lit(-1): Column) {
-      case ((m, i), els) =>
-        when(xor.bitwiseAND(lit(m)) === 0L, lit(i)).otherwise(els)
+    // per-BLOCK cleanliness → canonical index via [[canonicalCombo]]
+    // (the r17 lookup-table rewrite of the per-pair combination-mask
+    // CASE chain — see there for the measurement)
+    val blockClean = (0 until blocks).map { b =>
+      xor.bitwiseAND(lit(widthMask(widths(b)) << offsets(b))) === 0L
     }
+    val canonical = canonicalCombo(blockClean, combos)
     if (maxBucketSize <= 0) {
       // SIZE-DISPATCHED join strategy — never the planner's estimate:
       // the keyed frame is C(blocks, keyBlocks)·n rows, but Generate
@@ -762,8 +801,11 @@ object Dedup {
           col("a.combo") === col("b.combo") &&
           col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-        .where(col("a.combo") === canonical &&
-          bit_count(xor) <= maxHamming)
+        // hamming test FIRST: it is the cheap conjunct (two popcounts
+        // vs the canonical bitmask fold) and in interpreted eval the
+        // And short-circuits left-to-right
+        .where(bit_count(xor) <= maxHamming &&
+          col("a.combo") === canonical)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
     } else {
@@ -796,7 +838,7 @@ object Dedup {
         .select(col("combo"), col("a"),
           explode(slice(col("ms"), col("i") + lit(2),
             lit(maxBucketSize))).as("b"))
-        .where(col("combo") === canonical && bit_count(xor) <= maxHamming)
+        .where(bit_count(xor) <= maxHamming && col("combo") === canonical)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       pairs.unionByName(sentinels)
@@ -1140,20 +1182,21 @@ object Dedup {
       if (start >= end) 0L
       else if (end - start == 64) -1L
       else ((1L << (end - start)) - 1) << start
-    val comboMasks = combos.map { c =>
-      (c.map(b => rangeMask(offsets(b),
-         math.min(offsets(b) + widths(b), 64))).reduce(_ | _),
-       c.map(b => rangeMask(math.max(offsets(b), 64) - 64,
-         offsets(b) + widths(b) - 64)).reduce(_ | _))
-    }
     val xorLo = col("a.lo").bitwiseXOR(col("b.lo"))
     val xorHi = col("a.hi").bitwiseXOR(col("b.hi"))
     val ham = (bit_count(xorLo) + bit_count(xorHi)).cast("int")
-    val canonical = comboMasks.zipWithIndex.foldRight(lit(-1): Column) {
-      case (((ml, mh), i), els) =>
-        when(xorLo.bitwiseAND(lit(ml)) === 0L &&
-          xorHi.bitwiseAND(lit(mh)) === 0L, lit(i)).otherwise(els)
+    // per-BLOCK cleanliness (each block's mask split across the two
+    // halves) → canonical index via [[canonicalCombo]] (the r17
+    // lookup-table rewrite — the nested combination-mask CASE chain it
+    // replaces ran interpreted per joined row and dominated this
+    // operator's wall time: 9.0 → 1.45 s at sf0.1, ProbeWideTime)
+    val blockClean = (0 until blocks).map { b =>
+      val ml = rangeMask(offsets(b), math.min(offsets(b) + widths(b), 64))
+      val mh = rangeMask(math.max(offsets(b), 64) - 64,
+        offsets(b) + widths(b) - 64)
+      xorLo.bitwiseAND(lit(ml)) === 0L && xorHi.bitwiseAND(lit(mh)) === 0L
     }
+    val canonical = canonicalCombo(blockClean, combos)
     if (maxBucketSize <= 0) {
       // TRUE-exploded-size join dispatch + quadratic-regime sentinel,
       // verbatim from the 64-bit path (the r16 Generate-estimate fix
@@ -1185,7 +1228,7 @@ object Dedup {
           col("a.combo") === col("b.combo") &&
           col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-        .where(col("a.combo") === canonical && ham <= maxHamming)
+        .where(ham <= maxHamming && col("a.combo") === canonical)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           ham.as("hamming"))
     } else {
@@ -1205,7 +1248,7 @@ object Dedup {
         .select(col("combo"), col("a"),
           explode(slice(col("ms"), col("i") + lit(2),
             lit(maxBucketSize))).as("b"))
-        .where(col("combo") === canonical && ham <= maxHamming)
+        .where(ham <= maxHamming && col("combo") === canonical)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           ham.as("hamming"))
       pairs.unionByName(sentinels)

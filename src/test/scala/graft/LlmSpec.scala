@@ -493,7 +493,10 @@ class LlmSpec extends AnyFunSuite {
         graft.llm.TextStats.tokens($"text")).as("sh")))
     // (0, 0) = auto-sized geometry (autoGeometry(7) = (9, 2)) — the
     // operator's own sizing must stay on the exhaustive pair set
-    Seq((9, 2), (10, 3), (11, 1), (0, 0)).foreach { case (blocks, kb) =>
+    // (17, 1) exercises the blocks > 16 canonical path (the when-chain
+    // over the precomputed clean-block bitmask — r17's canonicalCombo
+    // has a 2^blocks lookup table below 17 blocks, a fold above)
+    Seq((9, 2), (10, 3), (11, 1), (17, 1), (0, 0)).foreach { case (blocks, kb) =>
       val combo = Dedup.hammingCandidatesFromFp(fpDf, blocks, maxHamming, kb)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       assert(combo == exact, s"blocks=$blocks keyBlocks=$kb diverged: " +
