@@ -72,8 +72,14 @@ object Admission {
     val pairs = Dedup.minhashProbePairs(seen, batch, idCol, textCol,
       index, threshold)
     val batchIds = gated.select(col(idCol).cast("long").as("__bid"))
-    val touches = pairs.select(col("id_a").as("d"), col("id_b").as("o"))
-      .union(pairs.select(col("id_b").as("d"), col("id_a").as("o")))
+    // both pair orientations from ONE pass over `pairs` (an uncached
+    // verify-join subtree — the two-leg union form re-ran it per leg;
+    // r17, same rewrite in q95's expansion)
+    val touches = pairs
+      .select(explode(array(
+        struct(col("id_a").as("d"), col("id_b").as("o")),
+        struct(col("id_b").as("d"), col("id_a").as("o")))).as("t"))
+      .select(col("t.d").as("d"), col("t.o").as("o"))
       .join(broadcast(batchIds), col("d") === col("__bid"), "left_semi")
     val ndFlag = touches
       .join(broadcast(batchIds.withColumn("__in_batch", lit(true))),

@@ -1465,15 +1465,37 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           driverThreshold: Long = 250000): DataFrame = {
     require(edges.columns.length == 2, "edges must be a 2-column (src, dst) frame")
-    val e = edges.toDF("src", "dst")
-    val isLongIds = e.schema.fields.forall(
+    val e0 = edges.toDF("src", "dst")
+    val isLongIds = e0.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    val probeLimit = math.min(driverThreshold, Int.MaxValue.toLong - 1) + 1
-    if (isLongIds && driverThreshold > 0 && driverThreshold < Int.MaxValue &&
-        e.limit(probeLimit.toInt).count() <= driverThreshold) {
+    // r17: every registered consumer passes a COMPUTED pair-generation
+    // plan as `edges` (a banding join, an LSH verify, a quotient), and
+    // this method used to re-run that plan once for the limit-probe,
+    // again for the driver collect, and TWICE more in the bidir union
+    // legs below. One eager cache at entry pays the subtree exactly
+    // once; the count riding the cache job replaces the limit-probe
+    // outright, and the collect / both bidir union legs read cached
+    // batches. The cache is transient — released as soon as the driver
+    // collect or the bidir materialization consumed it — so peak edge
+    // storage is bidir's, same as before, plus one edge copy only
+    // during the bidir build. (MEMORY_AND_DISK: a trillion-edge frame
+    // spills instead of evicting, and one spilled write still beats
+    // re-running the generating join three times.)
+    // The cache is skipped when the caller FORCES the distributed path
+    // (driverThreshold <= 0): no count is needed there, and the only
+    // remaining benefit (one bidir double-read saved) measured a net
+    // loss on the cheap arithmetic edge fixtures that force that path
+    // (q67 +0.38 s) — a caller forcing the loop with an expensive edge
+    // plan should pre-cache it.
+    val useEntryCache =
+      isLongIds && driverThreshold > 0 && driverThreshold < Int.MaxValue
+    val (e, nInputEdges) =
+      if (useEntryCache) graft.core.Caching.eagerCounted(e0) else (e0, -1L)
+    if (useEntryCache && nInputEdges <= driverThreshold) {
       import e.sparkSession.implicits._
-      val pairs = e.where(col("src") =!= col("dst"))
-        .as[(Long, Long)].collect()
+      val pairs =
+        try e.where(col("src") =!= col("dst")).as[(Long, Long)].collect()
+        finally e.unpersist(false)
       return driverUnionFind(pairs).toDF("id", "cluster_id")
     }
     // Adaptive execution is OFF for the WHOLE invocation (restored on
@@ -1559,6 +1581,9 @@ object Dedup {
       ec.union(ec.select(col("dst").as("src"), col("src").as("dst")))
         .where(col("src") =!= col("dst"))
         .repartition(col("dst")).dropDuplicates("src", "dst"))
+    // the entry cache has served its last consumer (both union legs of
+    // the bidir build) — free it before the loop
+    if (useEntryCache) e.unpersist(false)
     bidir = bidir0
     // SEED labels, materialized: min(id, neighbors) — this is both the
     // loop's init (saving round 1's inline recompute) and the
@@ -1798,6 +1823,8 @@ object Dedup {
     // hands it back on the caller's session
     try org.apache.spark.sql.GraftSqlBridge.rebase(origSess, body())
     finally {
+      if (useEntryCache) e.unpersist(false) // no-op normally (released
+                         // after the bidir build); covers build failure
       if (bidir ne null) bidir.unpersist()
       if (seed ne null) seed.unpersist()
       if (memoized) rec.lock.unlock()

@@ -2501,12 +2501,17 @@ object LlmPipelines {
       val pairs = Dedup.minhashProbePairs(corpus, batch, "doc_id", "text",
         index, threshold = 0.8)
       // pair → per-batch-doc expansion (membership is arithmetic here:
-      // new iff doc_id % 10 = 7, so no flag needs carrying)
+      // new iff doc_id % 10 = 7, so no flag needs carrying). BOTH
+      // directions from ONE pass over `pairs` (explode of the two
+      // orientations), not a two-leg union — `pairs` is an uncached
+      // verify-join subtree, and the union form re-ran it per leg
+      // (r17; same rewrite in Admission.auditWithFps)
       val touches = pairs
-        .select(col("id_a").as("d"), col("id_b").as("o"))
+        .select(explode(array(
+          struct(col("id_a").as("d"), col("id_b").as("o")),
+          struct(col("id_b").as("d"), col("id_a").as("o")))).as("t"))
+        .select(col("t.d").as("d"), col("t.o").as("o"))
         .where(col("d") % 10 === 7)
-        .union(pairs.select(col("id_b").as("d"), col("id_a").as("o"))
-          .where(col("d") % 10 === 7))
       val perDoc = touches.groupBy(col("d"))
         .agg(count(lit(1)).as("n"), sum(col("o")).as("cs"))
       batch.select(col("doc_id"))
