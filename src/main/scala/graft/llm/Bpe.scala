@@ -67,6 +67,14 @@ object Bpe {
     val spark = docs.sparkSession
     var words = wordCounts(docs, textCol)
       .select(col("cnt"), col("syms")).localCheckpoint()
+    // the checkpoint CURRENTLY backing `words`' lineage — checkpoints
+    // are taken every CkptEvery rounds (r17), not every round: each
+    // localCheckpoint is its own Spark job, and at 4 rounds per
+    // checkpoint the pair-count job re-applies at most 3 codegen'd
+    // merge_pair kernels map-side (far cheaper than the job it saves)
+    // while the lineage stays bounded for arbitrary `rounds`
+    var lastCkpt = words
+    val CkptEvery = 4
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 1
     var exhausted = false
@@ -91,12 +99,19 @@ object Bpe {
         val r = top(0).getString(1)
         val c = top(0).getLong(2)
         merges += Merge(round, l, r, l + r, c)
-        val old = words
-        words = words
-          .withColumn("syms",
+        // the FINAL round's rewrite is dead work — no later pair count
+        // reads it, and the merge list (not the word table) is the
+        // model — so it is skipped outright (r17; one checkpoint job
+        // plus one kernel pass per training run)
+        if (round < rounds) {
+          words = words.withColumn("syms",
             graft.functions.BpeKernels.merge_pair(col("syms"), l, r))
-          .localCheckpoint()
-        old.unpersist()
+          if (round % CkptEvery == 0) {
+            words = words.localCheckpoint()
+            lastCkpt.unpersist()
+            lastCkpt = words
+          }
+        }
         round += 1
       }
     }
@@ -193,14 +208,18 @@ object Bpe {
           merges += Merge(merges.size + 1, l, r, l + r, c)
           passOf += pass
         }
-        val old = words
-        words = words
-          .withColumn("syms", accepted.foldLeft(col("syms")) {
-            case (s, (l, r, _)) =>
-              graft.functions.BpeKernels.merge_pair(s, l, r)
-          })
-          .localCheckpoint()
-        old.unpersist()
+        // the final cycle's rewrite is dead work — no later pair count
+        // reads it (r17, same reasoning as the sequential trainer)
+        if (merges.size < rounds) {
+          val old = words
+          words = words
+            .withColumn("syms", accepted.foldLeft(col("syms")) {
+              case (s, (l, r, _)) =>
+                graft.functions.BpeKernels.merge_pair(s, l, r)
+            })
+            .localCheckpoint()
+          old.unpersist()
+        }
         pass += 1
       }
     }

@@ -410,11 +410,14 @@ object Dedup {
     val oldIds = cand.where(!col("new_a")).select(col("id_a").as("id"))
       .union(cand.where(!col("new_b")).select(col("id_b").as("id")))
       .distinct()
-    val oldSh = corpus
+    // cached (candidate-bounded rows): BOTH verify joins below read
+    // allSh, and an uncached oldSh would re-run the corpus restriction
+    // scan once per join side (r17 — one corpus scan, not two)
+    val oldSh = graft.core.Caching.eager(corpus
       .join(broadcast(oldIds.select(col("id").as("__cand_id"))),
         col(idCol).cast("long") === col("__cand_id"), "left_semi")
       .select(col(idCol).cast("long").as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
+        shingles(col(textCol), shingleN).as("sh")))
     val allSh = newSh.unionByName(oldSh)
     cand
       .join(allSh.as("sa"), col("id_a") === col("sa.id"))

@@ -76,6 +76,12 @@ object LangModel {
       "uniFloor = 2 needs minCount >= 2: a surviving cb = 1 bigram " +
         "references its singleton prev in the seen-bigram arm")
     val toks = ref.select(explode(Bpe.alnumTokens(col(textCol))).as("w"))
+    // NOT cached, deliberately (r17 refuted attempt): the two uni-join
+    // sides in every scoring pass are IDENTICAL subtrees, so Spark's
+    // ReuseExchange already computes the unigram aggregation once per
+    // executed plan — an eager cache only added its materialization
+    // job (measured: q99 1.57 → 1.92 s, q100 3.73 → 4.10 s at sf0.1,
+    // reverted same round).
     val uni0 = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val uni = if (uniFloor > 1L) uni0.where(col("cu") >= uniFloor) else uni0
     val bi = ref.select(explode(bigrams(col(textCol))).as("g"))

@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Distributions {
 
+  /** Estimated fact-table bytes at or above which
+    * [[discPercentilesBucketed]] caches its group-scaled frames
+    * (bounds, located targets) instead of letting their subtrees —
+    * each a full fact scan — recompute per reference. See the
+    * dispatch comment in the method for the measured crossover. */
+  val DistributionsCacheFactBytes: Long = 256L << 20
+
   /** @param percents integer percents in (0, 100], e.g. Seq(50, 90, 99);
     *                  output columns are named `p50`, `p90`, … plus `n`.
     *                  `ceil(p·n/100)` is computed as `(n·p + 99) div 100`
@@ -99,7 +106,9 @@ object Distributions {
     * hash-gates the equivalence corpus-wide. */
   def discPercentilesBucketed(df: DataFrame, groups: Seq[String],
                               value: Column, percents: Seq[Int],
-                              buckets: Int = 1024): DataFrame = {
+                              buckets: Int = 1024,
+                              cacheFactBytes: Long =
+                                DistributionsCacheFactBytes): DataFrame = {
     import org.apache.spark.sql.types._
     require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
       s"percents must be in (0,100]: $percents")
@@ -148,13 +157,34 @@ object Distributions {
     // so extreme long ranges (hi−lo beyond Long.MaxValue) cannot
     // overflow — bucket ids only need monotone consistency, which the
     // double rounding preserves
-    val bounds = keyed.groupBy(col("__gk"))
+    // SIZE-DISPATCHED caching of the group-scaled frames (r17):
+    // `bounds` is group-count-sized but its subtree is a FULL fact
+    // scan + aggregate, and it is referenced by `prepared` (itself
+    // referenced by the pass-2 histogram AND the pass-3 candidate
+    // scan) plus `targets` — uncached, the q64 plan carries 16 scans
+    // of the fact table where the design needs 3 (bounds, histogram,
+    // target buckets; same duplication for `wanted` below). Caching
+    // costs two extra job barriers, so it engages only when the
+    // fact's estimated bytes say a redundant scan outweighs a barrier
+    // (≥ 256 MB): at sf0.1 (11 MB) the 16 pipelined-in-one-job scans
+    // measured FASTER than 3 scans + 2 barriers (2.54 vs 3.11 s),
+    // while at cluster scale 13 redundant full-table scans dwarf two
+    // sub-second jobs. The estimate is the scan-relation size (file
+    // bytes for parquet) — coarse is fine for a 25× threshold.
+    val factBytes = scala.util.Try(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong).getOrElse(Long.MaxValue)
+    val cacheTiny = factBytes >= cacheFactBytes
+    def tinyCache(f: DataFrame): DataFrame =
+      if (cacheTiny) graft.core.Caching.eager(f) else f
+    val bounds = tinyCache(keyed.groupBy(col("__gk"))
       .agg(min(col("__dp_k")).as("__lo"), max(col("__dp_k")).as("__hi"),
         count(lit(1)).as("__n"))
       .select(col("__gk"), col("__lo"), col("__n"),
         greatest(lit(1.0),
           (col("__hi").cast("double") - col("__lo").cast("double"))
-            / buckets).as("__w"))
+            / buckets).as("__w")))
+    // (tinyCache returns the frame unchanged below the byte floor)
     val prepared = keyed.join(broadcast(bounds), Seq("__gk"))
       .withColumn("__dp_b",
         floor((col("__dp_k").cast("double") - col("__lo").cast("double"))
@@ -175,7 +205,12 @@ object Distributions {
         explode(array(percents.map(lit): _*)).as("__p"))
       .withColumn("__t",
         Cleaning.intDiv(col("__n") * col("__p") + 99, lit(100)))
-    val wanted = hist.join(broadcast(targets), Seq("__gk"))
+    // size-dispatched like `bounds` (group·P rows): referenced twice
+    // below (the target-bucket restriction and the final pick join) —
+    // uncached, each reference re-runs the histogram pass and its
+    // fact scan
+    val wanted = tinyCache(
+      hist.join(broadcast(targets), Seq("__gk"))
       .where(col("__cum") >= col("__t"))
       .groupBy(col("__gk"), col("__p"))
       .agg(min_by(
@@ -183,7 +218,7 @@ object Distributions {
           (col("__t") - (col("__cum") - col("__c"))).as("__rw")),
         col("__dp_b")).as("__loc"))
       .select(col("__gk"), col("__p"),
-        col("__loc.__dp_b").as("__dp_b"), col("__loc.__rw").as("__rw"))
+        col("__loc.__dp_b").as("__dp_b"), col("__loc.__rw").as("__rw")))
     // pass 3: only the target buckets sort — a per-(group, bucket)
     // window over ~n/B rows each
     val wantedB = broadcast(wanted)

@@ -236,6 +236,14 @@ class OpsSpec extends AnyFunSuite {
         Seq(50, 90, 99))
       .orderBy($"l_returnflag", $"l_linestatus").collect().toSeq
     assert(full.nonEmpty && bucketed == full)
+    // the r17 size-dispatched CACHED form (group-scaled frames cached
+    // when the fact's estimated bytes clear the floor — forced here
+    // with floor 0) picks identically to the inline form
+    val bucketedCached = Distributions.discPercentilesBucketed(
+        li, groups, $"cents", Seq(50, 90, 99), cacheFactBytes = 0L)
+      .orderBy($"l_returnflag", $"l_linestatus").collect().toSeq
+    assert(bucketedCached == full)
+    spark.catalog.clearCache()
     // group columns of ANY type (here timestamp) work — every join
     // builds its composite key Spark-side, so there is no
     // driver/executor stringification parity to break (pre-round-8
