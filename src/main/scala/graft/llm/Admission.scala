@@ -48,11 +48,18 @@ object Admission {
     // batch-bounded cache: the gate/fingerprint columns feed the
     // membership broadcast AND the stream side of the exact leg — and
     // if `batch` is an expensive plan (a filtered table, a stream
-    // source), every leg would otherwise replay it
+    // source), every leg would otherwise replay it. The SHINGLES ride
+    // the same cache (r18): the probe's batch shingle table previously
+    // had its own eager cache — one more sequential materialization
+    // barrier per audit — but it derives from the same batch text this
+    // cache already scans, so computing it here costs one more column
+    // and saves a whole blocking job. Text itself is NOT cached: every
+    // downstream consumer reads only (id, gate_pass, fp, sh).
     val gated = graft.core.Caching.eager(Quality.scored(
         batch.select(col(idCol), col(textCol)), textCol)
-      .select(col(idCol), col(textCol), col("quality_kept").as("gate_pass"))
-      .withColumn("fp", TextStats.fingerprint(col(textCol))))
+      .select(col(idCol), col("quality_kept").as("gate_pass"),
+        TextStats.fingerprint(col(textCol)).as("fp"),
+        Dedup.shingles(col(textCol), 2).as("__sh")))
     // Membership the scan-shaped way: the store is read ONCE and
     // semi-joined against the BROADCAST batch fingerprints, so the
     // corpus side is never shuffled (the distinct-then-left-join form
@@ -69,8 +76,13 @@ object Admission {
       .withColumn("exact_dup",
         coalesce(col("__in_seen"), lit(false)) ||
           col(idCol) > min(col(idCol)).over(wFp))
-    val pairs = Dedup.minhashProbePairs(seen, batch, idCol, textCol,
-      index, threshold)
+    // the probe reads the batch shingles from the SAME cache (a bare
+    // projection of cached batch-sized rows per consumer, no second
+    // barrier); shingle order 2 here matches minhashProbePairs'
+    // default, which is the audit's declared contract
+    val pairs = Dedup.minhashProbePairsFromSh(seen,
+      gated.select(col(idCol).cast("long").as("id"), col("__sh").as("sh")),
+      idCol, textCol, index, threshold)
     val batchIds = gated.select(col(idCol).cast("long").as("__bid"))
     // both pair orientations from ONE pass over `pairs` (an uncached
     // verify-join subtree — the two-leg union form re-ran it per leg;

@@ -374,6 +374,24 @@ object Dedup {
     val newSh = graft.core.Caching.eager(
       newDocs.select(col(idCol).cast("long").as("id"),
         shingles(col(textCol), shingleN).as("sh")))
+    minhashProbePairsFromSh(corpus, newSh, idCol, textCol, index,
+      threshold, shingleN, bands, rows, maxBucketSize)
+  }
+
+  /** [[minhashProbePairs]] over the batch's ALREADY-MATERIALIZED
+    * `(id: long, sh: array<string>)` shingle table — the caller must
+    * pass a cached/persisted frame (it feeds the banding AND both
+    * verify sides; a lazy plan would re-run its lineage once per
+    * consumer). Exists so a caller that already caches a batch-sized
+    * frame carrying the shingles (the admission audit's gate/
+    * fingerprint cache) pays ONE batch materialization barrier, not
+    * two (r18). */
+  private[graft] def minhashProbePairsFromSh(corpus: DataFrame,
+                        newSh: DataFrame,
+                        idCol: String, textCol: String, index: DataFrame,
+                        threshold: Double, shingleN: Int = 2,
+                        bands: Int = 16, rows: Int = 4,
+                        maxBucketSize: Int = 500): DataFrame = {
     val newBanded = bandedSignatures(newSh, bands, rows)
     val unioned = index
       .select(col("id").cast("long").as("id"), col("band"), col("band_hash"))

@@ -2897,6 +2897,14 @@ object LlmPipelines {
       val d = Tables.documents(s, dir)
       val batch = d.where(col("doc_id") % 10 === 7)
       val corpus = d.where(col("doc_id") % 10 =!= 7)
+      // r18 REFUTED attempt, kept as the r17-shape on purpose: a
+      // shared-aggregation dual-LM trainer (one (all, en-slice)
+      // conditional count per n-gram order feeding both LMs) was
+      // built and A/B-measured same-JVM (tools/ProbeShapes, sf0.1 +
+      // sf1): +2 AQE stage-jobs, no wall/cpu win, and the shared form
+      // structurally LOSES the `lang = 'en'` scan pushdown the
+      // en-slice subtrees get here — at a selective slice the two-LM
+      // form reads less data, not more. See OPTIMIZATION_r18.md.
       val tgt = LangModel.trainBigramLm(
         corpus.where(col("lang") === "en"), "text")
       val src = LangModel.trainBigramLm(corpus, "text")
