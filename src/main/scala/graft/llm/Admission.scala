@@ -65,8 +65,13 @@ object Admission {
     // corpus side is never shuffled (the distinct-then-left-join form
     // sort-merges, i.e. exchanges O(corpus) rows per arrival); the
     // surviving hit set is ≤ batch-sized and broadcasts back.
+    // inner build side NOT deduped (r18): it feeds a left_semi build,
+    // where duplicate fps only pad the hash relation (≤ batch rows) —
+    // the distinct cost an exchange+agg stage inside the hits
+    // broadcast build. The OUTER distinct stays: `hits` feeds a LEFT
+    // join whose duplicate build rows would duplicate audit rows.
     val hits = fps.select(col("fp"))
-      .join(broadcast(gated.select(col("fp")).distinct()),
+      .join(broadcast(gated.select(col("fp"))),
         Seq("fp"), "left_semi")
       .distinct()
     val wFp = Window.partitionBy(col("fp"))

@@ -402,8 +402,13 @@ object Dedup {
     // unhinted semi-join sort-merges — shuffling the CORPUS-sized
     // index. The explicit broadcast pins the scan-side-streams plan:
     // the index is read once, never exchanged (round-11 measured
-    // 7.0 s → scan-bound at 5M docs).
-    val hot = broadcast(newBanded.select(col("band"), col("band_hash")).distinct())
+    // 7.0 s → scan-bound at 5M docs). NO distinct before the
+    // broadcast (r18): the only consumer is a left_semi BUILD side,
+    // where duplicate keys change nothing but hash-relation size —
+    // band hashes near-never collide within a doc, so the distinct
+    // deduped ~nothing and cost one whole exchange+agg AQE stage in
+    // the probe's critical job chain.
+    val hot = broadcast(newBanded.select(col("band"), col("band_hash")))
     val cand = unioned
       .join(hot, Seq("band", "band_hash"), "left_semi")
       .groupBy(col("band"), col("band_hash"))
@@ -425,9 +430,12 @@ object Dedup {
     // (round-11 measured the pushed-late form shingling all 5M corpus
     // docs per probe, 13.6 s; restricted-first it is a bare column
     // scan). oldIds is candidate-bounded → broadcast.
+    // union ALL, no distinct (r18): oldIds' only consumer is the
+    // left_semi build below — duplicates are harmless there, and the
+    // distinct cost an exchange+agg stage between the cand cache and
+    // the oldSh cache, squarely on the probe's sequential job chain
     val oldIds = cand.where(!col("new_a")).select(col("id_a").as("id"))
       .union(cand.where(!col("new_b")).select(col("id_b").as("id")))
-      .distinct()
     // cached (candidate-bounded rows): BOTH verify joins below read
     // allSh, and an uncached oldSh would re-run the corpus restriction
     // scan once per join side (r17 — one corpus scan, not two)
@@ -981,7 +989,10 @@ object Dedup {
       posexplode(array(comboKeyExprs(col("sh"), blocks, keyBlocks): _*))
         .as(Seq("combo", "key")))
     val bk = graft.core.Caching.eager(keyed(bf))
-    val hot = bk.select(col("combo"), col("key")).distinct()
+    // no distinct before the broadcast (r18): left_semi build side —
+    // duplicate (combo, key) rows only pad the hash relation, and the
+    // distinct cost an exchange+agg stage per probe
+    val hot = bk.select(col("combo"), col("key"))
     val sk = keyed(storeFp)
       .join(broadcast(hot), Seq("combo", "key"), "left_semi")
     // SIZE-DISPATCHED join strategy, the [[hammingCandidatesFromFp]]

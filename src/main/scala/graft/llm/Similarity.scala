@@ -324,9 +324,11 @@ object Similarity {
         .withColumn("probes",
           transform(slice(col("__scored"), 1, nProbeEff), s => s.getField("cid")))
         .drop("__scored"))
-    // driver-sized by the small-query contract: ≤ |queries|·nProbe ids
-    val probed = q.select(explode(col("probes")).as("cent")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    // driver-sized by the small-query contract: ≤ |queries|·nProbe ids;
+    // deduped ON THE DRIVER (r18) — a distinct() here only added an
+    // exchange+agg stage in front of a few-hundred-row collect
+    val probed = q.select(explode(col("probes")).as("cent"))
+      .collect().map(_.getInt(0)).distinct.sorted
     val pruned = index.where(col("cent").isin(probed.map(Int.box): _*))
       .select(col("corpus_id").cast("long").as("corpus_id"),
         col("cv"), col("cent").cast("int").as("cent"))

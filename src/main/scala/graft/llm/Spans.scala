@@ -456,8 +456,12 @@ object Spans {
                                            sep: String = "\n\n"): DataFrame = {
     val base = paragraphBase(batch, idCol, textCol, sep)
     val occ = paragraphOcc(base)
+    // inner build side NOT deduped (r18): left_semi build — duplicate
+    // grams only pad the batch-bounded hash relation, and the distinct
+    // cost an exchange+agg stage inside the hits broadcast build. The
+    // outer distinct stays (hits feeds a LEFT join flag).
     val hits = store.select(col("g"))
-      .join(broadcast(occ.select(col("g")).distinct()), Seq("g"), "left_semi")
+      .join(broadcast(occ.select(col("g"))), Seq("g"), "left_semi")
       .distinct()
     val marked = occ.join(broadcast(hits.withColumn("__seen", lit(true))),
       Seq("g"), "left")

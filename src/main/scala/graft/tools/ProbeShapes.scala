@@ -154,11 +154,21 @@ object ProbeShapes {
       Admission.audit(corpus, batch, "doc_id", "text", index)
         .orderBy(col("doc_id"))
     }
+    // q98 with ONLY the index-build input rebalanced (the subtree that
+    // is executed exactly once, into the cand cache job) — the
+    // loader-level rebalance was refuted because UNCACHED scan
+    // subtrees re-execute per job and re-pay the exchange; this one
+    // does not
+    def q98IdxR(): DataFrame = {
+      val par = s.sparkContext.defaultParallelism
+      val index = Dedup.minhashBandIndex(
+        corpus.repartition(par, col("doc_id")), "doc_id", "text")
+      Admission.audit(corpus, batch, "doc_id", "text", index)
+        .orderBy(col("doc_id"))
+    }
 
     val shapes: Seq[(String, () => DataFrame)] = Seq(
-      ("q100 R17", () => q100R17()), ("q100 LIB", () => q100TotUni()),
-      ("q100 PAIR", () => q100Pair()),
-      ("q98  OLD", () => q98Old()), ("q98  NEW", () => q98New()))
+      ("q98  NEW", () => q98New()), ("q98  IDXR", () => q98IdxR()))
 
     // deterministic work metrics, robust to ambient scheduling noise:
     // jobs/stages/tasks + summed executor CPU time per shape execution
@@ -167,9 +177,16 @@ object ProbeShapes {
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
     val runMs = new java.util.concurrent.atomic.AtomicLong
+    val traceJobs = sys.env.get("PROBE_TRACE_JOBS").isDefined
     s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (traceJobs) {
+          val site = Option(e.properties.getProperty("callSite.short")).getOrElse("?")
+          println(s"JOB ${e.jobId} stages=${e.stageInfos.size} " +
+            s"tasks=${e.stageInfos.map(_.numTasks).sum} $site")
+        }
+      }
       override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
